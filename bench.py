@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is forced with the `noop` sink (full pipeline runs, nothing
+collected to the driver) — measures engine throughput, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocean_data_pipeline_spark.queries import load_all  # noqa: E402
+from ocean_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family; keep stable across rounds so
+#: BENCH_r{N}.json trends are comparable. Names absent from the registry
+#: are skipped (lets this file lead implementation).
+HEADLINE = [
+    "monthly_series",
+    "q1_pricing",
+    "revenue_by_nation",
+    "top_orders",
+    "latest_order_per_customer",
+    "monthly_revenue_delta",
+    "dedup_exact_documents",
+    "text_stats",
+    "sim_topk_bruteforce",
+    "minhash_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry] or sorted(registry)
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so per-query timings measure
+    # steady-state execution, not session startup.
+    registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

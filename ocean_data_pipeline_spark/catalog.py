@@ -1,0 +1,55 @@
+"""Table catalog over the driver's parquet testdata.
+
+Central place that maps logical table names to parquet scans so every
+query gets column pruning + predicate pushdown from the same reader
+(`spark.read.parquet` → vectorized reader, PushedFilters visible in
+.explain). Mirrors the reference's implicit catalog (a DuckDB file with
+one table, pipeline/load.py:18-24) generalized to the star schema the
+engine is exercised on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one logical table. Column pruning/filter pushdown apply."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # events.ts is parquet TIMESTAMP(NANOS) read as int64 (see
+        # session._RUNTIME_CONF); convert to microsecond TimestampType.
+        # Integer `div` — double division would corrupt ~1e18 nanos.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

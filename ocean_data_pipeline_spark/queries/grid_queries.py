@@ -1,1 +1,225 @@
-"""Placeholder — populated incrementally."""
+"""Scalar-function surface exercised as oracle-checked queries
+(SURVEY.md §2-F): grid snap round-trips, bbox/date-range predicates,
+month-index conversion, canonical hash keys, distance math.
+
+Coordinates are derived deterministically from keys (custkey modulo
+grid extents) — same arithmetic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.functions.grid import (
+    in_bbox,
+    index_to_lat,
+    index_to_lon,
+    lat_to_index,
+    lon_to_index,
+)
+from ocean_data_pipeline_spark.functions.keys import query_key
+from ocean_data_pipeline_spark.functions.timeidx import (
+    date_to_month_index,
+    month_index_to_date,
+)
+from ocean_data_pipeline_spark.queries import register
+
+# Raw (unclamped, off-grid) coordinates derived from custkey: lat spans
+# 5..65 in 0.1° steps (exercises clamping at both ends + snapping), lon
+# spans −90..−60.
+_RAW_LAT = "5.0 + (c_custkey % 600) * 0.1"
+_RAW_LON = "-90.0 + (c_custkey % 300) * 0.1"
+
+_SNAP_ORACLE = f"""
+WITH raw AS (
+  SELECT c_custkey, {_RAW_LAT} AS lat_raw, {_RAW_LON} AS lon_raw FROM customer
+),
+idx AS (
+  SELECT c_custkey, lat_raw, lon_raw,
+    CAST(least(90, greatest(0, round((55.0 - least(55.0, greatest(10.0, lat_raw))) / 0.25))) AS INT) AS lat_idx,
+    CAST(least(60, greatest(0, round((least(-70.0, greatest(-85.0, lon_raw)) - (-85.0)) / 0.25))) AS INT) AS lon_idx
+  FROM raw
+)
+SELECT lat_idx, lon_idx,
+       55.0 - lat_idx * 0.25   AS snapped_lat,
+       -85.0 + lon_idx * 0.25  AS snapped_lon,
+       count(*)                AS n_points
+FROM idx
+GROUP BY 1, 2
+ORDER BY lat_idx, lon_idx
+"""
+
+
+@register("grid_snap", oracle=_SNAP_ORACLE)
+def grid_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coordinate→index→coordinate round-trip + per-cell occupancy.
+    Pure projection + small hash-agg; zero UDFs."""
+    c = table(spark, sf_dir, "customer")
+    raw = c.select(
+        "c_custkey",
+        F.expr(_RAW_LAT).alias("lat_raw"),
+        F.expr(_RAW_LON).alias("lon_raw"),
+    )
+    idx = raw.select(
+        lat_to_index(F.col("lat_raw")).alias("lat_idx"),
+        lon_to_index(F.col("lon_raw")).alias("lon_idx"),
+    )
+    return (
+        idx.groupBy("lat_idx", "lon_idx")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "lat_idx",
+            "lon_idx",
+            index_to_lat(F.col("lat_idx")).alias("snapped_lat"),
+            index_to_lon(F.col("lon_idx")).alias("snapped_lon"),
+            "n_points",
+        )
+        .orderBy("lat_idx", "lon_idx")
+    )
+
+
+_BBOX_ORACLE = f"""
+WITH raw AS (
+  SELECT c_custkey, c_mktsegment, {_RAW_LAT} AS lat_raw, {_RAW_LON} AS lon_raw FROM customer
+)
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_total,
+       count(CASE WHEN lat_raw BETWEEN 10.0 AND 55.0
+                   AND lon_raw BETWEEN -85.0 AND -70.0 THEN 1 END) AS n_in_bbox
+FROM raw
+GROUP BY 1
+ORDER BY mktsegment
+"""
+
+
+@register("bbox_validation", oracle=_BBOX_ORACLE)
+def bbox_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pred-bbox as a conditional aggregate (validation truth table
+    generalized to a relation; reference config.py:154-165)."""
+    c = table(spark, sf_dir, "customer")
+    raw = c.select(
+        "c_mktsegment",
+        F.expr(_RAW_LAT).alias("lat_raw"),
+        F.expr(_RAW_LON).alias("lon_raw"),
+    )
+    return (
+        raw.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(
+                F.when(in_bbox(F.col("lat_raw"), F.col("lon_raw")), F.lit(1))
+            ).alias("n_in_bbox"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+# Month-index conversion on the testdata epoch (orders span 1995-2001;
+# 84-month window plays the reference's 72-month role).
+_EPOCH_YEAR = 1995
+_N_MONTHS = 84
+
+_MONTHIDX_ORACLE = f"""
+WITH idx AS (
+  SELECT o_orderkey,
+    CAST(least({_N_MONTHS - 1}, greatest(0,
+      (year(o_orderdate) - {_EPOCH_YEAR}) * 12 + (month(o_orderdate) - 1))) AS INT) AS month_idx
+  FROM orders
+)
+SELECT month_idx,
+       strftime(DATE '{_EPOCH_YEAR}-01-01' + to_months(month_idx), '%Y-%m-%d') AS month_start,
+       count(*) AS n_orders
+FROM idx
+GROUP BY month_idx
+ORDER BY month_idx
+"""
+
+
+@register("month_index", oracle=_MONTHIDX_ORACLE)
+def month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date→month-index→first-of-month round-trip over orders."""
+    o = table(spark, sf_dir, "orders")
+    idx = o.select(
+        date_to_month_index(F.col("o_orderdate"), _EPOCH_YEAR, _N_MONTHS).alias("month_idx")
+    )
+    return (
+        idx.groupBy("month_idx")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "month_idx",
+            F.date_format(month_index_to_date(F.col("month_idx"), _EPOCH_YEAR), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            "n_orders",
+        )
+        .orderBy("month_idx")
+    )
+
+
+# Canonical cache keys over snapped grid coordinates (fn-hash-key): the
+# 0.25°-grid values have ≤2 decimal digits → %.6f formatting is exact.
+_HASHKEY_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         10.0  + (c_custkey % 91) * 0.25 AS lat,
+         -85.0 + (c_custkey % 61) * 0.25 AS lon
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT c_custkey AS custkey,
+       substr(sha256(concat_ws('_',
+         printf('%.6f', lat), printf('%.6f', lon),
+         '1995-01-01', '2001-12-31',
+         array_to_string(list_sort(['Temperature','Salinity']), '_'))), 1, 16) AS query_hash
+FROM pts
+ORDER BY custkey
+"""
+
+
+@register("cache_key_hash", oracle=_HASHKEY_ORACLE)
+def cache_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256[:16] canonical key as a single JVM-side projection."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    pts = c.select(
+        "c_custkey",
+        (F.lit(10.0) + (F.col("c_custkey") % 91) * F.lit(0.25)).alias("lat"),
+        (F.lit(-85.0) + (F.col("c_custkey") % 61) * F.lit(0.25)).alias("lon"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("custkey"),
+        query_key(
+            F.col("lat"),
+            F.col("lon"),
+            F.lit("1995-01-01"),
+            F.lit("2001-12-31"),
+            ["Temperature", "Salinity"],
+        ).alias("query_hash"),
+    ).orderBy("custkey")
+
+
+_DATERANGE_ORACLE = """
+SELECT
+  count(CASE WHEN o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate <= DATE '2001-12-31' THEN 1 END) AS n_in_window,
+  count(CASE WHEN (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+             BETWEEN 0 AND 71 THEN 1 END)                      AS n_within_72_months,
+  count(*)                                                     AS n_total
+FROM orders
+"""
+
+
+@register("daterange_validation", oracle=_DATERANGE_ORACLE)
+def daterange_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pred-daterange: window containment + ≤72-month span counts
+    (reference config.py:167-195)."""
+    o = table(spark, sf_dir, "orders")
+    in_window = (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")) & (
+        F.col("o_orderdate") <= F.lit("2001-12-31").cast("date")
+    )
+    month_delta = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    return o.agg(
+        F.count(F.when(in_window, F.lit(1))).alias("n_in_window"),
+        F.count(F.when(month_delta.between(0, 71), F.lit(1))).alias("n_within_72_months"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

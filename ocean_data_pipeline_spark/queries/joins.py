@@ -1,1 +1,222 @@
-"""Placeholder — populated incrementally."""
+"""Join surface (SURVEY.md §2-C): broadcast/hash equi-joins, semi/anti,
+range θ-join, as-of join — exercised on the star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.operators.joins import asof_join, nearby_join
+from ocean_data_pipeline_spark.queries import register
+
+# --- revenue_by_nation: the canonical fact⋈dims star join (join-inner /
+# join-broadcast). -----------------------------------------------------
+
+_REVENUE_ORACLE = """
+SELECT
+  r_name                                                     AS region_name,
+  n_name                                                     AS nation_name,
+  count(*)                                                   AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)   AS total_revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+ORDER BY region_name, nation_name
+"""
+
+
+@register("revenue_by_nation", oracle=_REVENUE_ORACLE)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact `orders` shuffles once on custkey; `customer` is
+    mid-size (hash join under AQE), `nation`/`region` are broadcast —
+    no shuffle for the dims at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# --- semi/anti joins: existence / absence (join-semi, join-anti; the
+# cache-probe pattern cache_manager.py:90-95 generalized). -------------
+
+_SEMI_ORACLE = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_customers_with_orders
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@register("semi_join_customers", oracle=_SEMI_ORACLE)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: no payload from the right side crosses the shuffle."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+        .orderBy("mktsegment")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate < DATE '1996-01-01'
+)
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@register("anti_join_customers", oracle=_ANTI_ORACLE)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no early (pre-1996) order: the filter lands on the
+    build side BEFORE the anti-join, shrinking the shuffled input."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+        .orderBy("mktsegment")
+    )
+
+
+# --- left outer join with null accounting (join-left). ----------------
+
+_LEFT_ORACLE = """
+SELECT
+  count(*)                                           AS n_parts,
+  count(l_partkey)                                   AS n_parts_sold,
+  count(*) - count(l_partkey)                        AS n_parts_never_sold
+FROM part
+LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) li ON l_partkey = p_partkey
+"""
+
+
+@register("left_join_parts", oracle=_LEFT_ORACLE)
+def left_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join against a pre-deduped build side (distinct first —
+    shrinks the join input instead of exploding matches)."""
+    part = table(spark, sf_dir, "part")
+    sold = table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    joined = part.join(sold, part.p_partkey == sold.l_partkey, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count("l_partkey").alias("n_parts_sold"),
+        (F.count(F.lit(1)) - F.count("l_partkey")).alias("n_parts_never_sold"),
+    )
+
+
+# --- nearby θ-join (join-range-nearby): the reference's nearby-cache
+# lookup re-expressed over a derived points table. Coordinates are
+# derived deterministically from custkey on the reference's 0.25° grid
+# (config.py:24-36: lat 10..32.5, lon −85..−70). -----------------------
+
+_NEARBY_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         10.0  + (c_custkey % 91) * 0.25 AS latitude,
+         -85.0 + (c_custkey % 61) * 0.25 AS longitude
+  FROM customer
+)
+SELECT c_custkey, latitude, longitude,
+       abs(latitude - 21.0) + abs(longitude - (-77.0))        AS l1_distance,
+       sqrt(pow(latitude - 21.0, 2) + pow(longitude - (-77.0), 2)) AS l2_distance
+FROM pts
+WHERE abs(latitude - 21.0) < 2.0 AND abs(longitude - (-77.0)) < 2.0
+ORDER BY l1_distance, c_custkey
+"""
+
+
+@register("nearby_points", oracle=_NEARBY_ORACLE)
+def nearby_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius lookup ordered nearest-first with custkey tiebreak
+    (total order → stable hash). Probe side is 1 row → broadcast
+    nested-loop, the only legal strategy for a θ-predicate."""
+    customer = table(spark, sf_dir, "customer")
+    pts = customer.select(
+        "c_custkey",
+        (F.lit(10.0) + (F.col("c_custkey") % 91) * F.lit(0.25)).alias("latitude"),
+        (F.lit(-85.0) + (F.col("c_custkey") % 61) * F.lit(0.25)).alias("longitude"),
+    )
+    probe = spark.range(1).select(
+        F.lit(21.0).alias("p_latitude"), F.lit(-77.0).alias("p_longitude")
+    )
+    return (
+        nearby_join(pts, probe, radius=2.0)
+        .select("c_custkey", "latitude", "longitude", "l1_distance", "l2_distance")
+        .orderBy("l1_distance", "c_custkey")
+    )
+
+
+# --- as-of join (join-asof): each order aligned to the latest
+# priority-policy row effective at or before its order date. The policy
+# table is derived deterministically (first order date per priority →
+# that priority's "effective-from"). DuckDB has native ASOF JOIN —
+# ideal oracle for our union+window implementation. --------------------
+
+_ASOF_ORACLE = """
+WITH policy AS (
+  SELECT o_orderpriority AS priority,
+         min(o_orderdate) + INTERVAL 90 DAY AS eff_from,
+         count(*) AS policy_weight
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey AS orderkey,
+       p.policy_weight AS policy_weight
+FROM orders o
+ASOF LEFT JOIN policy p
+  ON o.o_orderpriority = p.priority AND o.o_orderdate >= p.eff_from
+ORDER BY orderkey
+"""
+
+
+@register("asof_policy_join", oracle=_ASOF_ORACLE)
+def asof_policy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join via union+window (see operators.joins.asof_join)."""
+    orders = table(spark, sf_dir, "orders")
+    policy = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.date_add(F.min("o_orderdate").cast("date"), 90)
+        .cast("timestamp")
+        .alias("eff_from"),
+        F.count(F.lit(1)).alias("policy_weight"),
+    )
+    left = orders.select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    joined = asof_join(
+        left,
+        policy,
+        left_on="o_orderdate",
+        right_on="eff_from",
+        by=["priority"],
+        value_cols=["policy_weight"],
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("orderkey"), "policy_weight"
+    ).orderBy("orderkey")

@@ -1,1 +1,227 @@
-"""Placeholder — populated incrementally."""
+"""Window-function surface (SURVEY.md §2-G) + sort/limit/top-k/dedup
+(§2-E): ranking, lag/lead analytics, frames, sessionization.
+
+Every orderBy that feeds a limit or a rank carries a unique tiebreak
+key so results are total-ordered (deterministic hash under the oracle
+compare, and stable under Spark's nondeterministic partition order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- top_orders: sort+limit → TakeOrderedAndProject (topk; reference
+# sort-computed + LIMIT, cache_manager.py:302-311). --------------------
+
+_TOP_ORACLE = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("top_orders", oracle=_TOP_ORACLE)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: per-partition heap + driver merge of k rows
+    (TakeOrderedAndProject) — never a full sort at scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# --- latest_order_per_customer: win-rank (generalizes dedup-key
+# keep-latest, reference cache_manager.py:37+153-157). -----------------
+
+_LATEST_ORACLE = """
+SELECT custkey, orderkey, orderdate
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate AS orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY custkey
+"""
+
+
+@register("latest_order_per_customer", oracle=_LATEST_ORACLE)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number=1 per key: one shuffle on the key; AQE handles skew.
+    (At scale prefer this over dropDuplicates — explicit ordering.)"""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --- monthly_revenue_delta: win-analytic lag (month-over-month delta on
+# the ordered monthly series — the reference's sorted-series contract,
+# pipeline/extract.py:223-225). ----------------------------------------
+
+_DELTA_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       revenue - lag(revenue) OVER (ORDER BY month) AS revenue_delta
+FROM monthly
+ORDER BY month
+"""
+
+
+@register("monthly_revenue_delta", oracle=_DELTA_ORACLE)
+def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate first (tiny result), window over the aggregate — the
+    unpartitioned window runs over months, not raw rows."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("revenue_delta", F.col("revenue") - F.lag("revenue").over(w))
+        .orderBy("month")
+    )
+
+
+# --- rolling_avg_monthly: win-frame rowsBetween(-2, 0) rolling mean. --
+
+_ROLLING_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(sum(n_orders) OVER w AS DOUBLE)
+         / count(*) OVER w AS rolling_avg_orders
+FROM monthly
+WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY month
+"""
+
+
+@register("rolling_avg_monthly", oracle=_ROLLING_ORACLE)
+def rolling_avg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month rolling average as exact sum/count over a row frame."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return (
+        monthly.withColumn(
+            "rolling_avg_orders",
+            F.sum("n_orders").over(w).cast("double") / F.count(F.lit(1)).over(w),
+        )
+        .orderBy("month")
+    )
+
+
+# --- running_total_per_customer: win-frame running aggregate. ---------
+
+_RUNNING_ORACLE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY custkey, orderkey
+"""
+
+
+@register("running_total_per_customer", oracle=_RUNNING_ORACLE)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal sum per key (exact under any partition order)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
+
+
+# --- sessionize_events: lag + gap-flag + running count = session ids
+# (batch sessionization; the streaming twin uses session_window in
+# streaming/. Gap threshold 30 min on the events stream). --------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register("sessionize_events", oracle=_SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: two stacked windows on the same (user_id, ts)
+    sort — Catalyst plans ONE exchange + one sort, reused by both."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_seq")
+    )

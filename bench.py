@@ -29,10 +29,12 @@ HEADLINE = [
     "top_orders",
     "latest_order_per_customer",
     "monthly_revenue_delta",
+    "sessionize_events",
     "dedup_exact_documents",
     "text_stats",
+    "minhash_bands",
     "sim_topk_bruteforce",
-    "minhash_near_dup",
+    "asof_policy_join",
 ]
 
 

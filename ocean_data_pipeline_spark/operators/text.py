@@ -1,0 +1,117 @@
+"""Text-analysis operators (SURVEY.md §2-J text-analysis): tokenization,
+quality scoring, language-ID heuristic, shingling, fingerprinting.
+
+All hot-path logic is JVM-side column expressions (split/regexp/
+aggregate/transform) — no Python UDFs — so these run at full codegen
+speed over 100 TB of documents. The LLM-training-data posture: these
+are the per-document featurizers that feed dedup and quality filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword inventories for the n-gram/stopword
+#: language heuristic. Deliberately small + deterministic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (trimmed; '' → empty array, not [''])."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    """Number of non-alphanumeric, non-space characters."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in `lang`'s stopword list."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*words)))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax-stopword-hits language ID; 'und' when no list hits.
+
+    Ties break by the fixed language order below (deterministic).
+    """
+    expr = F.lit("und")
+    best = F.lit(0)
+    for lang in ("en", "de", "fr", "es"):
+        hits = stopword_hits(text, lang)
+        expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, hits)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Reference-style quality formula adapted to documents:
+    length-completeness × (1 − punctuation-noise), clamped to [0,1]
+    (shape of pipeline/extract.py:287-288 in the reference).
+    """
+    completeness = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    noise = punct_count(text).cast("double") / F.greatest(char_count(text), F.lit(1)).cast(
+        "double"
+    )
+    return F.round(F.greatest(F.lit(0.0), completeness * (F.lit(1.0) - noise)), 6)
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """All k-char shingles as an array column (positions 1..len−k+1).
+
+    `sequence`+`transform` — array ops, no explode until the caller
+    decides; a 100 TB corpus shingles inside one projection.
+    """
+    n = F.greatest(F.lit(1), F.length(text) - F.lit(k - 1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
+
+
+def minhash_band(text: Column, salt: str, k: int = 8) -> Column:
+    """One MinHash band: min over salted-SHA-256 shingle hashes.
+
+    min(h(s)) over a set is the classic MinHash estimator; using
+    lexicographic min of the hex digest keeps it SQL-portable
+    (identical in DuckDB: min(sha256(salt||shingle))).
+    """
+    shingled = char_shingles(text, k)
+    hashed = F.transform(shingled, lambda s: F.sha2(F.concat(F.lit(salt + "_"), s), 256))
+    return F.array_min(hashed)
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Per token: h = first-4-hex-chars of SHA-256 → 16-bit int; each bit
+    votes ±1; final bit = sign of the vote sum. Pure array/aggregate
+    expressions; portable to the DuckDB oracle (same hash, same bits).
+    """
+    tok = tokens(F.lower(text))
+    h = F.transform(tok, lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 4), 16, 10).cast("int"))
+
+    def vote_fn(bit: int):
+        # two-parameter lambda required: F.aggregate dispatches on arity
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0)
+    for bit in range(16):
+        votes = F.aggregate(h, F.lit(0), vote_fn(bit))
+        out = out + F.when(votes > 0, F.lit(2 ** bit)).otherwise(F.lit(0))
+    return out

@@ -1,1 +1,507 @@
-"""Placeholder — populated incrementally."""
+"""LLM-data-pipeline queries (SURVEY.md §2-J): dedup, similarity
+search, text analysis, multimodal columns — over documents/embeddings/
+events.props.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    mllib_minhash_pairs,
+)
+from ocean_data_pipeline_spark.operators.similarity import cosine_topk, lsh_topk
+from ocean_data_pipeline_spark.operators.text import (
+    STOPWORDS,
+    char_count,
+    minhash_band,
+    predicted_lang,
+    punct_count,
+    quality_score,
+    simhash16,
+    token_count,
+)
+from ocean_data_pipeline_spark.queries import register
+
+# --- dedup-exact ------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, sha256(text) AS content_hash FROM documents
+),
+winners AS (
+  SELECT content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+  FROM hashed GROUP BY content_hash
+)
+SELECT count(*)                    AS n_unique,
+       sum(n_copies)               AS n_total,
+       sum(n_copies) - count(*)    AS n_duplicates_removed,
+       min(keeper_doc_id)          AS first_keeper
+FROM winners
+"""
+
+
+@register("dedup_exact_documents", oracle=_DEDUP_EXACT_ORACLE)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup report (operator: operators.dedup.exact_dedup).
+    One shuffle on the 256-bit content hash; winner = lowest doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_copies").alias("n_total"),
+            (F.sum("n_copies") - F.count(F.lit(1))).alias("n_duplicates_removed"),
+            F.min("keeper_doc_id").alias("first_keeper"),
+        )
+    )
+
+
+# --- text statistics --------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT lang,
+       count(*)                                        AS n_docs,
+       sum(n_tokens)                                   AS total_tokens,
+       sum(n_chars)                                    AS total_chars,
+       sum(n_punct)                                    AS total_punct,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 3) AS avg_tokens_per_doc
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punctuation accounting per language — one projection
+    + tiny hash-agg (operators.text featurizers)."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        char_count(F.col("text")).alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_count(F.col("text")).alias("n_punct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_punct").alias("total_punct"),
+            F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 3).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- top-k tokens (explode/UDTF surface §2-I) -------------------------
+
+_TOP_TOKENS_ORACLE = """
+SELECT token, count(*) AS n_occurrences
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+@register("top_tokens", oracle=_TOP_TOKENS_ORACLE)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → count → top-k (partial aggregation absorbs the token
+    explosion before the shuffle)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# --- language-ID heuristic -------------------------------------------
+
+
+def _oracle_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT lang AS actual_lang,
+         {_oracle_stopword_hits('en')} AS en_hits,
+         {_oracle_stopword_hits('de')} AS de_hits,
+         {_oracle_stopword_hits('fr')} AS fr_hits,
+         {_oracle_stopword_hits('es')} AS es_hits
+  FROM documents WHERE length(trim(text)) > 0
+),
+pred AS (
+  SELECT actual_lang,
+    CASE
+      WHEN es_hits > greatest(en_hits, de_hits, fr_hits) THEN 'es'
+      WHEN fr_hits > greatest(en_hits, de_hits) THEN 'fr'
+      WHEN de_hits > en_hits THEN 'de'
+      WHEN en_hits > 0 THEN 'en'
+      ELSE 'und' END AS pred_lang
+  FROM scored
+)
+SELECT actual_lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANG_ID_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID vs. labeled lang (confusion counts).
+
+    Tie policy: later language wins only with a STRICT majority —
+    mirrored exactly in the CASE cascade above.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            predicted_lang(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+# --- quality scoring --------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+    round(greatest(0.0,
+      least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 100.0)
+      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1))), 6) AS score
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("doc_quality_score", oracle=_QUALITY_ORACLE)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped quality formula per source (operators.text.
+    quality_score); per-doc scores rounded before the decimal-exact avg."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select("source", quality_score(F.col("text")).alias("score"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- MinHash banding (portable LSH core) ------------------------------
+
+_MINHASH_ORACLE = """
+WITH shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(1, length(text) - 7)),
+                               i -> substr(text, i, 8))) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         min(sha256('s0_' || shingle)) AS band_s0,
+         min(sha256('s1_' || shingle)) AS band_s1
+  FROM shingled GROUP BY doc_id
+),
+buckets AS (
+  SELECT band_s0 AS bucket, count(*) AS n_docs FROM sig GROUP BY 1
+  UNION ALL
+  SELECT band_s1 AS bucket, count(*) AS n_docs FROM sig GROUP BY 1
+)
+SELECT count(*)                                   AS n_buckets,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_collision_buckets,
+       max(n_docs)                                AS max_bucket
+FROM buckets
+"""
+
+
+@register("minhash_bands", oracle=_MINHASH_ORACLE)
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash bucket census: the LSH candidate-generation core
+    with a fully deterministic, SQL-portable hash (salted SHA-256 min).
+    Array-expression shingling — no explode until the band agg."""
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        minhash_band(F.col("text"), "s0").alias("band_s0"),
+        minhash_band(F.col("text"), "s1").alias("band_s1"),
+    )
+    b0 = sig.groupBy(F.col("band_s0").alias("bucket")).agg(F.count(F.lit(1)).alias("n_docs"))
+    b1 = sig.groupBy(F.col("band_s1").alias("bucket")).agg(F.count(F.lit(1)).alias("n_docs"))
+    buckets = b0.unionByName(b1)
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_collision_buckets"),
+        F.max("n_docs").alias("max_bucket"),
+    )
+
+
+# --- SimHash ----------------------------------------------------------
+
+
+def _oracle_simhash() -> str:
+    votes = []
+    for bit in range(16):
+        votes.append(
+            f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << bit}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << bit} ELSE 0 END)"
+        )
+    return " + ".join(votes)
+
+
+_SIMHASH_ORACLE = f"""
+WITH tokenized AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> CAST(('0x' || substr(sha256(t), 1, 4)) AS INT)) AS hs
+  FROM documents WHERE length(trim(text)) > 0
+),
+sigs AS (
+  SELECT doc_id, {_oracle_simhash()} AS simhash FROM tokenized
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sigs GROUP BY simhash
+ORDER BY simhash
+"""
+
+
+@register("simhash_documents", oracle=_SIMHASH_ORACLE)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature census (operators.text.simhash16):
+    near-dup docs land on equal or hamming-close signatures; grouping
+    by the signature is the candidate step."""
+    docs = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    sigs = docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("simhash")
+    )
+
+
+# --- n-gram Jaccard near-dup (exact confirm pass) ---------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE doc_id < 60 AND length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(t) AS gram FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set (unigram) Jaccard ≥ 0.5 over a bounded doc
+    subset (the confirm stage of near-dedup; candidate generation at
+    scale is minhash_bands/candidate_pairs). Shared-shingle equi-join,
+    not a cross join."""
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 60) & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    ids = docs.select(F.col("doc_id"))
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    out = jaccard_pairs(docs, "text", "doc_id", pairs, n=1)
+    return (
+        out.filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- embedding similarity --------------------------------------------
+
+_SIM_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+probes AS (SELECT vec_id, v FROM corpus WHERE vec_id < 3),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.v, c.v)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine_sim
+  FROM probes p JOIN corpus c ON c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_SIM_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 probes (operators.similarity.
+    cosine_topk). Dot products bit-match DuckDB's list_dot_product
+    (sequential fold, doubles); rounded to 6 for rank-boundary safety."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, probes, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
+# --- embeddings metadata / array ops ---------------------------------
+
+_EMB_STATS_ORACLE = """
+SELECT label,
+       count(*) AS n_vectors,
+       round(CAST(sum(CAST(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_sq_norm,
+       min(len(embedding)) AS min_dims,
+       max(len(embedding)) AS max_dims
+FROM embeddings
+GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_stats", oracle=_EMB_STATS_ORACLE)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column analytics: per-label norm stats (multimodal array
+    plumbing — zip_with/aggregate on array<float> at scan speed)."""
+    from ocean_data_pipeline_spark.operators.similarity import dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    per = emb.select("label", dot(v, v).alias("sq_norm"), F.size("embedding").alias("dims"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("sq_norm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("avg_sq_norm"),
+            F.min("dims").alias("min_dims"),
+            F.max("dims").alias("max_dims"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- multimodal: JSON props column -----------------------------------
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       count(json_extract_string(props, '$.k')) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("props_json_extract", oracle=_PROPS_ORACLE)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: JSON path extraction + typed agg
+    (events.props; MapType/StructType plumbing per SURVEY §1.2)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_with_k"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- rows-only: MLlib LSH paths (nondeterministic internals) ----------
+
+
+@register("minhash_lsh_near_dup", oracle=None)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH approx near-dup pairs (scale path; rows-only —
+    engine-internal hash seeds have no SQL oracle)."""
+    docs = table(spark, sf_dir, "documents")
+    return mllib_minhash_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+@register("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH candidate top-k (scale path; rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return lsh_topk(emb, probes, k=5)
+
+
+@register("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: pack text bytes as opaque media blobs,
+    run the Arrow-batched (stub) decoder (operators.multimodal)."""
+    from ocean_data_pipeline_spark.operators.multimodal import extract_features, pack_binary
+
+    docs = table(spark, sf_dir, "documents")
+    packed = pack_binary(docs, "text", "doc_id")
+    return extract_features(packed, use_stub=True).orderBy("doc_id")

@@ -54,6 +54,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         joins,
         llm_ops,
         set_ops,
+        stream_twins,
         windows,
     )
 

@@ -1,0 +1,101 @@
+"""Batch twins of the streaming window operators (SURVEY.md §2-H).
+
+Spark's window/session_window functions are mode-agnostic: the exact
+builder used under `writeStream` (streaming/windows.py) runs here on
+the batch events table, giving the streaming semantics a DuckDB
+oracle. The streaming execution path itself (watermarks, triggers,
+state TTL) is covered by tests/test_streaming.py (rows-only class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+from ocean_data_pipeline_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_TUMBLING_ORACLE = """
+SELECT
+  date_trunc('hour', ts)                          AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR        AS window_end,
+  event_type,
+  count(*)                                        AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h windows (streaming builder, batch mode)."""
+    ev = table(spark, sf_dir, "events")
+    return tumbling_counts(ev).orderBy("window_start", "event_type")
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT e.ts, k
+  FROM events e, unnest(generate_series(0, 3)) AS t(k)
+)
+SELECT
+  CAST(to_timestamp((floor(epoch(ts) / 900) - k) * 900) AS TIMESTAMP) AS window_start,
+  CAST(to_timestamp((floor(epoch(ts) / 900) - k) * 900 + 3600) AS TIMESTAMP) AS window_end,
+  count(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+ORDER BY window_start
+"""
+
+
+@register("stream_sliding_counts", oracle=_SLIDING_ORACLE)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1 h / 15 min windows — each event in 4 windows; the
+    oracle expands the window set arithmetically."""
+    ev = table(spark, sf_dir, "events")
+    return sliding_counts(ev).orderBy("window_start")
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+assigned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       count(*) AS n_events
+FROM assigned
+GROUP BY user_id, seq
+ORDER BY user_id, session_start_s
+"""
+
+
+@register("stream_session_counts", oracle=_SESSION_ORACLE)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30 min) per user vs. the lag/cumsum oracle —
+    same merge semantics, session identity = epoch-second of first
+    event (precision-portable across ns/µs timestamp engines)."""
+    ev = table(spark, sf_dir, "events")
+    out = session_counts(ev)
+    return out.select(
+        "user_id",
+        F.floor(F.col("session_start").cast("double")).cast("long").alias("session_start_s"),
+        "n_events",
+    ).orderBy("user_id", "session_start_s")

@@ -32,6 +32,12 @@ _RUNTIME_CONF = {
     # convert to TimestampType in the catalog (catalog.table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    # Spark 4.1's checkpoint file-checksum manager deadlocks stateful
+    # streaming commits on the local filesystem (awaitResult hangs in
+    # ChecksumCancellableFSDataOutputStream.close → micro-batch retries
+    # forever). Checksumming is an integrity feature for remote object
+    # stores; disable it.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

@@ -1,0 +1,122 @@
+"""Streaming execution tests (SURVEY.md §2-H): the same window builders
+that pass the batch oracle must produce identical results when run as a
+Structured Streaming job; TTL state and watermark dedup behave.
+
+Pattern: write events to a parquet dir, readStream over it, memory
+sink, processAllAvailable() — a complete synchronous micro-batch run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.streaming.ttl import dedup_within_watermark, ttl_latest_state
+from ocean_data_pipeline_spark.streaming.windows import tumbling_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events with µs timestamps staged as a streamable parquet dir."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, SF, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(df, name: str, mode: str = "complete"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _run_stream_until(spark, df, name: str, mode: str, predicate, timeout_s: int = 120):
+    """Run a stream until `predicate(sink_rows)` holds, then stop.
+
+    Needed for stateful ops with processing-time timeouts
+    (ttl_latest_state): the engine keeps firing "no new data but
+    cleaning up state" micro-batches to check timers, so neither
+    `processAllAvailable()` nor an availableNow trigger ever
+    terminates the query — termination is the *caller's* decision,
+    exactly as it would be in production (these are long-running jobs).
+    """
+    import time
+
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if predicate(rows):
+                return rows
+            time.sleep(1)
+        raise AssertionError(f"stream {name} never satisfied predicate; last rows: {rows}")
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    _run_stream(tumbling_counts(stream), "tumbling_out")
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events, sum_value FROM tumbling_out"
+    ).collect()
+    want = tumbling_counts(batch).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:05:00", 2.0),  # dup key within watermark -> dropped
+            (2, "2024-01-01 00:01:00", 3.0),
+        ],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    d = str(tmp_path / "dup_events")
+    src.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    _run_stream(deduped, "dedup_out", mode="append")
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_ttl_latest_state(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:00:00", 1.5),
+            (100, "2024-01-01 00:10:00", 2.5),  # later value wins
+            (200, "2024-01-01 00:01:00", 9.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    d = str(tmp_path / "state_events")
+    src.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    got = _run_stream_until(
+        spark,
+        ttl_latest_state(stream, ttl_ms=3_600_000),
+        "ttl_out",
+        mode="update",
+        predicate=lambda rs: {r["user_id"] for r in rs} == {100, 200},
+    )
+    rows = {r["user_id"]: r for r in got}
+    assert rows[100]["n_seen"] == 2 and rows[100]["latest_value"] == 2.5
+    assert rows[200]["n_seen"] == 1 and rows[200]["latest_value"] == 9.0
+    assert not rows[100]["expired"] and not rows[200]["expired"]

@@ -32,8 +32,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one logical table. Column pruning/filter pushdown apply."""
+def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Scan one logical table. Column pruning/filter pushdown apply.
+
+    `spread=True` redistributes a degenerate scan across the cluster:
+    parquet parallelism is bounded by row groups, so a table written as
+    one row group (or any unsplittable file) scans as ONE task and every
+    downstream map/partial-agg stage runs on one core. For CPU-heavy
+    pipelines (per-row hashing, decimal aggs over the fact table) the
+    round-robin shuffle costs far less than it buys. Guarded: it's a
+    no-op whenever the scan already has >= defaultParallelism partitions
+    — on a real cluster with properly sized files this never fires, so
+    the 100 TB plan is unchanged while degenerate inputs still use all
+    cores.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -42,6 +54,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session._RUNTIME_CONF); convert to microsecond TimestampType.
         # Integer `div` — double division would corrupt ~1e18 nanos.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

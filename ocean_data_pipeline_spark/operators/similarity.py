@@ -62,6 +62,81 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold) — the confirm stage of embedding dedup.
+
+    Pairwise self-join: quadratic by definition, so at corpus scale run
+    it on CANDIDATES only (lsh_topk buckets / ivf_topk cells generate
+    them); norms are precomputed once per side so each pair costs one
+    dot product. Output: (id_a, id_b, cosine_sim).
+    """
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def argmax_dim(v: Column) -> Column:
+    """1-based index of the max-|component| dimension (first on ties)."""
+    mags = F.transform(v, lambda x: F.abs(x))
+    return F.array_position(mags, F.array_max(mags))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate neighbors with a deterministic coarse
+    quantizer: cell = argmax-|dim| of the vector (an inverted file of
+    dim-dominant cells; a trained k-means codebook drops into the same
+    plan as a broadcast centroid join).
+
+    Candidates shrink from |corpus| to one cell's occupancy (~|corpus|/
+    dims for isotropic data); the cell equi-join shuffles on cell id,
+    then exact cosine re-ranks within the cell. Fully SQL-expressible →
+    DuckDB-oracle-checkable, unlike model-internal LSH buckets.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", argmax_dim(F.col("cv")))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    ).withColumn("cell", argmax_dim(F.col("pv")))
+    scored = (
+        c.join(F.broadcast(p), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,

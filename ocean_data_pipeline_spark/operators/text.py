@@ -72,6 +72,53 @@ def quality_score(text: Column) -> Column:
     return F.round(F.greatest(F.lit(0.0), completeness * (F.lit(1.0) - noise)), 6)
 
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+#: marks — the shape GPT-2-style byte-pair pre-splitting produces,
+#: reduced to ASCII classes so Java and RE2-family regex engines agree.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (0 for blank text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+ROLLING_HASH_MOD = 2_147_483_647  # 2^31 − 1; keeps a*31+c inside a long
+
+
+def _poly_hash(s: Column) -> Column:
+    """Polynomial hash of a string: fold (a·31 + code) mod M over chars.
+
+    Pure array expressions (split → ascii → aggregate), mod applied at
+    every step so any SQL engine with a list fold reproduces it exactly
+    (DuckDB: list_reduce over [0] || codepoints).
+    """
+    codes = F.transform(F.split(s, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_HASH_MOD),
+    )
+
+
+def rolling_hashes(text: Column, k: int = 16) -> Column:
+    """Hash of every k-gram window — the rolling-hash fingerprint core.
+
+    Expressed as per-window polynomial hashes (O(len·k) expression work
+    instead of O(len) true rolling — still whole-stage-codegen JVM work,
+    and unlike a true rolling scan it needs no stateful UDF)."""
+    n = F.greatest(F.lit(1), F.length(text) - F.lit(k - 1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: _poly_hash(text.substr(i, F.lit(k))))
+
+
+def doc_fingerprint(text: Column, k: int = 16) -> Column:
+    """Winnowing-style document fingerprint: min k-gram rolling hash.
+
+    Documents sharing any k-gram window that happens to be the minimum
+    collide — the classic cheap first-pass near-dup signal."""
+    return F.array_min(rolling_hashes(text, k))
+
+
 def char_shingles(text: Column, k: int = 8) -> Column:
     """All k-char shingles as an array column (positions 1..len−k+1).
 

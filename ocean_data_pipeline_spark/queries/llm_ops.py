@@ -16,7 +16,9 @@ from ocean_data_pipeline_spark.operators.dedup import (
 from ocean_data_pipeline_spark.operators.similarity import cosine_topk, lsh_topk
 from ocean_data_pipeline_spark.operators.text import (
     STOPWORDS,
+    bpe_token_count,
     char_count,
+    doc_fingerprint,
     minhash_band,
     predicted_lang,
     punct_count,
@@ -262,8 +264,10 @@ FROM buckets
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-MinHash bucket census: the LSH candidate-generation core
     with a fully deterministic, SQL-portable hash (salted SHA-256 min).
-    Array-expression shingling — no explode until the band agg."""
-    docs = table(spark, sf_dir, "documents")
+    Array-expression shingling — no explode until the band agg.
+    spread=True: ~2·len(text) SHA-256s per row dwarf one row-exchange,
+    so a degenerate single-row-group scan must not serialize them."""
+    docs = table(spark, sf_dir, "documents", spread=True)
     sig = docs.select(
         "doc_id",
         minhash_band(F.col("text"), "s0").alias("band_s0"),
@@ -312,8 +316,11 @@ ORDER BY simhash
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature census (operators.text.simhash16):
     near-dup docs land on equal or hamming-close signatures; grouping
-    by the signature is the candidate step."""
-    docs = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    by the signature is the candidate step. spread=True: per-token
+    hashing dominates a row-exchange on degenerate scans."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
     sigs = docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
     return (
         sigs.groupBy("simhash")
@@ -505,3 +512,142 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     packed = pack_binary(docs, "text", "doc_id")
     return extract_features(packed, use_stub=True).orderBy("doc_id")
+
+
+# --- BPE-ish token counting ------------------------------------------
+
+_BPE_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("token_counts_bpe", oracle=_BPE_TOKENS_ORACLE)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under whitespace + BPE-ish regex
+    pre-tokenization (operators.text.bpe_token_count) — the unit every
+    training-data budget is denominated in. Pure regexp projections at
+    scan speed; no shuffle (output is per-row)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# --- rolling-hash document fingerprint -------------------------------
+
+_FINGERPRINT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         list_min(list_transform(
+           generate_series(1, greatest(1, length(text) - 15)),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(split(substr(text, i, 16), ''), c -> ascii(c))),
+                  (a, b) -> (a * 31 + b) % 2147483647)
+         )) AS fingerprint
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM fp GROUP BY fingerprint
+ORDER BY fingerprint
+"""
+
+
+@register("doc_fingerprint_rolling", oracle=_FINGERPRINT_ORACLE)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint census: min polynomial rolling hash
+    over 16-char windows (operators.text.doc_fingerprint); docs sharing
+    a window collide. spread=True: O(len·16) hash arithmetic per row
+    must not serialize on a degenerate one-row-group scan."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return (
+        docs.select("doc_id", doc_fingerprint(F.col("text"), k=16).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+# --- embedding-cosine near-dup ---------------------------------------
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_near_dup", oracle=_EMB_NEAR_DUP_ORACLE)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — testdata
+    embeddings are isotropic, max pairwise ≈ 0.51; real-corpus dedup
+    runs ≥ 0.9 on LSH/IVF candidates instead of the full cross join —
+    see operators.similarity.cosine_near_dup_pairs for the scale note).
+    """
+    from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.35)
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")
+
+
+# --- IVF-style similarity (deterministic coarse quantizer) ------------
+
+_SIM_IVF_ORACLE = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_position(list_transform(embedding::DOUBLE[], x -> abs(x)),
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS cell
+  FROM embeddings
+),
+probes AS (SELECT vec_id, v, cell FROM c WHERE vec_id < 3),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.v, c.v)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine_sim
+  FROM probes p JOIN c ON c.cell = p.cell AND c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+@register("sim_topk_ivf", oracle=_SIM_IVF_ORACLE)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-3 (operators.similarity.ivf_topk):
+    deterministic argmax-|dim| coarse quantizer → candidates are one
+    cell, exact cosine re-rank inside it. The oracle-checkable ANN
+    path (LSH buckets are model-internal; these cells are pure SQL)."""
+    from ocean_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(emb, probes, k=3)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    ).orderBy("probe_id", "rank")

@@ -55,7 +55,11 @@ class ResultCache:
     def read(self) -> DataFrame:
         if not os.path.exists(self.path):
             return self._empty()
-        return self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(self.path)
+        # The on-disk layout's partition column is storage detail, not
+        # cache schema — leaking it breaks the upsert's unionByName once
+        # the table exists.
+        return df.drop("key_bucket") if "key_bucket" in df.columns else df
 
     # -- write path ----------------------------------------------------
 

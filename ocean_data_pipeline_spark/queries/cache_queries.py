@@ -103,7 +103,8 @@ SELECT
   count(*) - count(CASE WHEN expires_at > TIMESTAMP '1999-01-01' THEN 1 END) AS expired_entries,
   sum(file_size_bytes) AS total_bytes,
   min(fetched_at) AS oldest_fetch,
-  max(fetched_at) AS newest_fetch
+  max(fetched_at) AS newest_fetch,
+  datediff('day', min(fetched_at), max(fetched_at)) AS span_days
 FROM cache
 """
 )
@@ -122,6 +123,9 @@ def cache_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("file_size_bytes").alias("total_bytes"),
         F.min("fetched_at").alias("oldest_fetch"),
         F.max("fetched_at").alias("newest_fetch"),
+        # fn-datediff-days: the reference's time-span metric
+        # (dashboard/app.py:323-324) over the cache's fetch window.
+        F.datediff(F.max("fetched_at"), F.min("fetched_at")).alias("span_days"),
     )
 
 

@@ -1,0 +1,31 @@
+"""Physical-plan quality gates (the 100 TB posture, §4): pushdown and
+column pruning reach the scan, dimension joins broadcast, top-k avoids
+global sorts, declared equi-joins never degrade to cartesian products,
+and JVM-path queries contain no Python eval operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocean_data_pipeline_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+from tools.explain_audit import AUDIT
+
+REGISTRY = load_all()
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(AUDIT))
+def test_plan_quality(spark, name):
+    must, must_not = AUDIT[name]
+    plan = _formatted_plan(spark, REGISTRY[name].fn(spark, SF_ORACLE))
+    for frag in must:
+        assert frag in plan, f"{name}: plan lost {frag!r}\n{plan}"
+    for frag in must_not:
+        assert frag not in plan, f"{name}: plan regressed to {frag!r}\n{plan}"

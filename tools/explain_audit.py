@@ -1,0 +1,89 @@
+"""Physical-plan audit: print `explain(formatted)` for the headline
+queries and check the plan properties the 100 TB posture depends on.
+
+Checks (see PLANS.md for the rationale):
+- parquet scans carry PushedFilters / a pruned ReadSchema where the
+  query filters/projects (predicate pushdown + column pruning reached
+  the source);
+- dimension joins are BroadcastHashJoin (no shuffle of the fact side);
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- no CartesianProduct anywhere an equi-join was declared;
+- WholeStageCodegen spans cover the hot expressions (no accidental
+  Python/row fallbacks in JVM-path queries).
+
+Usage: python tools/explain_audit.py [query ...]   (default: audit set)
+Exit code 1 if any REQUIRE fails.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ocean_data_pipeline_spark.queries import load_all  # noqa: E402
+from ocean_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+#: query -> (must-contain fragments, must-NOT-contain fragments).
+#: Note: formatted explain of an unexecuted AdaptiveSparkPlan does not
+#: render WholeStageCodegen spans, so JVM-side-ness is asserted as the
+#: ABSENCE of Python eval operators (BatchEvalPython / ArrowEvalPython /
+#: MapInPandas would appear if an expression fell off the codegen path).
+AUDIT: dict[str, tuple[list[str], list[str]]] = {
+    # pushdown reached the scan + column pruning (7 of 16 lineitem cols)
+    "q1_pricing": (
+        ["PushedFilters: [IsNotNull(l_shipdate)", "ReadSchema: struct<l_quantity"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "revenue_by_nation": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "top_orders": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    "semi_join_customers": (["LeftSemi"], ["CartesianProduct"]),
+    "anti_join_customers": (["LeftAnti"], ["CartesianProduct"]),
+    "latest_order_per_customer": (["Window"], ["CartesianProduct"]),
+    "monthly_series": (["Scan parquet"], ["CartesianProduct", "BatchEvalPython"]),
+    "dedup_exact_documents": (["Scan parquet"], ["CartesianProduct", "BatchEvalPython"]),
+    "minhash_bands": ([], ["BatchEvalPython"]),  # hashing must stay JVM-side
+    "sim_topk_ivf": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # point lookup: key predicate is a computed sha2 expression (cannot
+    # push to parquet) but column pruning must hold — 2 of 9 orders cols
+    "cache_key_lookup": (
+        ["ReadSchema: struct<o_custkey:bigint,o_orderdate"],
+        ["CartesianProduct"],
+    ),
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(AUDIT)
+    registry = load_all()
+    spark = get_spark("explain-audit")
+    failures: list[str] = []
+    for name in names:
+        df = registry[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        must, must_not = AUDIT.get(name, ([], []))
+        for frag in must:
+            if frag not in plan:
+                failures.append(f"{name}: missing {frag!r}")
+        for frag in must_not:
+            if frag in plan:
+                failures.append(f"{name}: unexpected {frag!r}")
+        print(f"=== {name} ===")
+        print(plan)
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" ", f)
+        return 1
+    print(f"\nplan audit OK ({len(names)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,6 +35,15 @@ HEADLINE = [
     "minhash_bands",
     "sim_topk_bruteforce",
     "asof_policy_join",
+    # round-1 additions (new operator families; additive so earlier
+    # entries stay comparable across rounds)
+    "cube_revenue",
+    "salted_join_segments",
+    "doc_fingerprint_rolling",
+    "token_counts_bpe",
+    "embedding_near_dup",
+    "sim_topk_ivf",
+    "stream_tumbling_counts",
 ]
 
 

@@ -342,3 +342,41 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_status", "order_priority")
     )
+
+
+_CUBE_ORACLE = """
+SELECT
+  coalesce(o_orderstatus, 'ALL')    AS order_status,
+  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+  count(*)                          AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS VARCHAR))
+ORDER BY order_status, order_year
+"""
+
+
+@register("cube_revenue", oracle=_CUBE_ORACLE)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, year): all four grouping sets in ONE shuffle
+    (Catalyst expands the cube map-side; no per-set rescans). The
+    companion to rollup_revenue for the grouping-sets capability class.
+    """
+    o = table(spark, sf_dir, "orders")
+    year_s = F.year("o_orderdate").cast("string")
+    return (
+        o.cube("o_orderstatus", year_s.alias("order_year_raw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("order_year_raw", F.lit("ALL")).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("order_status", "order_year")
+    )

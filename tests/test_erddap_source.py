@@ -97,3 +97,41 @@ def test_retry_then_fail(spark):
     with pytest.raises(ConnectionError, match="after 2 attempts"):
         src.fetch(32.5, -70.0, "1955-01-01", "1955-12-31")
     assert time.monotonic() - t0 >= 0.01  # backoff slept at least once
+
+
+def test_fetch_many_distributed(spark, served_csv):
+    from ocean_data_pipeline_spark.operators.cleaning import clean_raw
+    from ocean_data_pipeline_spark.sources.erddap import fetch_many
+
+    ds = ErddapDataset(base_url=served_csv, dataset_id="test_ds")
+    requests = spark.createDataFrame(
+        [(32.5, -70.0, "1955-01-01", "1955-12-31"),
+         (23.25, -72.75, "1955-01-01", "1955-06-30")],
+        "lat double, lon double, start_date string, end_date string",
+    )
+    raw = fetch_many(requests, ds, FetchPolicy(min_interval_s=0.0), parallelism=2)
+    rows = raw.collect()
+    # fixture answers every request with units row + 2 data rows; the
+    # units row rides through raw output (cleaning drops it by value)
+    assert len(rows) == 6
+    assert {(r["req_lat"], r["req_lon"]) for r in rows} == {(32.5, -70.0), (23.25, -72.75)}
+    # raw strings flow through the SAME cleaning operators as the file source
+    cleaned = clean_raw(raw.drop("req_lat", "req_lon"))
+    got = cleaned.collect()
+    assert len(got) == 4  # units rows gone, numerics typed
+    assert all(isinstance(r["temperature"], float) for r in got)
+
+
+def test_fetch_many_failed_request_yields_null_row(spark, served_csv):
+    from ocean_data_pipeline_spark.sources.erddap import fetch_many
+
+    ds = ErddapDataset(base_url="file:///nonexistent_dir_xyz", dataset_id="nope")
+    requests = spark.createDataFrame(
+        [(32.5, -70.0, "1955-01-01", "1955-12-31")],
+        "lat double, lon double, start_date string, end_date string",
+    )
+    rows = fetch_many(
+        requests, ds, FetchPolicy(min_interval_s=0.0, max_retries=1, retry_delay_s=0.0)
+    ).collect()
+    assert len(rows) == 1  # dead point survives as a NULL-data row
+    assert rows[0]["req_lat"] == 32.5 and rows[0]["time"] is None

@@ -256,3 +256,113 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+# --- multi-join analytics (TPC-H q3/q5 shapes) ------------------------
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       o.o_orderdate AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", oracle=_SHIPPING_PRIORITY_ORACLE)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3 shape: segment-filtered customer (semi side) ⋈ orders ⋈
+    lineitem, grouped revenue, top-10.
+
+    Plan: both filters push to their scans; the filtered customer side
+    broadcasts (c_mktsegment keeps 1/5 of customers); orders⋈lineitem
+    shuffles on orderkey once and the groupBy reuses that partitioning
+    (no second exchange); top-10 is TakeOrderedAndProject. Decimal
+    revenue for partition-order invariance."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+_LOCAL_VOLUME_ORACLE = """
+SELECT n.n_name AS nation,
+       count(*) AS n_lineitems,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@register("local_supplier_volume", oracle=_LOCAL_VOLUME_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: six-way join where customer and supplier must
+    share a nation, restricted to one region.
+
+    Plan: region/nation/supplier/customer broadcast (true dims, each ≪
+    the 64 MB threshold); orders⋈lineitem is the one fact-fact join —
+    left to Catalyst, which broadcasts at test SFs and goes sort-merge
+    on a cluster (bucket both on orderkey to amortize that shuffle to
+    zero, tests/test_bucketing.py). The s_nationkey = c_nationkey
+    colocation predicate rides the supplier broadcast join as a second
+    condition."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              (li.l_suppkey == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )

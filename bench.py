@@ -44,6 +44,8 @@ HEADLINE = [
     "embedding_near_dup",
     "sim_topk_ivf",
     "stream_tumbling_counts",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 

@@ -48,6 +48,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     """Import every query module so the registry is fully populated."""
     from ocean_data_pipeline_spark.queries import (  # noqa: F401
         aggregates,
+        approx,
         cache_queries,
         flagship,
         grid_queries,

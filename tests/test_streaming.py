@@ -120,3 +120,34 @@ def test_ttl_latest_state(spark, tmp_path):
     assert rows[100]["n_seen"] == 2 and rows[100]["latest_value"] == 2.5
     assert rows[200]["n_seen"] == 1 and rows[200]["latest_value"] == 9.0
     assert not rows[100]["expired"] and not rows[200]["expired"]
+
+
+def test_stream_rate_limit_maxfiles(spark, tmp_path):
+    """◇stream-rate: maxFilesPerTrigger paces source ingestion — N input
+    files with maxFilesPerTrigger=1 process as N micro-batches (the
+    engine-side twin of the connector's requests/min throttle)."""
+    src = str(tmp_path / "rated")
+    one = spark.createDataFrame([(1, "2024-01-01 00:00:00", 1.0)],
+                                "event_id long, ts_s string, value double")
+    df = one.select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    for _ in range(3):  # three separate files
+        df.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rated_out")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 3  # one batch per file, not one big gulp
+        assert spark.sql("SELECT count(*) c FROM rated_out").collect()[0]["c"] >= 3
+    finally:
+        q.stop()

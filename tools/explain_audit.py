@@ -54,6 +54,15 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["ReadSchema: struct<o_custkey:bigint,o_orderdate"],
         ["CartesianProduct"],
     ),
+    # q3 shape: filters pushed on all three scans, top-10 without a
+    # global sort, segment probe as a broadcast semi-join
+    "shipping_priority": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["CartesianProduct"],
+    ),
+    # q5 shape: every dim broadcast; no cartesian despite the two-column
+    # colocation join condition
+    "local_supplier_volume": (["BroadcastHashJoin"], ["CartesianProduct"]),
 }
 
 

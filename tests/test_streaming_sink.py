@@ -53,3 +53,22 @@ def test_stream_upsert_keep_latest(spark, tmp_path):
     assert set(rows) == {"aa11", "bb22"}
     assert rows["aa11"]["data_json"] == '[{"v":9}]'
     assert rows["aa11"]["fetched_at"] == dt.datetime(2024, 6, 1)
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Failure-recovery contract: foreachBatch may REPLAY a batch after
+    a crash between put() and checkpoint commit; the keep-latest keyed
+    upsert makes the replay a no-op, so at-least-once delivery + an
+    idempotent sink = exactly-once table state."""
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+    batch = spark.createDataFrame(
+        [_entry("aa11", "2024-01-01T00:00:00", '[{"v":1}]')], CACHE_SCHEMA
+    )
+    writer = __import__(
+        "ocean_data_pipeline_spark.streaming.sink", fromlist=["cache_upsert_writer"]
+    ).cache_upsert_writer(cache)
+    writer(batch, batch_id=7)
+    state1 = sorted(map(tuple, cache.read().collect()))
+    writer(batch, batch_id=7)  # replay
+    state2 = sorted(map(tuple, cache.read().collect()))
+    assert state1 == state2 and len(state1) == 1

@@ -54,6 +54,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         grid_queries,
         joins,
         llm_ops,
+        reshape,
         set_ops,
         stream_twins,
         windows,

@@ -380,3 +380,33 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_status", "order_year")
     )
+
+
+_MAD_ORACLE = """
+WITH m AS (
+  SELECT c_nationkey,
+         median(c_acctbal) OVER (PARTITION BY c_nationkey) AS med,
+         c_acctbal
+  FROM customer
+)
+SELECT CAST(c_nationkey AS INT) AS group_key,
+       round(any_value(med), 6) AS med,
+       round(median(abs(c_acctbal - med)), 6) AS mad,
+       count(*) AS n
+FROM m GROUP BY c_nationkey
+ORDER BY group_key
+"""
+
+
+@register("grouped_mad_acctbal", oracle=_MAD_ORACLE)
+def grouped_mad_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance MAD via the grouped-map Pandas UDAF
+    (operators.grouped_udaf) — the §2-I applyInPandas surface with a
+    real oracle: pandas' interpolated median matches DuckDB's exactly
+    in binary float arithmetic. Group = nation (bounded cardinality);
+    the module docstring documents why high-cardinality keys must not
+    take this path."""
+    from ocean_data_pipeline_spark.operators.grouped_udaf import grouped_mad
+
+    cust = table(spark, sf_dir, "customer")
+    return grouped_mad(cust, "c_nationkey", "c_acctbal").orderBy("group_key")

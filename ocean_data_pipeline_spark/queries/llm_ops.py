@@ -653,3 +653,64 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
     ).orderBy("probe_id", "rank")
+
+
+# --- tf-idf (exact, SQL-expressible twin of MLlib HashingTF+IDF) ------
+
+_TFIDF_ORACLE = """
+WITH docs_nonempty AS (
+  SELECT doc_id, trim(lower(text)) AS t FROM documents WHERE length(trim(text)) > 0
+),
+n_docs AS (SELECT count(*) AS n FROM docs_nonempty),
+tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS token FROM docs_nonempty
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token
+),
+scored AS (
+  SELECT tf.token,
+         sum(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS total_tfidf,
+         any_value(df.df) AS doc_freq
+  FROM tf JOIN df USING (token) CROSS JOIN n_docs n
+  GROUP BY tf.token
+)
+SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq, round(total_tfidf, 4) AS total_tfidf
+FROM scored
+ORDER BY total_tfidf DESC, token
+LIMIT 15
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus tf-idf, top-15 terms by total weight.
+
+    Plan: one explode pass → (doc, token) tf agg → token df agg (both
+    map-side partial) → broadcast the tiny (n_docs) scalar; idf =
+    ln((N+1)/(df+1)) — the smoothed form MLlib's IDF uses, computed
+    exactly so the DuckDB oracle hash-matches (the MLlib HashingTF path
+    trades exactness for fixed-width features; this is its auditable
+    twin)."""
+    docs = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    n_docs = docs.count()  # scalar; one tiny job, constant-folded into idf
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    return (
+        tf.join(df_, "token")
+        .groupBy("token")
+        .agg(
+            F.first("df").alias("doc_freq"),
+            F.sum(F.col("tf") * idf).alias("raw_tfidf"),
+        )
+        .select("token", "doc_freq", F.round("raw_tfidf", 4).alias("total_tfidf"))
+        .orderBy(F.desc("total_tfidf"), F.asc("token"))
+        .limit(15)
+    )

@@ -225,3 +225,63 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "session_seq")
     )
+
+
+# --- ranking-family completion: ntile / percent_rank / first / last ---
+
+_DECILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority,
+         o_orderkey,
+         o_totalprice,
+         ntile(10) OVER w AS decile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         first_value(o_orderkey) OVER w AS cheapest_key,
+         last_value(o_orderkey)
+           OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT priority, decile,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS decile_value,
+       round(min(pct_rank), 6) AS min_pct_rank,
+       any_value(cheapest_key) AS cheapest_key,
+       any_value(priciest_key) AS priciest_key
+FROM ranked
+GROUP BY priority, decile
+ORDER BY priority, decile
+"""
+
+
+@register("order_value_deciles", oracle=_DECILE_ORACLE)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family completion (§2-G win-rank beyond row_number):
+    ntile deciles, percent_rank, first/last_value over one shared
+    (priority, price) sort — Catalyst plans a single exchange + sort
+    for all four window functions. Total tiebreak (price, orderkey)
+    makes ntile assignment deterministic, hence oracle-hashable."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+    return (
+        ranked.groupBy("priority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("decile_value"),
+            F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
+            F.first("cheapest_key").alias("cheapest_key"),
+            F.first("priciest_key").alias("priciest_key"),
+        )
+        .orderBy("priority", "decile")
+    )

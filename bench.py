@@ -5,12 +5,18 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is forced with the `noop` sink (full pipeline runs, nothing
 collected to the driver) — measures engine throughput, not toPandas.
+
+Each query runs $SPARK_GRAFT_REPEATS times (default 3) and reports the
+per-query MEDIAN; the headline value is the sum of medians. Run-to-run
+variance on a shared box is ±30% — a single sample is noise, the median
+is the engine.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,13 +66,16 @@ def main() -> None:
     # steady-state execution, not session startup.
     registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

@@ -119,6 +119,26 @@ def doc_fingerprint(text: Column, k: int = 16) -> Column:
     return F.array_min(rolling_hashes(text, k))
 
 
+def winnow_fingerprints(text: Column, k: int = 16, w: int = 8) -> Column:
+    """Full winnowing fingerprint set (Schleimer et al., SIGMOD'03):
+    the min rolling k-gram hash of every window of `w` consecutive
+    hashes, deduplicated and sorted.
+
+    Guarantees any shared substring of length ≥ k+w−1 produces a shared
+    fingerprint (the winnowing coverage theorem) — unlike the single
+    global min (`doc_fingerprint`), which only catches docs whose
+    *minimum* window coincides. Pure array expressions (sequence →
+    slice → array_min), so the whole selection runs inside one
+    whole-stage-codegen projection — no explode, no shuffle, until the
+    caller joins on fingerprints."""
+    hashes = rolling_hashes(text, k)
+    n_win = F.greatest(F.lit(1), F.size(hashes) - F.lit(w - 1))
+    selected = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hashes, i, w))
+    )
+    return F.array_sort(F.array_distinct(selected))
+
+
 def char_shingles(text: Column, k: int = 8) -> Column:
     """All k-char shingles as an array column (positions 1..len−k+1).
 

@@ -5,7 +5,7 @@ events.props.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
@@ -25,6 +25,7 @@ from ocean_data_pipeline_spark.operators.text import (
     quality_score,
     simhash16,
     token_count,
+    winnow_fingerprints,
 )
 from ocean_data_pipeline_spark.queries import register
 
@@ -574,6 +575,66 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("fingerprint")
+    )
+
+
+# --- winnowing: full fingerprint-set near-dup candidates --------------
+
+_WINNOW_PAIRS_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(1, length(text) - 15 - 7)),
+    j -> list_min(list_transform(
+           generate_series(j, least(j + 7, greatest(1, length(text) - 15))),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(split(substr(text, CAST(i AS INT), 16), ''), c -> ascii(c))),
+                  (a, b) -> (a * 31 + b) % 2147483647)))
+  ))) AS fp
+  FROM documents WHERE length(trim(text)) > 0
+),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM fp
+  ) WHERE n_docs <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+@register("winnow_shared_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via full winnowing fingerprints
+    (operators.text.winnow_fingerprints, k=16, w=8): any shared
+    substring ≥ 23 chars guarantees a shared fingerprint, so this is
+    the scale-grade first pass (explode → equi-join on fingerprint),
+    not the single-min heuristic. Stop-hash cap (fingerprints in > 50
+    docs are dropped) bounds the worst-case pair blowup — on a 100 TB
+    corpus a boilerplate window shared by 10^6 docs would otherwise
+    emit 10^12 pairs from one hot key. spread=True: the O(len·k·w)
+    hash selection must not serialize on a one-row-group scan."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    fp = docs.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=16, w=8)).alias("fp")
+    )
+    capped = (
+        fp.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("n_docs") <= 50)
+        .drop("n_docs")
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -27,7 +27,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from ocean_data_pipeline_spark.operators.merge import merge_keep_latest
 
 #: Reference config.py:58-63.
 DEFAULT_TTL_HOURS = 24
@@ -66,23 +67,43 @@ class ResultCache:
     def put(self, entries: DataFrame) -> None:
         """Upsert entries (keyed by query_hash), keeping the latest
         fetched_at per key — the distributed INSERT OR REPLACE
-        (reference cache_manager.py:153-157). Oversized payloads are
-        admission-rejected (cache_manager.py:148-150)."""
+        (reference cache_manager.py:153-157), as a bucket-scoped MERGE
+        (operators.merge.merge_keep_latest). Oversized payloads are
+        admission-rejected (cache_manager.py:148-150).
+
+        Scale contract: only the key-prefix buckets that the incoming
+        keys touch are read and rewritten (dynamic partition overwrite)
+        — upsert cost follows the WRITE SET, not the table size. The
+        bucket list is driver-side metadata (≤256 two-hex values), the
+        parquet analog of Delta's file-pruning pass."""
         admitted = entries.filter(F.col("file_size_bytes") <= MAX_ENTRY_BYTES)
-        merged = self.read().unionByName(admitted)
-        w = Window.partitionBy("query_hash").orderBy(F.desc("fetched_at"))
-        deduped = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # Partition by key prefix: point lookups prune; at scale swap the
-        # full overwrite for dynamic partition overwrite of touched buckets.
+        buckets = [
+            r["key_bucket"]
+            for r in admitted.select(
+                F.substring("query_hash", 1, 2).alias("key_bucket")
+            ).distinct().collect()
+        ]
+        if not buckets:
+            return
+        if os.path.exists(self.path):
+            # filter on the PARTITION column pre-drop: this is the scan
+            # that partition-prunes to the touched bucket directories
+            existing = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col("key_bucket").isin(buckets))
+                .drop("key_bucket")
+            )
+        else:
+            existing = self._empty()
+        deduped = merge_keep_latest(existing, admitted, ["query_hash"], "fetched_at")
         out = deduped.withColumn("key_bucket", F.substring("query_hash", 1, 2))
+        # stage touched buckets, then dynamic-overwrite ONLY those
+        # partitions (untouched bucket directories are left untouched)
         tmp = self.path + ".tmp"
         out.write.mode("overwrite").partitionBy("key_bucket").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").partitionBy("key_bucket").parquet(self.path)
+        self.spark.read.parquet(tmp).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("key_bucket").parquet(self.path)
 
     # -- read path -----------------------------------------------------
 

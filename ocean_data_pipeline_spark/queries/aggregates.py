@@ -192,6 +192,54 @@ def null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- events_type_profile: q1-shape aggregation over the largest table
+# (events): multi-aggregate per group with a pushed time predicate —
+# the same scan→partial-agg→final-agg contract as q1_pricing, proven
+# on event-log data rather than lineitem. ------------------------------
+
+_EVENTS_PROFILE_ORACLE = """
+SELECT event_type,
+       count(*)                                              AS n_events,
+       count(DISTINCT user_id)                               AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)     AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         / count(value)                                      AS avg_value,
+       min(ts)                                               AS first_ts,
+       max(ts)                                               AS last_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_type_profile", oracle=_EVENTS_PROFILE_ORACLE)
+def events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event profile with a pushed event-time predicate: one
+    scan, map-side partial aggregation, shuffle only on the 5-value
+    event_type key. countDistinct(user_id) expands to a two-phase
+    distinct-aggregate (partial dedup before the shuffle) — at 100 TB
+    swap to approx_count_distinct (see approx_distinct_counts) unless
+    exactness is contractual. Decimal-stabilized sum/avg so the result
+    is order-independent and hash-matches the oracle."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec).cast("double").alias("sum_value"),
+            (F.sum(dec).cast("double") / F.count("value")).alias("avg_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- conditional_agg_events: agg-conditional (reference cache stats:
 # active vs expired split, cache_manager.py:203-227). ------------------
 

@@ -716,6 +716,65 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+# --- IVF multi-probe (nearest-2 cells) --------------------------------
+
+_SIM_IVF_MP_ORACLE = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> abs(x)) AS mags
+  FROM embeddings
+),
+cells AS (
+  SELECT vec_id, v, mags, list_position(mags, list_max(mags)) AS cell1 FROM c
+),
+probe2 AS (
+  SELECT vec_id, v, cell1,
+         list_position(
+           list_transform(generate_series(1, len(mags)),
+                          i -> CASE WHEN i = cell1 THEN -1 ELSE mags[CAST(i AS INT)] END),
+           list_max(list_transform(generate_series(1, len(mags)),
+                          i -> CASE WHEN i = cell1 THEN -1 ELSE mags[CAST(i AS INT)] END))
+         ) AS cell2
+  FROM cells WHERE vec_id < 3
+),
+probe_cells AS (
+  SELECT vec_id, v, unnest([cell1, cell2]) AS cell FROM probe2
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.v, c.v)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine_sim
+  FROM probe_cells p JOIN cells c ON c.cell1 = p.cell AND c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+@register("sim_topk_ivf_multiprobe", oracle=_SIM_IVF_MP_ORACLE)
+def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 with 2-cell multi-probe
+    (operators.similarity.ivf_topk_multiprobe): each probe searches its
+    argmax-|dim| cell AND the runner-up dim's cell — the standard
+    recall lever (probed candidate set strictly contains single-probe's,
+    so recall can only improve) at 2× the per-probe candidate cost."""
+    from ocean_data_pipeline_spark.operators.similarity import ivf_topk_multiprobe
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk_multiprobe(emb, probes, k=3)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
 # --- tf-idf (exact, SQL-expressible twin of MLlib HashingTF+IDF) ------
 
 _TFIDF_ORACLE = """

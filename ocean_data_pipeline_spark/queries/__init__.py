@@ -57,6 +57,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         reshape,
         set_ops,
         stream_twins,
+        tpch_more,
         windows,
     )
 

@@ -63,6 +63,17 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     # q5 shape: every dim broadcast; no cartesian despite the two-column
     # colocation join condition
     "local_supplier_volume": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # q4 shape: EXISTS compiles to LEFT SEMI with the date comparison as
+    # a residual, orders range predicate pushed to the scan
+    "order_priority_late_ship": (
+        ["LeftSemi", "PushedFilters: [IsNotNull(o_orderdate)"],
+        ["CartesianProduct"],
+    ),
+    # q7 shape: both nation branches broadcast
+    "nation_volume_shipping": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # q18 shape: HAVING shrinks facts before joins; top-20 without a
+    # global sort
+    "large_order_customers": (["TakeOrderedAndProject"], ["CartesianProduct"]),
 }
 
 

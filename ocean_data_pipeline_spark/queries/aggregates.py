@@ -392,6 +392,45 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GSETS_ORACLE = """
+SELECT
+  coalesce(o_orderstatus, 'ALL')    AS order_status,
+  coalesce(o_orderpriority, 'ALL')  AS order_priority,
+  count(*)                          AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY order_status, order_priority
+"""
+
+
+@register("grouping_sets_revenue", oracle=_GSETS_ORACLE)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — exactly two marginal slices (by status,
+    by priority), NOT their cross products: the shape rollup/cube can't
+    express. One scan, one Expand (2 replicas per row) — vs two
+    separate groupBy jobs reading the table twice."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("order_status", "order_priority")
+    )
+
+
 _CUBE_ORACLE = """
 SELECT
   coalesce(o_orderstatus, 'ALL')    AS order_status,

@@ -99,3 +99,38 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("session_start").cast("double")).cast("long").alias("session_start_s"),
         "n_events",
     ).orderBy("user_id", "session_start_s")
+
+
+# --- stream-stream join twin ------------------------------------------
+
+_CONVERSIONS_ORACLE = """
+SELECT v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS delay_sec
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY v.user_id, view_ts, purchase_ts
+"""
+
+
+@register("stream_join_conversions", oracle=_CONVERSIONS_ORACLE)
+def stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join twin (streaming/joins.view_purchase_
+    conversions, batch mode): purchases attributed to same-user views
+    within a 1 h horizon. The time-bound join condition is what makes
+    the streaming version's state finite — the batch plan is a plain
+    range-condition equi-join on user_id."""
+    from ocean_data_pipeline_spark.streaming.joins import view_purchase_conversions
+
+    ev = table(spark, sf_dir, "events")
+    out = view_purchase_conversions(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.orderBy("user_id", "view_ts", "purchase_ts")

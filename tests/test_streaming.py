@@ -173,6 +173,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert batch_counts[("2024-01-01T00:00:00", "view")] == 2
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream inner join (view→purchase attribution within 1 h):
+    the streaming run over the same events must emit exactly the batch
+    twin's pairs. Both sides watermarked; the time-bound condition is
+    what lets the engine bound join state."""
+    from ocean_data_pipeline_spark.streaming.joins import view_purchase_conversions
+
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    _run_stream(
+        view_purchase_conversions(*split(stream)), "ss_join_out", mode="append"
+    )
+    got = spark.sql(
+        "SELECT user_id, view_ts, purchase_ts, delay_sec FROM ss_join_out"
+    ).collect()
+    want = view_purchase_conversions(*split(batch)).select(
+        "user_id", "view_ts", "purchase_ts", "delay_sec"
+    ).collect()
+    assert len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_stream_rate_limit_maxfiles(spark, tmp_path):
     """◇stream-rate: maxFilesPerTrigger paces source ingestion — N input
     files with maxFilesPerTrigger=1 process as N micro-batches (the

@@ -781,6 +781,24 @@ def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+@register("sim_topk_ivf_kmeans", oracle=None)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF with a TRAINED k-means codebook
+    (operators.similarity.ivf_topk_kmeans): centroids adapt to the
+    data, so 2-of-16 probed cells reach ~0.5 recall on the isotropic
+    testdata where the deterministic argmax-dim quantizer manages
+    ~0.02. Rows-only (k-means internals aren't SQL-expressible);
+    recall gates in tests/test_ivf_recall.py."""
+    from ocean_data_pipeline_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk_kmeans(emb, probes, k=3)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
 # --- tf-idf (exact, SQL-expressible twin of MLlib HashingTF+IDF) ------
 
 _TFIDF_ORACLE = """

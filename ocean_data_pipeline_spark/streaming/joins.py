@@ -19,11 +19,18 @@ def view_purchase_conversions(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each purchase to same-user views in the preceding
-    `horizon`: inner join on user with the purchase time bounded to
+    `horizon`: join on user with the purchase time bounded to
     [view_ts, view_ts + horizon]. Output one row per (view, purchase)
     pair with the conversion delay in seconds.
+
+    how="left_outer" additionally emits each UNCONVERTED view exactly
+    once (NULL purchase columns) — but only after the watermark passes
+    view_ts + horizon, when the engine can prove no future purchase
+    can match. That is the streaming funnel-abandonment query; in
+    batch mode it's an ordinary left join.
 
     State bound: each side buffers at most `watermark + horizon` of
     events per user — the join condition's time bound is what lets the
@@ -43,7 +50,7 @@ def view_purchase_conversions(
         & (p.purchase_ts >= v.view_ts)
         & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}"))
     )
-    return v.join(p, cond, "inner").select(
+    return v.join(p, cond, how).select(
         "user_id",
         "view_ts",
         "purchase_ts",

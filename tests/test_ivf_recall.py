@@ -38,6 +38,24 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= 0.05, f"multi-probe recall {r_multi:.3f} degenerate"
 
 
+def test_kmeans_codebook_beats_argmax_quantizer(spark):
+    """The trained k-means codebook must deliver materially better
+    recall than the deterministic argmax-dim quantizer at the same
+    probe budget (measured ~0.49 vs ~0.02 here): centroids adapt to
+    the data distribution; dominant-axis cells don't."""
+    from ocean_data_pipeline_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    exact = _pairs(cosine_topk(emb, probes, k=K))
+    km = _pairs(ivf_topk_kmeans(emb, probes, k=K, n_cells=16, n_probes=2))
+    argmax = _pairs(ivf_topk_multiprobe(emb, probes, k=K))
+    r_km = len(km & exact) / len(exact)
+    r_argmax = len(argmax & exact) / len(exact)
+    assert r_km >= 0.25, f"k-means IVF recall degenerate: {r_km:.3f}"
+    assert r_km > r_argmax, f"k-means {r_km:.3f} <= argmax-dim {r_argmax:.3f}"
+
+
 def test_multiprobe_candidates_superset(spark):
     """Every single-probe (probe, neighbor) score pair must also be
     scoreable under multi-probe: cell1 is always among the probed

@@ -202,6 +202,80 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_stream_stream_outer_join_emits_unmatched_at_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no purchase must be
+    emitted with NULL purchase columns — but only once the watermark
+    passes view_ts + horizon (before that, a future purchase could
+    still match). Events past 02:10 push the 1 h-delay watermark beyond
+    00:05 + 1 h, releasing user 1's unconverted view."""
+    import time
+
+    from ocean_data_pipeline_spark.streaming.joins import view_purchase_conversions
+
+    src = str(tmp_path / "funnel_events")
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        ).write.mode("append").parquet(src)
+
+    # u1: view, never purchases. u2: view then purchase in-horizon.
+    _write([(1, "2024-01-01 00:05:00", 1, "view", 0.0),
+            (2, "2024-01-01 00:10:00", 2, "view", 0.0),
+            (3, "2024-01-01 00:30:00", 2, "purchase", 9.5)])
+    batch_schema = spark.read.parquet(src).schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = spark.readStream.schema(batch_schema).parquet(src)
+    joined = view_purchase_conversions(*split(stream), how="left_outer")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("outer_join_out")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        early = spark.sql(
+            "SELECT * FROM outer_join_out WHERE purchase_ts IS NULL"
+        ).collect()
+        assert early == []  # outer row must NOT leak before the watermark
+        # advance both sides' watermarks past 00:05 + 1h horizon + 1h delay
+        _write([(4, "2024-01-01 03:00:00", 9, "view", 0.0),
+                (5, "2024-01-01 03:00:00", 9, "purchase", 1.0)])
+        q.processAllAvailable()
+        # state eviction can land in a later micro-batch than the data:
+        # nudge with empty-ish batches until the outer row appears
+        deadline = time.monotonic() + 60
+        nulls = []
+        nudge = 6
+        while time.monotonic() < deadline:
+            nulls = spark.sql(
+                "SELECT user_id FROM outer_join_out WHERE purchase_ts IS NULL"
+            ).collect()
+            if nulls:
+                break
+            _write([(nudge, "2024-01-01 03:00:01", 9, "view", 0.0)])
+            nudge += 1
+            q.processAllAvailable()
+        inner = spark.sql(
+            "SELECT user_id FROM outer_join_out WHERE purchase_ts IS NOT NULL"
+        ).collect()
+    finally:
+        q.stop()
+    assert 1 in {r["user_id"] for r in nulls}, "unconverted view never emitted"
+    assert 2 in {r["user_id"] for r in inner}
+    assert 1 not in {r["user_id"] for r in inner}
+
+
 def test_stream_rate_limit_maxfiles(spark, tmp_path):
     """◇stream-rate: maxFilesPerTrigger paces source ingestion — N input
     files with maxFilesPerTrigger=1 process as N micro-batches (the

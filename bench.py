@@ -59,6 +59,10 @@ HEADLINE = [
     "nation_volume_shipping",
     "small_qty_order_revenue",
     "large_order_customers",
+    # round-1 final additions
+    "min_cost_supplier",
+    "sole_late_supplier",
+    "disjunctive_promo_revenue",
 ]
 
 

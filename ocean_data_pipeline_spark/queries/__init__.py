@@ -58,6 +58,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         set_ops,
         stream_twins,
         tpch_more,
+        tpch_shapes2,
         windows,
     )
 

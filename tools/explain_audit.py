@@ -74,6 +74,26 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     # q18 shape: HAVING shrinks facts before joins; top-20 without a
     # global sort
     "large_order_customers": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    # q2 shape: argmin window runs on the aggregated relation; all
+    # three enrichment joins broadcast
+    "min_cost_supplier": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # q16 shape: NOT IN is a broadcast anti-join; size/brand filters
+    # pushed to the part scan
+    "supplier_cnt_by_part": (
+        ["LeftAnti", "PushedFilters: [IsNotNull(p_brand)"],
+        ["CartesianProduct"],
+    ),
+    # q19 shape: the disjunction's common conjuncts are extracted and
+    # pushed to both scans (size bound on part, quantity bound on
+    # lineitem); the full OR stays as join residual — no cartesian
+    "disjunctive_promo_revenue": (
+        ["Or(And(", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # q21 shape: EXISTS→LeftSemi and NOT EXISTS→LeftAnti self-joins
+    "sole_late_supplier": (["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
+    # q22 shape: scalar threshold broadcast, NOT EXISTS anti-join
+    "idle_customer_balance": (["LeftAnti"], ["CartesianProduct"]),
 }
 
 

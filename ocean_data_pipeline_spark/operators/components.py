@@ -1,0 +1,84 @@
+"""Connected components over a near-duplicate pair list — the
+clustering step of corpus dedup: pairwise near-dup evidence (MinHash /
+SimHash / embedding-cosine pairs) only says "A≈B"; to KEEP one
+representative per duplicate group you need the transitive closure,
+i.e. the connected component each document belongs to.
+
+Spark-first design: iterative min-label propagation expressed as
+DataFrame joins. Each round every node adopts the smallest component
+label in its closed neighborhood; convergence takes O(diameter)
+rounds, and near-dup clusters have tiny diameters (they are
+quasi-cliques — every member is near the representative), so 3-5
+rounds close real corpora. The driver loop holds only a per-round
+changed-row COUNT (an aggregate action, never the data);
+`localCheckpoint` truncates lineage each round so the plan does not
+grow with iterations — the standard posture for iterative algorithms
+on 100 TB (MLlib's own iterative jobs do the same). For adversarial
+long-chain graphs, swap in the alternating large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) which converges in O(log n) rounds; the near-dup
+workload never needs it.
+
+Reference parity: capability-class extension (SURVEY.md §2-J
+dedup-near); the reference dedups by exact cache key only
+(cache_manager.py:153-157).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Component label (= smallest reachable node id) for every node
+    appearing in `edges` (undirected; direction of the input pairs is
+    irrelevant). Returns (id, component).
+
+    Each round is one shuffle on node id: symmetrized edges join the
+    current labels on the neighbor side, a groupBy(u) takes the min
+    neighbor label, and `least` folds it into the node's own label.
+    The join and the groupBy share the same key, so AQE coalesces them
+    into one exchange per round at scale.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(adversarial chain graph? use large-star/small-star contraction)"
+    )

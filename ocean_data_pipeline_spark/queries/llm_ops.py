@@ -858,3 +858,71 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_tfidf"), F.asc("token"))
         .limit(15)
     )
+
+
+# --- near-dup clustering: connected components ------------------------
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE vec_id < 500
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+labels AS (SELECT u, min(r) AS component FROM reach GROUP BY u)
+SELECT n.vec_id,
+       coalesce(l.component, n.vec_id) AS component,
+       count(*) OVER (PARTITION BY coalesce(l.component, n.vec_id)) AS n_members
+FROM c n LEFT JOIN labels l ON l.u = n.vec_id
+ORDER BY vec_id
+"""
+
+
+@register("near_dup_components", oracle=_COMPONENTS_ORACLE)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of embedding near-duplicate evidence: every
+    vector gets the id of the smallest member of its duplicate CLUSTER
+    (connected component of the cosine ≥ 0.35 pair graph), plus the
+    cluster size. This is the step that turns pairwise dedup signals
+    into keep-one-representative groups — dropping id_b of every pair
+    over-deletes when A≈B≈C but A !≈ C.
+
+    Engine side: operators.components.connected_components — iterative
+    min-label propagation, one shuffle per round, O(cluster diameter)
+    rounds (near-dup clusters are quasi-cliques, so a handful). The
+    DuckDB oracle computes the same closure with a recursive CTE —
+    feasible at sf0.01, exactly what does NOT scale, which is why the
+    engine side iterates instead of recursing."""
+    from ocean_data_pipeline_spark.operators.components import connected_components
+    from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    out = (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(
+            "vec_id", F.coalesce("component", F.col("vec_id")).alias("component")
+        )
+    )
+    w = Window.partitionBy("component")
+    return (
+        out.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .orderBy("vec_id")
+    )

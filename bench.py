@@ -63,6 +63,9 @@ HEADLINE = [
     "min_cost_supplier",
     "sole_late_supplier",
     "disjunctive_promo_revenue",
+    "chunk_documents",
+    "pack_token_budget",
+    "near_dup_components",
 ]
 
 

@@ -1,0 +1,169 @@
+"""Training-data pipeline operators (SURVEY.md §2-J extensions): the
+ops a 100 TB pretraining-corpus build runs between dedup and the
+tokenizer — sliding-window chunking, deterministic train/test
+splitting, and sequential token-budget packing. All three are pure
+built-in-expression pipelines (no UDFs) with exact DuckDB oracle
+twins.
+
+Reference parity: beyond-reference capability class; the reference's
+corpus surface is a single climatology table (SURVEY.md §2-J).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- sliding-window chunking ------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents WHERE doc_id < 100
+),
+starts AS (
+  SELECT doc_id, t, n, unnest(range(0, n, 20)) AS start FROM toks
+)
+SELECT doc_id,
+       CAST(start / 20 AS INTEGER) AS chunk_id,
+       least(30, n - start) AS n_tokens,
+       array_to_string(t[start + 1 : start + 30], ' ') AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 30-token windows, stride 20 (the
+    context-window prep step; HF-style overlap keeps boundary context
+    in both neighbors). Entirely split/sequence/explode/slice — one
+    map-side pass, rows fan out ~n/stride per doc with no skew.
+
+    Oracle note: DuckDB's list slice t[a:b] is inclusive-of-b, so
+    [start+1 : start+30] is exactly Spark's slice(toks, start+1, 30)."""
+    from ocean_data_pipeline_spark.operators.chunking import chunk_by_tokens
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_by_tokens(docs, window=30, stride=20).orderBy("doc_id", "chunk_id")
+
+
+# --- deterministic split ----------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("train_test_split_deterministic", oracle=_SPLIT_ORACLE)
+def train_test_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split: bucket = first 24 bits
+    of sha256('split:' || doc_id) mod 100, test iff bucket < 10. The
+    property that matters at corpus scale: membership is a pure
+    function of the doc id — stable across reruns, cluster sizes, and
+    partitionings (rand()-based splits are none of those), and
+    leakage-auditable because anyone can recompute the bucket. The
+    salt prefix decorrelates this split from any other sha2-keyed
+    assignment of the same ids. Map-side expression + one tiny
+    aggregate; no shuffle of the corpus itself."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .select(
+            F.when(F.col("bucket") < 10, "test").otherwise("train").alias("split"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+# --- sequential token-budget packing ----------------------------------
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS bin_tokens
+FROM c
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+@register("pack_token_budget", oracle=_PACK_ORACLE)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential token-budget packing: docs are laid out in doc_id
+    order within each source shard and cut into ~256-token bins; a doc
+    goes to the bin where its span STARTS (floor((cum - own)/budget) —
+    the one-pass streaming rule, so bins can overfill by at most one
+    doc rather than splitting documents). Per-source windows keep the
+    running sum distributed — a single global ORDER BY would serialize
+    the corpus through one partition, the classic 100 TB window
+    mistake; sharding by source is the packing analog of per-file
+    concatenation in real pretraining pipelines."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 256).cast("bigint").alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("source", "bin_id")
+    )

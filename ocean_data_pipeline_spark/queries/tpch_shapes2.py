@@ -339,3 +339,107 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_code")
     )
+
+
+# --- q15 shape: aggregate joined to its own max -----------------------
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("top_revenue_supplier", oracle=_TOP_SUPPLIER_ORACLE)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: the supplier(s) with maximum revenue in one quarter
+    — an aggregate compared against the max OF THE SAME aggregate
+    (TPC-H's revenue view used twice). The quarterly aggregate is
+    computed once and self-joined to its 1-row max via a broadcast
+    cross join; revenue stays DECIMAL through both the aggregate and
+    the equality (exact — a float sum would make `= max` partial-
+    order-dependent) and casts to double only for display. Returns all
+    tied suppliers, like the spec."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- q11 shape: group share against a global-total threshold ----------
+
+_VALUE_SHARE_ORACLE = """
+WITH pv AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_1'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       CAST(part_value AS DOUBLE) AS part_value
+FROM pv
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM pv)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+@register("nation_value_share", oracle=_VALUE_SHARE_ORACLE)
+def nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape: parts representing a non-trivial share of one
+    nation's shipped value — a grouped aggregate filtered against a
+    scalar derived from its own global total. The per-part aggregate
+    is computed once; the 1-row total broadcasts back over it (scalar
+    subquery → broadcast nested-loop of a single row, not a shuffle).
+    DECIMAL through sum and threshold so the share boundary is exact
+    on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    pv = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
+    )
+    thresh = pv.agg((F.sum("part_value") * F.lit(0.001)).alias("cutoff"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )

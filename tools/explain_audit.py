@@ -94,6 +94,15 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     "sole_late_supplier": (["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
     # q22 shape: scalar threshold broadcast, NOT EXISTS anti-join
     "idle_customer_balance": (["LeftAnti"], ["CartesianProduct"]),
+    # q15 shape: the `rev = max(rev)` filter over the broadcast 1-row
+    # max is recognized as an equi-join key → BroadcastHashJoin (the
+    # cross-join-then-filter never materializes)
+    "top_revenue_supplier": (
+        ["BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["CartesianProduct"],
+    ),
+    # q11 shape: same scalar-threshold posture
+    "nation_value_share": (["BroadcastNestedLoopJoin"], []),
 }
 
 

@@ -1,0 +1,62 @@
+"""Snapshot the physical plan of every registered query to
+`plans/<name>.txt`, normalized so diffs across rounds show REAL plan
+changes (join strategy, exchange count, pushdown) rather than
+expression-id churn.
+
+Normalization: `#123` expression ids → `#N`, `plan_id=456` → `plan_id=N`,
+absolute sf-dir paths → `<SF>`. A plan regression (new Exchange, lost
+PushedFilters, broadcast→SMJ flip) then shows up as a one-line `git
+diff plans/` — the cheapest possible cross-round plan review.
+
+Usage: python tools/plan_snapshot.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ocean_data_pipeline_spark.queries import load_all  # noqa: E402
+from ocean_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+OUT_DIR = os.path.join(REPO, "plans")
+
+#: queries whose plan depends on driver-side iteration state (the
+#: label-propagation loop checkpoints mid-build) — snapshotting them
+#: would diff nondeterministically
+SKIP = {"near_dup_components"}
+
+
+def normalize(plan: str) -> str:
+    plan = re.sub(r"#\d+", "#N", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics(...)", plan)
+    plan = plan.replace(SF_DIR, "<SF>")
+    # localCheckpoint/parallelize RDD names embed run-specific ids
+    plan = re.sub(r"ParallelCollectionRDD\[\d+\]", "ParallelCollectionRDD[N]", plan)
+    return plan
+
+
+def main() -> int:
+    registry = load_all()
+    names = sys.argv[1:] or sorted(n for n in registry if n not in SKIP)
+    spark = get_spark("plan-snapshot")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name in names:
+        df = registry[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        with open(os.path.join(OUT_DIR, f"{name}.txt"), "w") as f:
+            f.write(normalize(plan))
+    print(f"wrote {len(names)} plan snapshots to {OUT_DIR}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

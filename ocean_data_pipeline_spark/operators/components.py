@@ -46,9 +46,14 @@ def connected_components(
     The join and the groupBy share the same key, so AQE coalesces them
     into one exchange per round at scale.
     """
+    # Materialize the symmetrized edge list ONCE: `edges` is typically
+    # the output of an expensive candidate-pair stage (cosine
+    # cross-join, LSH bucket join) and every round joins against it —
+    # without this checkpoint each round would recompute that upstream
+    # plan and the loop cost becomes rounds × pair-generation.
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -58,13 +63,27 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(nbr_min, labels.id == nbr_min.u, "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jumping: chase one level of indirection — every
+        # label value is itself a node id in the same component, so
+        # label(label(u)) is also valid and path lengths halve each
+        # round: O(log diameter) rounds instead of O(diameter).
+        ptr = labels.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_component")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            stepped.join(ptr, stepped.component == ptr.p_id, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
+                    F.coalesce("p_component", F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)

@@ -66,6 +66,10 @@ HEADLINE = [
     "chunk_documents",
     "pack_token_budget",
     "near_dup_components",
+    # TPC-H sweep completion (q6/q8/q10 shapes; full 22-family coverage)
+    "forecast_revenue_change",
+    "nation_market_share",
+    "returned_item_customers",
 ]
 
 

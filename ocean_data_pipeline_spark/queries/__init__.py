@@ -59,6 +59,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         stream_twins,
         tpch_more,
         tpch_shapes2,
+        tpch_shapes3,
         training_ops,
         windows,
     )

@@ -132,11 +132,15 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _rev()
     zero = F.lit(0).cast("decimal(18,6)")
+    # Broadcast hints only on dims that stay tiny at any scale (region,
+    # nation, the type-filtered part slice); supplier/customer grow with
+    # the scale factor, so AQE's runtime size check decides for them —
+    # at sf0.01 they broadcast anyway, at 100 TB they sort-merge.
     m = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_regionkey") == region.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -196,7 +200,7 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))

@@ -103,6 +103,57 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     ),
     # q11 shape: same scalar-threshold posture
     "nation_value_share": (["BroadcastNestedLoopJoin"], []),
+    # q6 shape: ALL four predicates pushed to the lineitem scan; the
+    # read schema prunes 11 of 11 columns down to the 4 referenced
+    "forecast_revenue_change": (
+        [
+            "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+            "IsNotNull(l_quantity)",
+            "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp_ntz>",
+        ],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # q8 shape: type/region equality pushed to their dim scans; no
+    # cartesian despite nation appearing under two roles
+    "nation_market_share": (
+        ["EqualTo(p_type,PROMO)", "EqualTo(r_name,ASIA)", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # q9 shape: the LIKE lands on the part scan as StringContains
+    "product_profit_by_nation": (
+        ["StringContains(p_name,gear)", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # q10 shape: returnflag + quarter range pushed, top-20 without a
+    # global sort
+    "returned_item_customers": (
+        ["EqualTo(l_returnflag,R)", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    # q12 shape: ship-year range pushed to lineitem; the 45-day lag is
+    # a join residual, not a post-join filter
+    "late_shipment_priority": (
+        ["PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"],
+        ["CartesianProduct"],
+    ),
+    # q13 shape: LEFT OUTER survives (in-join filter must not convert
+    # it to inner); customer scan pruned to the single key column
+    "customer_order_distribution": (
+        ["LeftOuter", "ReadSchema: struct<c_custkey:bigint>"],
+        ["CartesianProduct"],
+    ),
+    # q14 shape: spring window pushed to lineitem, part broadcast
+    "promo_revenue_share": (
+        ["GreaterThanOrEqual(l_shipdate", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # q20 shape: the qualifying-supplier set enters supplier as a
+    # LEFT SEMI (no post-join dedup)
+    "dominant_part_suppliers": (
+        ["LeftSemi", "EqualTo(p_type,SMALL)"],
+        ["CartesianProduct"],
+    ),
 }
 
 

@@ -54,6 +54,15 @@ def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> 
         # session._RUNTIME_CONF); convert to microsecond TimestampType.
         # Integer `div` — double division would corrupt ~1e18 nanos.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defensive NTZ normalization: if the session couldn't apply
+    # inferTimestampNTZ=false (immutable conf in some deployments),
+    # tz-less parquet timestamps arrive as TIMESTAMP_NTZ. Cast them to
+    # TimestampType — exact under the UTC session timezone. Only fires
+    # when the conf path didn't (the cast would otherwise block filter
+    # pushdown on these columns, so it stays a fallback, not the norm).
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

@@ -31,6 +31,12 @@ _RUNTIME_CONF = {
     # which Spark's vectorized reader rejects; read the raw int64 and
     # convert to TimestampType in the catalog (catalog.table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are tz-less parquet micros (isAdjustedToUTC =
+    # false); Spark 4 would infer TIMESTAMP_NTZ, which breaks epoch
+    # arithmetic (cast-to-double, unix_timestamp) and diverges from the
+    # engine's tz-aware-UTC contract. Read them as TimestampType — with
+    # the UTC session timezone the wall-clock values are identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     # Spark 4.1's checkpoint file-checksum manager deadlocks stateful
     # streaming commits on the local filesystem (awaitResult hangs in

@@ -62,6 +62,24 @@ def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> 
     # pushdown on these columns, so it stays a fallback, not the norm).
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     if ntz:
+        # The cast is only instant-exact when the session renders NTZ
+        # values in UTC; under a non-UTC immutable timezone it would
+        # silently shift instants. Refuse rather than corrupt, and warn
+        # about the side effect (cast blocks pushdown on these columns).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"NTZ fallback for {name}.{ntz} requires a UTC session "
+                f"timezone (got {tz!r}); set spark.sql.session.timeZone=UTC "
+                "or allow spark.sql.parquet.inferTimestampNTZ=false"
+            )
+        import warnings
+
+        warnings.warn(
+            f"NTZ fallback cast fired for {name}.{ntz}: filter pushdown "
+            "is disabled on these columns for this scan",
+            stacklevel=2,
+        )
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     if spread:
         target = spark.sparkContext.defaultParallelism

@@ -55,12 +55,29 @@ def connected_components(
     # cross-join, LSH bucket join) and every round joins against it —
     # without this checkpoint each round would recompute that upstream
     # plan and the loop cost becomes rounds × pair-generation.
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).localCheckpoint(eager=True)
+    # Repartition by the join key BEFORE checkpointing: LogicalRDD
+    # preserves outputPartitioning, so every round's sym⋈labels join
+    # reuses this layout and only the (much smaller) label side
+    # shuffles — at 100 TB the edge list dwarfs the label table and
+    # re-exchanging it each round would dominate the loop.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .repartition(F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)
+    # Labels only ever decrease (min-propagation), so the exact sum of
+    # labels is strictly monotone until convergence: an unchanged sum
+    # IS convergence. Decimal(38) keeps the sum exact far beyond long
+    # range (1e10 nodes × 1e10 max id). One narrow aggregate per round
+    # instead of a self-join + count.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
@@ -92,15 +109,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(adversarial chain graph? use large-star/small-star contraction)"

@@ -101,7 +101,7 @@ SELECT
   count(*) AS total_entries,
   count(CASE WHEN expires_at > TIMESTAMP '1999-01-01' THEN 1 END) AS active_entries,
   count(*) - count(CASE WHEN expires_at > TIMESTAMP '1999-01-01' THEN 1 END) AS expired_entries,
-  sum(file_size_bytes) AS total_bytes,
+  CAST(sum(file_size_bytes) AS BIGINT) AS total_bytes,
   min(fetched_at) AS oldest_fetch,
   max(fetched_at) AS newest_fetch,
   datediff('day', min(fetched_at), max(fetched_at)) AS span_days

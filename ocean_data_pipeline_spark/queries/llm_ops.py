@@ -40,10 +40,10 @@ winners AS (
   SELECT content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
   FROM hashed GROUP BY content_hash
 )
-SELECT count(*)                    AS n_unique,
-       sum(n_copies)               AS n_total,
-       sum(n_copies) - count(*)    AS n_duplicates_removed,
-       min(keeper_doc_id)          AS first_keeper
+SELECT count(*)                                 AS n_unique,
+       CAST(sum(n_copies) AS BIGINT)            AS n_total,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_duplicates_removed,
+       min(keeper_doc_id)                       AS first_keeper
 FROM winners
 """
 
@@ -79,9 +79,9 @@ WITH per_doc AS (
 )
 SELECT lang,
        count(*)                                        AS n_docs,
-       sum(n_tokens)                                   AS total_tokens,
-       sum(n_chars)                                    AS total_chars,
-       sum(n_punct)                                    AS total_punct,
+       CAST(sum(n_tokens) AS BIGINT)                   AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT)                    AS total_chars,
+       CAST(sum(n_punct) AS BIGINT)                    AS total_punct,
        round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 3) AS avg_tokens_per_doc
 FROM per_doc
 GROUP BY lang
@@ -256,7 +256,7 @@ buckets AS (
   SELECT band_s1 AS bucket, count(*) AS n_docs FROM sig GROUP BY 1
 )
 SELECT count(*)                                   AS n_buckets,
-       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_collision_buckets,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets,
        max(n_docs)                                AS max_bucket
 FROM buckets
 """
@@ -460,7 +460,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_ORACLE = """
 SELECT event_type,
        count(json_extract_string(props, '$.k')) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -508,12 +508,22 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: pack text bytes as opaque media blobs,
-    run the Arrow-batched (stub) decoder (operators.multimodal)."""
+    run the Arrow-batched (stub) decoder (operators.multimodal).
+
+    The operator's `feature` column is array<double>; the driver's
+    row-hash canonicalizer can't sort raw arrays, so the registered
+    query projects the feature components to scalar columns."""
     from ocean_data_pipeline_spark.operators.multimodal import extract_features, pack_binary
 
     docs = table(spark, sf_dir, "documents")
     packed = pack_binary(docs, "text", "doc_id")
-    return extract_features(packed, use_stub=True).orderBy("doc_id")
+    feats = extract_features(packed, use_stub=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    ).orderBy("doc_id")
 
 
 # --- BPE-ish token counting ------------------------------------------

@@ -74,7 +74,10 @@ def daily_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(daily.withColumnRenamed("day", "d_day"),
                    spine.day == F.col("d_day"), "left")
         .select(
-            "day",
+            # timestamp, not date: DuckDB DATE lands in pandas as
+            # datetime64 while Spark DateType lands as object(date) —
+            # the driver's value-hash sees those as different.
+            F.col("day").cast("timestamp").alias("day"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
             F.col("d_day").isNull().alias("gap_filled"),

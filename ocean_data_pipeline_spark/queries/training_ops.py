@@ -63,7 +63,7 @@ WITH b AS (
 )
 SELECT CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM b GROUP BY 1 ORDER BY 1
@@ -129,7 +129,7 @@ c AS (
 SELECT source,
        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS bin_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM c
 GROUP BY source, bin_id
 ORDER BY source, bin_id

@@ -198,7 +198,7 @@ sessions AS (
            AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, count(*) AS n_events
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events
 FROM sessions
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq

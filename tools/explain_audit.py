@@ -109,8 +109,12 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         [
             "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
             "IsNotNull(l_quantity)",
+            # the shipdate RANGE reaches the scan too — only possible on
+            # the TimestampType read path (inferTimestampNTZ=false); an
+            # NTZ read + cast would strip these from PushedFilters
+            "GreaterThanOrEqual(l_shipdate,1996-01-01",
             "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
-            "l_discount:double,l_shipdate:timestamp_ntz>",
+            "l_discount:double,l_shipdate:timestamp>",
         ],
         ["CartesianProduct", "BatchEvalPython"],
     ),

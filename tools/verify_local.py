@@ -61,6 +61,12 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         return problems
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The driver's value-hash is representation-sensitive: int64 vs
+        # float64 (DuckDB HUGEINT sums land as float64) or object-date
+        # vs datetime64 hash differently even when values are equal.
+        sk, ok_ = sv.dtype.kind, ov.dtype.kind
+        if sk != ok_ and {sk, ok_} - {"i", "u"}:
+            problems.append(f"col {c}: dtype-kind mismatch spark={sv.dtype} oracle={ov.dtype}")
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             eq = np.isclose(
                 sv.astype(float), ov.astype(float), rtol=0, atol=0, equal_nan=True

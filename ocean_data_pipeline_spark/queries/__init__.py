@@ -44,18 +44,51 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Queries with a driver-green CORRECTNESS row through round 2. The driver
+# verifies only the first 50 registry entries per round, so `load_all`
+# rotates this long-green set to the back and surfaces never-driver-verified
+# queries (plus queries whose oracle is new this round) in the front slots.
+# Local oracle parity (tests/test_oracle_parity.py) still covers everything.
+_DRIVER_VERIFIED = frozenset({
+    "q1_pricing", "describe_lineitem", "quartiles_exact", "null_counts_events",
+    "events_type_profile", "conditional_agg_events", "value_ranges_quality",
+    "distinct_counts", "rollup_revenue", "grouping_sets_revenue",
+    "cube_revenue", "grouped_mad_acctbal", "approx_distinct_counts",
+    "approx_quartiles", "cache_upsert_keep_latest", "cache_ttl_stats",
+    "cache_key_lookup", "cache_cleanup_expired", "monthly_series",
+    "grid_snap", "bbox_validation", "month_index", "cache_key_hash",
+    "daterange_validation", "revenue_by_nation", "semi_join_customers",
+    "anti_join_customers", "left_join_parts", "nearby_points",
+    "asof_policy_join", "salted_join_segments", "shipping_priority",
+    "local_supplier_volume", "dedup_exact_documents", "text_stats",
+    "top_tokens", "lang_id_heuristic", "doc_quality_score", "minhash_bands",
+    "simhash_documents", "ngram_jaccard_pairs", "sim_topk_bruteforce",
+    "embedding_stats", "props_json_extract", "minhash_lsh_near_dup",
+    "sim_topk_lsh", "token_counts_bpe", "doc_fingerprint_rolling",
+    "winnow_shared_pairs",
+    # NOT listed: multimodal_features — its oracle is new this round, so it
+    # stays in the front block to earn a hash row instead of rows-only.
+})
+
+
 def load_all() -> dict[str, RegisteredQuery]:
-    """Import every query module so the registry is fully populated."""
+    """Import every query module; return the registry in driver order.
+
+    Driver order = never-driver-verified queries first (registration
+    order preserved within each block), long-green queries last.
+    """
     from ocean_data_pipeline_spark.queries import (  # noqa: F401
         aggregates,
         approx,
         cache_queries,
+        dedup_pipeline,
         flagship,
         grid_queries,
         joins,
         llm_ops,
         reshape,
         set_ops,
+        sql_surface,
         stream_twins,
         tpch_more,
         tpch_shapes2,
@@ -64,4 +97,6 @@ def load_all() -> dict[str, RegisteredQuery]:
         windows,
     )
 
-    return REGISTRY
+    front = {n: rq for n, rq in REGISTRY.items() if n not in _DRIVER_VERIFIED}
+    back = {n: rq for n, rq in REGISTRY.items() if n in _DRIVER_VERIFIED}
+    return {**front, **back}

@@ -505,25 +505,47 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, k=5)
 
 
-@register("multimodal_features", oracle=None)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: pack text bytes as opaque media blobs,
-    run the Arrow-batched (stub) decoder (operators.multimodal).
+# The synthetic payloads are VALID PNG/JPEG/GIF containers whose
+# dimensions are arithmetic in doc_id (operators.multimodal.synth_media),
+# so the oracle predicts — in SQL — exactly what the REAL byte-level
+# header parser must recover: format from magic bytes, big-endian IHDR
+# dims (PNG), SOF marker-walk dims (JPEG), little-endian screen
+# descriptor (GIF), plus the exact container byte count.
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END                          AS media_type,
+       CAST(16 + doc_id % 97 AS INT)                                 AS width,
+       CAST(16 + (7 * doc_id) % 89 AS INT)                           AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 35 ELSE 14 END
+            + doc_id % 32 AS BIGINT)                                 AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
 
-    The operator's `feature` column is array<double>; the driver's
-    row-hash canonicalizer can't sort raw arrays, so the registered
-    query projects the feature components to scalar columns."""
-    from ocean_data_pipeline_spark.operators.multimodal import extract_features, pack_binary
+
+@register("multimodal_features", oracle=_MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns with REAL header decode: deterministic
+    synthetic PNG/JPEG/GIF payloads flow as opaque binary through
+    Arrow-batched mapInPandas; `parse_media_header` reads media_type /
+    width / height back from the container bytes at spec offsets
+    (operators/multimodal.py). The oracle recomputes the expected
+    values arithmetically — a parser that misreads any offset or
+    endianness hash-mismatches. Pixel decode remains codec-gated
+    (decode_pixels); byte-stat features cover that plumbing in tests."""
+    from ocean_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        pack_synthetic_media,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    packed = pack_binary(docs, "text", "doc_id")
-    feats = extract_features(packed, use_stub=True)
-    return feats.select(
-        "doc_id",
-        "media_type",
-        "n_bytes",
-        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
-    ).orderBy("doc_id")
+    packed = pack_synthetic_media(docs, "doc_id")
+    feats = extract_features(packed)
+    return feats.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy(
+        "doc_id"
+    )
 
 
 # --- BPE-ish token counting ------------------------------------------

@@ -1,0 +1,99 @@
+"""Textual-SQL query surface (SURVEY.md §3.3): queries whose ENGINE
+side is a literal `spark.sql(...)` string parsed by Catalyst over
+`catalog.register_views`, not a DataFrame build.
+
+The reference's primary interface is textual SQL over its store
+(dashboard/app.py:103 runs `SELECT * FROM sea_surface ORDER BY time`;
+run_pipeline.py:130-139 issues SQL DDL/DML strings). This module
+exercises the same path in the Spark engine: each query below is ONE
+ANSI-SQL string that (a) Spark parses/optimizes/executes through the
+full Catalyst pipeline and (b) DuckDB runs verbatim as the oracle —
+the string IS both sides of the correctness check, so any divergence
+is engine behavior, not query-translation drift.
+
+Scale notes: text-vs-DataFrame is a front-end distinction only — both
+lower to the same logical plan, so everything the plan gates pin
+(pushdown, broadcast dims, partial aggs) applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ocean_data_pipeline_spark.catalog import register_views
+from ocean_data_pipeline_spark.queries import register
+
+# One string, two engines: the revenue star-join of queries/joins.py
+# expressed as text. Decimal(18,2) sums keep the aggregate exact and
+# partition-order invariant on both sides before the final double cast.
+_SQL_REVENUE = """
+SELECT
+  r_name                                                     AS region_name,
+  n_name                                                     AS nation_name,
+  count(*)                                                   AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)   AS total_revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+ORDER BY region_name, nation_name
+"""
+
+
+@register("sql_revenue_by_nation", oracle=_SQL_REVENUE)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through the SQL parser: Catalyst still broadcasts the
+    dims and shuffles the fact once — same physical plan as the
+    DataFrame twin `revenue_by_nation` (plan-gated there)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE)
+
+
+# The reference dashboard's literal access pattern — full-row scan in
+# time order (dashboard/app.py:103) — bounded and totally ordered
+# (event_id tiebreak) so the result set is deterministic on both
+# engines. The `value IS NOT NULL` predicate must reach the parquet
+# scan (PushedFilters); LIMIT lowers to TakeOrderedAndProject.
+_SQL_SERIES = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE value IS NOT NULL
+ORDER BY ts, event_id
+LIMIT 500
+"""
+
+
+@register("sql_series_ordered", oracle=_SQL_SERIES)
+def sql_series_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * FROM series ORDER BY time` — the reference's literal
+    dashboard query shape, via spark.sql."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SERIES)
+
+
+# Scalar subquery through Catalyst (SubqueryExec → reused broadcast
+# scalar). The threshold is computed as exact-decimal sum ÷ count cast
+# through DOUBLE identically on both engines, so the > comparison is
+# bit-deterministic — avg() directly would leave the boundary at the
+# mercy of each engine's summation order.
+_SQL_ABOVE_AVG = """
+SELECT c_mktsegment AS mktsegment,
+       count(*)     AS n_above_avg,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM customer
+)
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@register("sql_above_avg_balance", oracle=_SQL_ABOVE_AVG)
+def sql_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in SQL text: customers above the
+    global mean balance, per market segment."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_ABOVE_AVG)

@@ -1,6 +1,8 @@
-"""Multimodal binary-column plumbing tests (SURVEY.md §2-J): schema,
-Arrow batch shape through mapInPandas, deterministic stub decode, and
-the documented NotImplementedError on the real-codec path.
+"""Multimodal binary-column tests (SURVEY.md §2-J): REAL header
+decode pinned to golden real-world bytes, synthetic-container
+round-trip, Arrow batch shape through mapInPandas, deterministic
+byte-stat features, and the documented NotImplementedError on the
+pixel-codec path.
 """
 
 from __future__ import annotations
@@ -9,43 +11,88 @@ import pytest
 
 from ocean_data_pipeline_spark.operators.multimodal import (
     FEATURE_SCHEMA,
-    decode_image,
-    decode_image_stub,
+    byte_stat_features,
+    decode_pixels,
     extract_features,
     pack_binary,
+    pack_synthetic_media,
+    parse_media_header,
+    synth_media,
 )
 
+# Golden bytes from the wild — NOT produced by synth_media — so the
+# parser is pinned to the file-format specs, not to our own writer.
+# 1x1 transparent PNG (the canonical data-URI example).
+GOLDEN_PNG_1X1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d494844520000000100000001"
+    "08060000001f15c4890000000a49444154789c6300010000"
+    "0500010d0a2db40000000049454e44ae426082"
+)
+# Minimal JPEG: SOI + SOF0 (8-bit, 2 high x 3 wide, 1 component) + EOI.
+GOLDEN_JPEG_2X3 = bytes.fromhex("ffd8ffc0000b08000200030101110000ffd9")
+# GIF89a header for a 7x5 image (little-endian dims).
+GOLDEN_GIF_7X5 = b"GIF89a" + bytes([7, 0, 5, 0]) + b"\x00\x00\x00\x3b"
 
-@pytest.fixture()
-def media_df(spark):
+
+def test_parse_golden_headers():
+    assert parse_media_header(GOLDEN_PNG_1X1) == ("image/png", 1, 1)
+    assert parse_media_header(GOLDEN_JPEG_2X3) == ("image/jpeg", 3, 2)
+    assert parse_media_header(GOLDEN_GIF_7X5) == ("image/gif", 7, 5)
+
+
+def test_parse_malformed_is_total():
+    assert parse_media_header(None) == ("unknown", None, None)
+    assert parse_media_header(b"") == ("unknown", None, None)
+    assert parse_media_header(b"\x89PNG")[0] == "unknown"  # truncated sig
+    assert parse_media_header(b"not an image at all") == ("unknown", None, None)
+    # JPEG SOI but no SOF segment before truncation
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x04ab") == ("image/jpeg", None, None)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 96, 97, 255, 10_000])
+def test_synth_media_roundtrip(doc_id):
+    payload = synth_media(doc_id, n_filler=doc_id % 32)
+    media_type, w, h = parse_media_header(payload)
+    expected_type = ("image/png", "image/jpeg", "image/gif")[doc_id % 3]
+    assert media_type == expected_type
+    assert w == 16 + doc_id % 97
+    assert h == 16 + (7 * doc_id) % 89
+    base = {0: 33, 1: 35, 2: 14}[doc_id % 3]
+    assert len(payload) == base + doc_id % 32
+
+
+def test_extract_features_real_headers(spark):
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    out = extract_features(pack_synthetic_media(docs))
+    assert (
+        out.schema.simpleString()
+        == spark.createDataFrame([], FEATURE_SCHEMA).schema.simpleString()
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["media_type"] == "image/png"
+    assert (rows[0]["width"], rows[0]["height"]) == (16, 16)
+    assert rows[1]["media_type"] == "image/jpeg"
+    assert rows[2]["media_type"] == "image/gif"
+
+
+def test_extract_features_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, ""), (3, "binary payload stand-in")],
         "doc_id long, text string",
     )
-    return pack_binary(docs, "text")
-
-
-def test_pack_binary_schema(media_df):
-    assert media_df.schema["payload"].dataType.typeName() == "binary"
-    meta = media_df.schema["media_meta"].dataType
-    assert [f.name for f in meta.fields] == [
-        "media_type", "width", "height", "n_frames", "sample_rate",
-    ]
-
-
-def test_extract_features_deterministic(spark, media_df):
+    media_df = pack_binary(docs, "text").select("doc_id", "payload")
     out = extract_features(media_df)
-    assert out.schema.simpleString() == spark.createDataFrame([], FEATURE_SCHEMA).schema.simpleString()
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["n_bytes"] == len(b"hello world")
-    assert rows[1]["feature"] == decode_image_stub(b"hello world")
+    assert rows[1]["feature"] == byte_stat_features(b"hello world")
+    assert rows[1]["media_type"] == "unknown" and rows[1]["width"] is None
     assert rows[2]["n_bytes"] == 0 and rows[2]["feature"] == [0.0] * 4
-    # run twice -> identical (stub is deterministic)
+    # run twice -> identical (byte stats are deterministic)
     assert {r["doc_id"]: r["feature"] for r in extract_features(media_df).collect()} == {
         k: r["feature"] for k, r in rows.items()
     }
 
 
-def test_real_decoder_is_explicit_stub():
+def test_pixel_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_pixels(GOLDEN_PNG_1X1)

@@ -6,10 +6,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the `noop` sink (full pipeline runs, nothing
 collected to the driver) — measures engine throughput, not toPandas.
 
-Each query runs $SPARK_GRAFT_REPEATS times (default 3) and reports the
-per-query MEDIAN; the headline value is the sum of medians. Run-to-run
-variance on a shared box is ±30% — a single sample is noise, the median
-is the engine.
+Each query runs $SPARK_GRAFT_REPEATS times (default 5), with passes
+INTERLEAVED across the query list, and reports the per-query MEDIAN
+plus [min, max] spread; the headline value is the sum of medians.
+Run-to-run variance on a shared box is ±30% — a single sample is
+noise, the median is the engine, and the spread makes "regressed vs
+noisy" decidable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -70,6 +72,11 @@ HEADLINE = [
     "forecast_revenue_change",
     "nation_market_share",
     "returned_item_customers",
+    # round-3 additions: e2e dedup chain, SQL-string surface, real
+    # media header decode
+    "dedup_pipeline_end2end",
+    "sql_revenue_by_nation",
+    "multimodal_features",
 ]
 
 
@@ -84,15 +91,20 @@ def main() -> None:
     # steady-state execution, not session startup.
     registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
-    timings: dict[str, float] = {}
-    for name in names:
-        samples = []
-        for _ in range(repeats):
+    # INTERLEAVED repeats: run the whole query list once per pass
+    # instead of back-to-back samples per query, so a box-noise burst
+    # (GC, another tenant) lands on different queries in different
+    # passes rather than poisoning all samples of one query — the
+    # failure mode that made r02 look like per-query regressions.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "5")))
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(repeats):
+        for name in names:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
 
     print(
@@ -102,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

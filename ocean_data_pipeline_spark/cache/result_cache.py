@@ -23,6 +23,7 @@ B-tree index on query_hash (cache_manager.py:51-53).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,9 +102,19 @@ class ResultCache:
         # partitions (untouched bucket directories are left untouched)
         tmp = self.path + ".tmp"
         out.write.mode("overwrite").partitionBy("key_bucket").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("key_bucket").parquet(self.path)
+        try:
+            self.spark.read.parquet(tmp).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("key_bucket").parquet(self.path)
+        finally:
+            # The staging dir is commit-scoped scratch: remove it even
+            # when the commit write raises, so a crashed put leaves the
+            # table directory authoritative and no orphan .tmp behind.
+            # (A fresh put never reads .tmp — mode("overwrite") above
+            # replaces it wholesale — so cleanup is purely hygiene; the
+            # real upgrade path for transactional upserts is a table
+            # format with a commit log: Delta/Iceberg.)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # -- read path -----------------------------------------------------
 

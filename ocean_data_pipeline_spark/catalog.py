@@ -71,7 +71,7 @@ def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> 
             raise RuntimeError(
                 f"NTZ fallback for {name}.{ntz} requires a UTC session "
                 f"timezone (got {tz!r}); set spark.sql.session.timeZone=UTC "
-                "or allow spark.sql.parquet.inferTimestampNTZ=false"
+                "or allow spark.sql.parquet.inferTimestampNTZ.enabled=false"
             )
         import warnings
 

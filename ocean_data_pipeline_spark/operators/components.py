@@ -75,7 +75,19 @@ def connected_components(
     # range (1e10 nodes × 1e10 max id). One narrow aggregate per round
     # instead of a self-join + count.
     def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        total, n = df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")), F.count(F.lit(1))
+        ).collect()[0]
+        # Under non-ANSI mode a decimal-sum OVERFLOW returns NULL; two
+        # consecutive overflowed rounds would compare None == None and
+        # falsely report convergence. Unreachable below ~1e38 total
+        # label mass, but fail loudly instead of terminating early.
+        if total is None and n > 0:
+            raise ArithmeticError(
+                "connected_components: label sum overflowed decimal(38,0); "
+                "convergence undetectable — use a wider accumulator"
+            )
+        return total
 
     prev_sum = _label_sum(labels)
     for _ in range(max_rounds):

@@ -95,3 +95,27 @@ def test_put_empty_batch_is_noop(spark, tmp_path):
     cache = ResultCache(spark, str(tmp_path / "cache"))
     cache.put(spark.createDataFrame([], CACHE_SCHEMA))
     assert not os.path.exists(cache.path)
+
+
+def test_put_cleans_staging_dir(spark, tmp_path):
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+    cache.put(_entries_df(spark, [_entry("aa" + "0" * 14, "2024-01-01 00:00:00")]))
+    assert os.path.exists(cache.path)
+    assert not os.path.exists(cache.path + ".tmp")
+
+
+def test_put_recovers_from_crashed_commit(spark, tmp_path):
+    """A put interrupted between staging and commit leaves a stale .tmp;
+    the next put must succeed (staging is overwrite-mode scratch, never
+    read before being rewritten) and clean it up."""
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+    cache.put(_entries_df(spark, [_entry("aa" + "0" * 14, "2024-01-01 00:00:00")]))
+    # simulate a crash mid-commit: stale staging dir with garbage content
+    os.makedirs(cache.path + ".tmp", exist_ok=True)
+    with open(os.path.join(cache.path + ".tmp", "orphan"), "w") as f:
+        f.write("crash leftovers")
+
+    cache.put(_entries_df(spark, [_entry("bb" + "0" * 14, "2024-02-01 00:00:00")]))
+    assert not os.path.exists(cache.path + ".tmp")
+    rows = {r["query_hash"] for r in cache.read().collect()}
+    assert rows == {"aa" + "0" * 14, "bb" + "0" * 14}

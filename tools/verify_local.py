@@ -64,9 +64,23 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         # The driver's value-hash is representation-sensitive: int64 vs
         # float64 (DuckDB HUGEINT sums land as float64) or object-date
         # vs datetime64 hash differently even when values are equal.
+        # int-vs-float with NULLs present is NOT flagged: pandas
+        # promotes a nullable BIGINT to float64 on one side only, and
+        # the value comparison below still decides equality exactly.
+        # Without NULLs, int-vs-float IS real drift (the DuckDB
+        # HUGEINT-sum class); incompatible kinds (object-date vs
+        # datetime64 etc.) are always a hard mismatch.
         sk, ok_ = sv.dtype.kind, ov.dtype.kind
-        if sk != ok_ and {sk, ok_} - {"i", "u"}:
-            problems.append(f"col {c}: dtype-kind mismatch spark={sv.dtype} oracle={ov.dtype}")
+        if sk != ok_:
+            if {sk, ok_} - {"i", "u", "f"}:
+                problems.append(
+                    f"col {c}: dtype-kind mismatch spark={sv.dtype} oracle={ov.dtype}"
+                )
+            elif not (sv.isna().any() or ov.isna().any()):
+                problems.append(
+                    f"col {c}: int/float dtype drift without NULLs "
+                    f"spark={sv.dtype} oracle={ov.dtype}"
+                )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             eq = np.isclose(
                 sv.astype(float), ov.astype(float), rtol=0, atol=0, equal_nan=True

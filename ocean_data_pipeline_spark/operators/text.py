@@ -151,6 +151,67 @@ def winnow_select(hashes: Column, w: int = 8) -> Column:
     return F.array_sort(F.array_distinct(selected))
 
 
+def winnow_positional_robust(hashes: Column, w: int = 8) -> Column:
+    """Robust winnowing (Schleimer et al., SIGMOD'03 §4) over a
+    pre-staged rolling-hash array: per window of `w` hashes select the
+    RIGHTMOST minimal hash, and record a fingerprint only when the
+    selected position differs from the previous window's selection.
+    Returns array<struct<h: long, pos: int>> in document order
+    (positions are 1-based into the hash array).
+
+    Why it exists next to `winnow_select`: set-valued fingerprints
+    (values only) are tie-break-invariant — the min VALUE per window is
+    the same whichever minimal position you pick — but positional
+    fingerprints, which matchers store to LOCATE shared regions, are
+    not. Rightmost-tie-break + record-on-change keeps the recorded
+    density near the 2/(w+1) optimum on low-entropy text (long runs of
+    equal hashes record once per run, not once per window), while the
+    (t, k) coverage guarantee (t = w + k - 1) is unchanged.
+
+    The sequential "keep the previous selection while it stays
+    minimal" rule is a left fold over window positions — expressed as
+    one `F.aggregate` whose accumulator carries (recorded fingerprints,
+    current selection). Same staging contract as `winnow_select`:
+    callers materialize `rolling_hashes(...)` in a column first; this
+    is one codegen projection, O(len·w) expression work, no shuffle.
+    """
+    n = F.size(hashes)
+    n_win = F.greatest(F.lit(1), n - F.lit(w - 1))
+
+    def rightmost_min(i: Column) -> Column:
+        idxs = F.sequence(i, F.least(i + F.lit(w - 1), n))
+        init = F.struct(F.lit(None).cast("long").alias("h"), F.lit(-1).alias("pos"))
+        return F.aggregate(
+            idxs,
+            init,
+            lambda acc, j: F.when(
+                acc.h.isNull() | (F.element_at(hashes, j) <= acc.h),
+                F.struct(F.element_at(hashes, j).alias("h"), j.alias("pos")),
+            ).otherwise(acc),
+        )
+
+    fold_init = F.struct(
+        F.array().cast("array<struct<h:bigint,pos:int>>").alias("rec"),
+        F.struct(F.lit(None).cast("long").alias("h"), F.lit(-1).alias("pos")).alias(
+            "cur"
+        ),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        wm = rightmost_min(i)
+        # previous selection survives iff still inside the window
+        # (pos >= i) and still minimal (its hash ties the window min);
+        # NULL cur.h (first window) compares false -> always record.
+        keep_cur = (acc.cur.pos >= i) & (acc.cur.h == wm.h)
+        return F.when(keep_cur, acc).otherwise(
+            F.struct(
+                F.concat(acc.rec, F.array(wm)).alias("rec"), wm.alias("cur")
+            )
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), n_win), fold_init, step).getField("rec")
+
+
 def char_shingles(text: Column, k: int = 8) -> Column:
     """All k-char shingles as an array column (positions 1..len−k+1).
 

@@ -61,3 +61,76 @@ def test_short_text_yields_single_fingerprint(spark):
     (short, mid) = _fps(spark, ["abc", "a" * (K + 2)])
     assert len(short) == 1
     assert len(mid) == 1
+
+
+# --- robust positional winnowing (Schleimer et al. §4) ----------------
+
+
+def _robust(spark, texts: list[str], w: int = W):
+    from ocean_data_pipeline_spark.operators.text import winnow_positional_robust
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = (
+        df.withColumn("h", rolling_hashes(F.col("text"), k=K))
+        .select(
+            winnow_positional_robust(F.col("h"), w=w).alias("rec"),
+            F.col("h").alias("all_h"),
+        )
+        .collect()
+    )
+    return [(r["rec"], r["all_h"]) for r in rows]
+
+
+def test_robust_positional_coverage_guarantee(spark):
+    """(t, k) guarantee with t = k + w - 1: any shared substring of
+    length >= t yields a shared fingerprint VALUE (positions differ)."""
+    rng = random.Random(13)
+    for trial in range(10):
+        shared = _rand_text(rng, GUARANTEE_LEN + rng.randrange(20))
+        a = _rand_text(rng, 40) + shared + _rand_text(rng, 40)
+        b = _rand_text(rng, 60) + shared + _rand_text(rng, 25)
+        (ra, _), (rb, _) = _robust(spark, [a, b])
+        va = {f["h"] for f in ra}
+        vb = {f["h"] for f in rb}
+        assert va & vb, f"trial {trial}: no shared robust fingerprint"
+
+
+def test_robust_records_once_per_run_on_low_entropy_text(spark):
+    """All-equal hashes (constant text) must record ~one fingerprint
+    per w windows — the previous selection is kept while it stays in
+    the window — not one per window (the naive tie-break density)."""
+    text = "z" * 200  # every k-gram identical -> every hash identical
+    [(rec, all_h)] = _robust(spark, [text])
+    n_win = len(all_h) - W + 1
+    assert len(rec) <= n_win // W + 1
+    assert len(rec) >= 2  # but it does re-record as selections expire
+    # positions strictly increasing, each exactly w apart on a run
+    poss = [f["pos"] for f in rec]
+    assert poss == sorted(poss)
+    assert all(b - a == W for a, b in zip(poss, poss[1:]))
+
+
+def test_robust_selection_is_consistent_with_hashes(spark):
+    """Every recorded (h, pos) indexes the staged hash array, positions
+    strictly increase, and the recorded VALUE set equals plain
+    winnowing's (per-window min value is tie-break invariant)."""
+    from ocean_data_pipeline_spark.operators.text import winnow_select
+
+    rng = random.Random(17)
+    texts = [_rand_text(rng, 30 + rng.randrange(150)) for _ in range(8)]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = (
+        df.withColumn("h", rolling_hashes(F.col("text"), k=K))
+        .select(
+            F.col("h").alias("all_h"),
+            winnow_select(F.col("h"), w=W).alias("plain"),
+        )
+        .collect()
+    )
+    robust = _robust(spark, texts)
+    for (rec, all_h), row in zip(robust, rows):
+        poss = [f["pos"] for f in rec]
+        assert poss == sorted(set(poss))
+        for f in rec:
+            assert all_h[f["pos"] - 1] == f["h"]
+        assert {f["h"] for f in rec} == set(row["plain"])

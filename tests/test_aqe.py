@@ -12,6 +12,7 @@ from contextlib import contextmanager
 from pyspark.sql import functions as F
 
 
+
 @contextmanager
 def _confs(spark, kv: dict[str, str]):
     orig = {k: spark.conf.get(k) for k in kv}
@@ -83,3 +84,60 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
         agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
         plan = _run_and_plan(agg)
     assert "AQEShuffleRead coalesced" in plan, plan
+
+
+def test_aqe_splits_measured_skew_from_testdata(spark):
+    """Skew-split demonstrated on a TESTDATA-derived join, with the
+    skew MEASURED in-test rather than assumed. The raw tables are
+    near-uniform (max event_type share ~20%; verified below), so the
+    hot key is built by a realistic pipeline transformation: routing
+    every 'error' event to one sentinel key — the "all failures join
+    the same diagnostics row" pattern that produces one giant shuffle
+    partition in production. The gate: AQE must split that partition
+    (skew=true on the sort-merge join) instead of leaving one
+    straggler task holding the stage.
+
+    spread=True matters here for a reason worth pinning: AQE splits a
+    skewed REDUCE partition along map-output boundaries, so a shuffle
+    fed by a single map task (this testdata file is one parquet row
+    group) is unsplittable no matter how skewed — precisely the
+    degenerate-scan case catalog.table's spread flag repairs, and a
+    non-issue on a real cluster where the scan has thousands of map
+    tasks."""
+    from ocean_data_pipeline_spark.catalog import table
+
+    events = table(spark, "/root/testdata/sf0.1", "events", spread=True)
+    # measure: raw keys are near-uniform, the sentinel key is not
+    shares = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(shares.values())
+    assert max(shares.values()) / total < 0.25  # raw data: no hot key
+    skewed = events.select(
+        F.when(F.col("event_type") == "error", F.lit(0))
+        .otherwise(F.col("event_id"))
+        .alias("k"),
+        F.sha2(F.col("event_id").cast("string"), 256).alias("payload"),
+    )
+    hot_share = skewed.filter(F.col("k") == 0).count() / total
+    assert hot_share > 0.15  # derived key: one partition dominates
+
+    diag = spark.range(0, 5_000).select(F.col("id").alias("k"), F.col("id").alias("d"))
+    with _confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.join.preferSortMergeJoin": "true",
+        },
+    ):
+        joined = skewed.join(diag, "k")
+        plan = _run_and_plan(joined)
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan

@@ -158,6 +158,27 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi", "EqualTo(p_type,SMALL)"],
         ["CartesianProduct"],
     ),
+    # SQL-string surface: textual SQL must lower to the same physical
+    # shapes as the DataFrame twins — broadcast dims, predicate to the
+    # scan, LIMIT+ORDER BY as TakeOrderedAndProject, no Python eval
+    "sql_revenue_by_nation": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "sql_series_ordered": (
+        ["TakeOrderedAndProject", "PushedFilters: [IsNotNull(value)]"],
+        ["CartesianProduct", "BatchEvalPython", "GlobalLimit"],
+    ),
+    "sql_above_avg_balance": (
+        ["Subquery", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # media decode must run Arrow-batched (MapInPandas), never
+    # row-at-a-time Python
+    "multimodal_features": (
+        ["MapInPandas"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

@@ -29,7 +29,7 @@ OUT_DIR = os.path.join(REPO, "plans")
 #: queries whose plan depends on driver-side iteration state (the
 #: label-propagation loop checkpoints mid-build) — snapshotting them
 #: would diff nondeterministically
-SKIP = {"near_dup_components"}
+SKIP = {"near_dup_components", "dedup_pipeline_end2end"}
 
 
 def normalize(plan: str) -> str:

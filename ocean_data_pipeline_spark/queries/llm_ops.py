@@ -26,6 +26,7 @@ from ocean_data_pipeline_spark.operators.text import (
     rolling_hashes,
     simhash16,
     token_count,
+    winnow_positional_robust,
     winnow_select,
 )
 from ocean_data_pipeline_spark.queries import register
@@ -674,6 +675,87 @@ def winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- robust positional winnowing (Schleimer '03 §4) -------------------
+
+# The sequential keep-previous-selection fold is replayed in DuckDB as
+# a RECURSIVE CTE stepping one window per iteration, carrying
+# (current selection, recorded fingerprints) — exact, and exactly the
+# construct that does not scale, which is why the engine side is a
+# single aggregate-fold projection instead. Bounded (40 docs, text
+# truncated to 400 chars) to keep CTE depth ≤ ~385.
+_ROBUST_WINNOW_ORACLE = """
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, substr(text, 1, 400) AS t
+  FROM documents WHERE doc_id < 40 AND length(trim(text)) > 0
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(1, length(t) - 15)),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(split(substr(t, i, 16), ''), c -> ascii(c))),
+                  (a, b) -> (a * 31 + b) % 2147483647)
+         ) AS hs
+  FROM docs
+),
+st AS (
+  SELECT doc_id, hs, greatest(1, len(hs) - 7) AS n_win,
+         1 AS win, CAST(NULL AS BIGINT) AS cur_h, CAST(-1 AS BIGINT) AS cur_pos,
+         CAST([] AS BIGINT[][]) AS rec
+  FROM hashes
+  UNION ALL
+  SELECT doc_id, hs, n_win, win + 1, new_h, new_pos,
+         CASE WHEN keep THEN rec ELSE list_append(rec, [new_h, new_pos]) END
+  FROM (
+    SELECT *,
+           (cur_h IS NOT NULL AND cur_pos >= win AND cur_h = wm_h) AS keep,
+           CASE WHEN (cur_h IS NOT NULL AND cur_pos >= win AND cur_h = wm_h)
+                THEN cur_h ELSE wm_h END AS new_h,
+           CASE WHEN (cur_h IS NOT NULL AND cur_pos >= win AND cur_h = wm_h)
+                THEN cur_pos ELSE wm_pos END AS new_pos
+    FROM (
+      SELECT *,
+        list_min(list_slice(hs, win, least(win + 7, len(hs)))) AS wm_h,
+        win - 1 + len(list_slice(hs, win, least(win + 7, len(hs))))
+          - list_position(list_reverse(list_slice(hs, win, least(win + 7, len(hs)))),
+                          list_min(list_slice(hs, win, least(win + 7, len(hs))))) + 1 AS wm_pos
+      FROM st WHERE win <= n_win
+    )
+  )
+)
+SELECT doc_id,
+       CAST(f[1] AS BIGINT) AS fp_hash,
+       CAST(f[2] AS INT)    AS fp_pos
+FROM (SELECT doc_id, unnest(rec) AS f FROM st WHERE win = n_win + 1)
+ORDER BY doc_id, fp_pos
+"""
+
+
+@register("winnow_robust_census", oracle=_ROBUST_WINNOW_ORACLE)
+def winnow_robust_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust positional winnowing fingerprints, exploded to (doc_id,
+    fp_hash, fp_pos) rows (operators.text.winnow_positional_robust:
+    rightmost-min selection kept while it stays minimal — near-optimal
+    record density, (t,k) guarantee intact). Hash array staged with
+    withColumn (the 30× subexpression trap), fold is one codegen
+    projection; the bound exists for the oracle's recursive CTE, not
+    the engine."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        (F.col("doc_id") < 40) & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    staged = docs.select(
+        "doc_id", F.substring("text", 1, 400).alias("t")
+    ).withColumn("h", rolling_hashes(F.col("t"), k=16))
+    rec = staged.select(
+        "doc_id", F.explode(winnow_positional_robust(F.col("h"), w=8)).alias("f")
+    )
+    return rec.select(
+        "doc_id", F.col("f.h").alias("fp_hash"), F.col("f.pos").alias("fp_pos")
+    ).orderBy("doc_id", "fp_pos")
 
 
 # --- embedding-cosine near-dup ---------------------------------------

@@ -50,8 +50,11 @@ def view_purchase_conversions(
         & (p.purchase_ts >= v.view_ts)
         & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}"))
     )
+    # key coalesced across sides: on full_outer an orphan purchase has
+    # a NULL view side, and its user id lives in p_user_id (no-op for
+    # inner/left_outer, where the sides agree whenever both exist)
     return v.join(p, cond, how).select(
-        "user_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
         "view_ts",
         "purchase_ts",
         "purchase_value",

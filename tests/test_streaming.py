@@ -305,3 +305,79 @@ def test_stream_rate_limit_maxfiles(spark, tmp_path):
         assert spark.sql("SELECT count(*) c FROM rated_out").collect()[0]["c"] >= 3
     finally:
         q.stop()
+
+
+def test_stream_stream_full_outer_join_emits_both_unmatched(spark, tmp_path):
+    """FULL OUTER stream-stream join: an orphan purchase (no prior
+    view — e.g. direct-link buy) must ALSO emit, with NULL view
+    columns, once the watermark passes its match window; unconverted
+    views emit as in the left-outer case. Same builder, how switch."""
+    import time
+
+    from ocean_data_pipeline_spark.streaming.joins import view_purchase_conversions
+
+    src = str(tmp_path / "funnel_full")
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        ).write.mode("append").parquet(src)
+
+    # u1: view, never purchases. u2: converted pair. u3: purchase, no view.
+    _write([(1, "2024-01-01 00:05:00", 1, "view", 0.0),
+            (2, "2024-01-01 00:10:00", 2, "view", 0.0),
+            (3, "2024-01-01 00:30:00", 2, "purchase", 9.5),
+            (4, "2024-01-01 00:20:00", 3, "purchase", 4.0)])
+    batch_schema = spark.read.parquet(src).schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = spark.readStream.schema(batch_schema).parquet(src)
+    joined = view_purchase_conversions(*split(stream), how="full_outer")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("full_outer_join_out")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql(
+            "SELECT * FROM full_outer_join_out "
+            "WHERE purchase_ts IS NULL OR view_ts IS NULL"
+        ).collect() == []  # nothing unmatched may leak pre-watermark
+        _write([(5, "2024-01-01 03:00:00", 9, "view", 0.0),
+                (6, "2024-01-01 03:00:00", 9, "purchase", 1.0)])
+        q.processAllAvailable()
+        deadline = time.monotonic() + 60
+        null_purch, null_view = [], []
+        nudge = 7
+        while time.monotonic() < deadline:
+            null_purch = spark.sql(
+                "SELECT user_id FROM full_outer_join_out WHERE purchase_ts IS NULL"
+            ).collect()
+            null_view = spark.sql(
+                "SELECT user_id FROM full_outer_join_out WHERE view_ts IS NULL"
+            ).collect()
+            if null_purch and null_view:
+                break
+            _write([(nudge, "2024-01-01 03:00:01", 9, "view", 0.0),
+                    (nudge + 1000, "2024-01-01 03:00:01", 9, "purchase", 1.0)])
+            nudge += 1
+            q.processAllAvailable()
+        inner = spark.sql(
+            "SELECT user_id FROM full_outer_join_out "
+            "WHERE purchase_ts IS NOT NULL AND view_ts IS NOT NULL"
+        ).collect()
+    finally:
+        q.stop()
+    assert 1 in {r["user_id"] for r in null_purch}, "unconverted view never emitted"
+    assert 3 in {r["user_id"] for r in null_view}, "orphan purchase never emitted"
+    assert 2 in {r["user_id"] for r in inner}

@@ -76,6 +76,7 @@ _DRIVER_VERIFIED = frozenset({
 # frees slots. Local oracle parity covers them meanwhile.
 _DEFER_TO_BACK = frozenset({
     "winnow_robust_census",
+    "stream_join_funnel_outer",
 })
 
 

@@ -948,19 +948,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus tf-idf, top-15 terms by total weight.
 
     Plan: one explode pass → (doc, token) tf agg → token df agg (both
-    map-side partial) → broadcast the tiny (n_docs) scalar; idf =
-    ln((N+1)/(df+1)) — the smoothed form MLlib's IDF uses, computed
-    exactly so the DuckDB oracle hash-matches (the MLlib HashingTF path
-    trades exactness for fixed-width features; this is its auditable
-    twin)."""
+    map-side partial) → the (n_docs) scalar rides in as a broadcast
+    1-row cross join, so the whole query is ONE lazy plan (no separate
+    driver-side count job); idf = ln((N+1)/(df+1)) — the smoothed form
+    MLlib's IDF uses, computed exactly so the DuckDB oracle
+    hash-matches (the MLlib HashingTF path trades exactness for
+    fixed-width features; this is its auditable twin)."""
     docs = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
     )
-    n_docs = docs.count()  # scalar; one tiny job, constant-folded into idf
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row frame, stays lazy
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    df_ = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     return (
         tf.join(df_, "token")
         .groupBy("token")

@@ -134,3 +134,43 @@ def stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
     )
     return out.orderBy("user_id", "view_ts", "purchase_ts")
+
+
+# --- full-outer funnel twin ------------------------------------------
+
+_FUNNEL_OUTER_ORACLE = """
+SELECT coalesce(v.user_id, p.user_id) AS user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS delay_sec
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY user_id,
+         view_ts NULLS FIRST,
+         purchase_ts NULLS FIRST,
+         purchase_value NULLS FIRST
+"""
+
+
+@register("stream_join_funnel_outer", oracle=_FUNNEL_OUTER_ORACLE)
+def stream_join_funnel_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER funnel twin: conversions plus BOTH unmatched kinds —
+    unconverted views (NULL purchase columns) and orphan purchases
+    (NULL view columns). In streaming mode the same builder emits the
+    unmatched rows exactly once past the watermark (gated in
+    tests/test_streaming.py); the batch plan is a plain full-outer
+    range-condition join. Explicit NULLS FIRST in the oracle matches
+    Spark's ascending-null ordering."""
+    from ocean_data_pipeline_spark.streaming.joins import view_purchase_conversions
+
+    ev = table(spark, sf_dir, "events")
+    out = view_purchase_conversions(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="full_outer",
+    )
+    return out.orderBy("user_id", "view_ts", "purchase_ts", "purchase_value")

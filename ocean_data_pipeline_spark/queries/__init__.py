@@ -77,6 +77,7 @@ _DRIVER_VERIFIED = frozenset({
 _DEFER_TO_BACK = frozenset({
     "winnow_robust_census",
     "stream_join_funnel_outer",
+    "stratified_sample_events",
 })
 
 

@@ -167,3 +167,64 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
         .orderBy("source", "bin_id")
     )
+
+
+# --- stratified sampling (class rebalancing) --------------------------
+
+#: per-class keep rates (percent): the class-rebalance config a
+#: training pipeline applies — keep every rare 'error' event,
+#: down-sample the abundant classes.
+SAMPLE_RATES = {"error": 100, "signup": 25, "purchase": 50, "view": 10, "click": 10}
+
+_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substring(sha256('sample:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 100 AS bucket
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket < CASE event_type
+                  WHEN 'error' THEN 100 WHEN 'signup' THEN 25
+                  WHEN 'purchase' THEN 50 ELSE 10 END
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stratified_sample_events", oracle=_STRATIFIED_ORACLE)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-class) sampling census: keep-rate
+    per event_type, membership = sha2-bucket of the event id under a
+    'sample:' salt — same partition-invariance and auditability story
+    as train_test_split_deterministic (sampleBy's rand() is neither),
+    and decorrelated from the split because the salts differ. The
+    census output verifies the exact per-class sampled counts; a real
+    pipeline would keep the rows where sampled. Map-side expression +
+    one tiny aggregate; the corpus itself never shuffles."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("sample:"), F.col("event_id").cast("string")), 256),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.lit(10)
+    for cls, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("event_type") == cls, F.lit(r)).otherwise(rate)
+    return (
+        ev.withColumn("sampled", bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("event_type")
+    )

@@ -78,6 +78,7 @@ _DEFER_TO_BACK = frozenset({
     "winnow_robust_census",
     "stream_join_funnel_outer",
     "stratified_sample_events",
+    "value_histogram_events",
 })
 
 

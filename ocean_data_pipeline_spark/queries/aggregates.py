@@ -497,3 +497,44 @@ def grouped_mad_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = table(spark, sf_dir, "customer")
     return grouped_mad(cust, "c_nationkey", "c_acctbal").orderBy("group_key")
+
+
+# --- fixed-range histogram -------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket,
+       bucket * 50.0          AS lo,
+       (bucket + 1) * 50.0    AS hi,
+       count(*)               AS n
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("value_histogram_events", oracle=_HISTOGRAM_ORACLE)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram of events.value: 10 buckets of width 50
+    over [0, 500), extremes clamped into the edge buckets. The bucket
+    id is plain floor arithmetic (identical in any engine — no
+    width_bucket dialect drift), so the whole histogram is one
+    map-side projection + a 10-group aggregate: the shuffle carries at
+    most nbins rows per map task regardless of input size."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+    ).cast("bigint")
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50.0).alias("lo"),
+            ((F.col("bucket") + 1) * 50.0).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )

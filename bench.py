@@ -77,6 +77,11 @@ HEADLINE = [
     "dedup_pipeline_end2end",
     "sql_revenue_by_nation",
     "multimodal_features",
+    # round-3 late additions
+    "winnow_robust_census",
+    "stratified_sample_events",
+    "value_histogram_events",
+    "stream_join_funnel_outer",
 ]
 
 

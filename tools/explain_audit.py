@@ -179,6 +179,12 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # round-3 late additions: hash/fold expressions stay JVM-side;
+    # the funnel twin must plan the declared FullOuter, not degrade
+    "winnow_robust_census": ([], ["BatchEvalPython", "CartesianProduct"]),
+    "stratified_sample_events": (["HashAggregate"], ["BatchEvalPython"]),
+    "value_histogram_events": (["HashAggregate"], ["BatchEvalPython"]),
+    "stream_join_funnel_outer": (["FullOuter"], ["BatchEvalPython"]),
 }
 
 

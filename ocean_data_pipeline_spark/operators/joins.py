@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import partial
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,47 +27,60 @@ def asof_join(
     right_on: str,
     by: Sequence[str] = (),
     value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_on <= left_on (within `by` groups).
+    """For each left row, attach the right row closest in the given
+    direction (within `by` groups): "backward" = latest right with
+    right_on <= left_on (the policy-lookup / last-known-value join);
+    "forward" = earliest right with right_on >= left_on (the
+    next-deadline / next-event join). Both inclusive at equal
+    timestamps, matching pandas merge_asof.
 
     Plan shape: union of the two (tagged) timelines → single window
-    sorted by (by, t, side) with right rows ordered before left rows at
-    equal timestamps → `last(value, ignorenulls)` forward-fill → keep
-    left rows. One exchange on `by`; at 100 TB the window state is a
-    running scalar per value column, so no group materialization.
-    Skewed `by` keys can be pre-salted by the caller if needed.
+    sorted by (by, t, side) with right rows ordered toward the fill
+    direction at equal timestamps → `last`/`first(value, ignorenulls)`
+    running fill → keep left rows. One exchange on `by`; at 100 TB the
+    window state is a running scalar per value column, so no group
+    materialization. Skewed `by` keys can be pre-salted by the caller.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     value_cols = list(value_cols if value_cols is not None else
                       [c for c in right.columns if c not in by and c != right_on])
     by = list(by)
+    # at equal __t the right row must fall INSIDE the left row's frame:
+    # backward frame ends at current -> right sorts before left;
+    # forward frame starts at current -> right sorts after left
+    left_side, right_side = (1, 0) if direction == "backward" else (0, 1)
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_on).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(left_side).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by],
         *[F.col(c) for c in by],
         F.col(right_on).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy(*by).orderBy(F.col("__t"), F.col("__side"))
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        fill = partial(F.last, ignorenulls=True)
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        fill = partial(F.first, ignorenulls=True)
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[fill(f"__v_{c}").over(w).alias(c) for c in value_cols],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == left_side).drop("__side")
 
 
 def nearby_join(

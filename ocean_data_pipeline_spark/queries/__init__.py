@@ -79,6 +79,7 @@ _DEFER_TO_BACK = frozenset({
     "stream_join_funnel_outer",
     "stratified_sample_events",
     "value_histogram_events",
+    "asof_forward_deadline",
 })
 
 

@@ -366,3 +366,66 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- forward as-of: next-deadline join --------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH deadlines AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS deadline,
+         count(*) AS batch_size
+  FROM orders GROUP BY 1, 2
+  HAVING count(*) >= 45
+)
+SELECT o.o_orderkey AS orderkey, d.deadline, d.batch_size
+FROM orders o
+LEFT JOIN deadlines d
+  ON d.priority = o.o_orderpriority
+ AND d.deadline = (SELECT min(d2.deadline) FROM deadlines d2
+                   WHERE d2.priority = o.o_orderpriority
+                     AND d2.deadline >= o.o_orderdate)
+ORDER BY orderkey
+"""
+
+
+@register("asof_forward_deadline", oracle=_ASOF_FWD_ORACLE)
+def asof_forward_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators.joins.asof_join direction=
+    'forward'): each order attaches the NEXT qualifying deadline — the
+    end of the next busy month (>= 45 orders) for its priority class.
+    Deadlines are sparse by construction, so most orders genuinely
+    search several months ahead and the tail of each timeline gets
+    NULL (no future deadline) — the semantics a trivially-dense right
+    side would not exercise. The oracle finds the same row with a
+    correlated min-subquery, the construct the union+window plan
+    replaces with one running fill per group."""
+    orders = table(spark, sf_dir, "orders")
+    deadlines = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("batch_size"))
+        .filter(F.col("batch_size") >= 45)
+        .select(
+            "priority",
+            F.add_months(F.col("m").cast("date"), 1).cast("timestamp").alias("deadline"),
+            "batch_size",
+        )
+    )
+    left = orders.select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    joined = asof_join(
+        left,
+        deadlines,
+        left_on="o_orderdate",
+        right_on="deadline",
+        by=["priority"],
+        value_cols=["deadline", "batch_size"],
+        direction="forward",
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("orderkey"), "deadline", "batch_size"
+    ).orderBy("orderkey")

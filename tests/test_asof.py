@@ -1,0 +1,54 @@
+"""as-of join direction semantics (operators.joins.asof_join):
+backward = latest right <= t, forward = earliest right >= t, both
+INCLUSIVE at equal timestamps (pandas merge_asof contract), NULL when
+nothing exists in the search direction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocean_data_pipeline_spark.operators.joins import asof_join
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 20), ("b", 7)],
+        "g string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 15, "r15"), ("b", 1, "r1")],
+        "g string, rt long, v string",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {(r["g"], r["t"]): r["v"] for r in df.collect()}
+
+
+def test_asof_backward(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, "t", "rt", by=["g"], direction="backward")
+    got = _collect(out)
+    assert got[("a", 5)] is None          # nothing at or before 5
+    assert got[("a", 10)] == "r10"        # inclusive at equal t
+    assert got[("a", 20)] == "r15"        # latest of {10, 15}
+    assert got[("b", 7)] == "r1"
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, "t", "rt", by=["g"], direction="forward")
+    got = _collect(out)
+    assert got[("a", 5)] == "r10"         # earliest of {10, 15}
+    assert got[("a", 10)] == "r10"        # inclusive at equal t
+    assert got[("a", 20)] is None         # nothing at or after 20
+    assert got[("b", 7)] is None
+
+
+def test_asof_bad_direction(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "t", "rt", by=["g"], direction="nearest")

@@ -13,7 +13,6 @@
 from __future__ import annotations
 
 from collections.abc import Sequence
-from functools import partial
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,30 +32,43 @@ def asof_join(
     direction (within `by` groups): "backward" = latest right with
     right_on <= left_on (the policy-lookup / last-known-value join);
     "forward" = earliest right with right_on >= left_on (the
-    next-deadline / next-event join). Both inclusive at equal
-    timestamps, matching pandas merge_asof.
+    next-deadline / next-event join); "nearest" = whichever of the two
+    is closer in time, backward winning ties (pandas merge_asof
+    contract). All inclusive at equal timestamps.
 
     Plan shape: union of the two (tagged) timelines → single window
     sorted by (by, t, side) with right rows ordered toward the fill
     direction at equal timestamps → `last`/`first(value, ignorenulls)`
-    running fill → keep left rows. One exchange on `by`; at 100 TB the
+    running fill → keep left rows. "nearest" evaluates both fills over
+    the SAME sorted window (two frames, one sort, one exchange) and
+    picks per-row by distance — equal-timestamp rights sort before
+    left rows, so the backward fill sees them at distance 0 and the
+    tie-break is structural. One exchange on `by`; at 100 TB the
     window state is a running scalar per value column, so no group
     materialization. Skewed `by` keys can be pre-salted by the caller.
+    Distance for "nearest" compares `__t` cast to double — exact for
+    integer keys below 2^53; for sub-microsecond-critical timestamp
+    ties, pre-convert to long micros (unix_micros) in the caller.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     value_cols = list(value_cols if value_cols is not None else
                       [c for c in right.columns if c not in by and c != right_on])
     by = list(by)
     # at equal __t the right row must fall INSIDE the left row's frame:
     # backward frame ends at current -> right sorts before left;
-    # forward frame starts at current -> right sorts after left
-    left_side, right_side = (1, 0) if direction == "backward" else (0, 1)
+    # forward frame starts at current -> right sorts after left.
+    # nearest uses the backward ordering (equal-t rights resolve to
+    # distance 0 on the backward fill, which wins the tie anyway).
+    left_side, right_side = (0, 1) if direction == "forward" else (1, 0)
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_on).alias("__t"),
         F.lit(left_side).alias("__side"),
+        F.lit(None).cast(right.schema[right_on].dataType).alias("__rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
     r_tagged = right.select(
@@ -64,21 +76,38 @@ def asof_join(
         *[F.col(c) for c in by],
         F.col(right_on).alias("__t"),
         F.lit(right_side).alias("__side"),
+        F.col(right_on).alias("__rt"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     base = Window.partitionBy(*by).orderBy(F.col("__t"), F.col("__side"))
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
     if direction == "backward":
-        w = base.rowsBetween(Window.unboundedPreceding, 0)
-        fill = partial(F.last, ignorenulls=True)
-    else:
-        w = base.rowsBetween(0, Window.unboundedFollowing)
-        fill = partial(F.first, ignorenulls=True)
+        fills = [F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(c) for c in value_cols]
+    elif direction == "forward":
+        fills = [F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(c) for c in value_cols]
+    else:  # nearest: both fills share the one sorted exchange
+        b_t = F.last("__rt", ignorenulls=True).over(wb)
+        f_t = F.first("__rt", ignorenulls=True).over(wf)
+        use_b = f_t.isNull() | (
+            b_t.isNotNull()
+            & (
+                (F.col("__t").cast("double") - b_t.cast("double"))
+                <= (f_t.cast("double") - F.col("__t").cast("double"))
+            )
+        )
+        fills = [
+            F.when(use_b, F.last(f"__v_{c}", ignorenulls=True).over(wb))
+            .otherwise(F.first(f"__v_{c}", ignorenulls=True).over(wf))
+            .alias(c)
+            for c in value_cols
+        ]
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[fill(f"__v_{c}").over(w).alias(c) for c in value_cols],
+        *fills,
     )
     return filled.filter(F.col("__side") == left_side).drop("__side")
 

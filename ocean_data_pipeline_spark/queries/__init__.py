@@ -80,6 +80,7 @@ _DEFER_TO_BACK = frozenset({
     "stratified_sample_events",
     "value_histogram_events",
     "asof_forward_deadline",
+    "asof_nearest_event",
 })
 
 

@@ -429,3 +429,76 @@ def asof_forward_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("o_orderkey").alias("orderkey"), "deadline", "batch_size"
     ).orderBy("orderkey")
+
+
+# --- nearest as-of: closest-event attribution -------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH err AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'error'
+),
+pur AS (
+  SELECT user_id, epoch_us(ts) AS p_us, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+cand AS (
+  SELECT e.event_id, e.user_id, e.t_us,
+         (SELECT max(p.p_us) FROM pur p
+           WHERE p.user_id = e.user_id AND p.p_us <= e.t_us) AS b_us,
+         (SELECT min(p.p_us) FROM pur p
+           WHERE p.user_id = e.user_id AND p.p_us >= e.t_us) AS f_us
+  FROM err e
+),
+chosen AS (
+  SELECT event_id, user_id, t_us,
+         CASE WHEN f_us IS NULL THEN b_us
+              WHEN b_us IS NULL THEN f_us
+              WHEN t_us - b_us <= f_us - t_us THEN b_us
+              ELSE f_us END AS n_us
+  FROM cand
+)
+SELECT c.event_id, c.user_id,
+       c.n_us - c.t_us       AS offset_us,
+       p.purchase_value
+FROM chosen c
+LEFT JOIN pur p ON p.user_id = c.user_id AND p.p_us = c.n_us
+ORDER BY event_id
+"""
+
+
+@register("asof_nearest_event", oracle=_ASOF_NEAREST_ORACLE)
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (direction='nearest'): each error event
+    attaches the same user's closest purchase in either direction,
+    backward winning exact ties — "what was this user buying around
+    the failure". Keys are exact integer microseconds (unix_micros) so
+    the distance comparison is integer-exact on both engines; the
+    right side dedups to one purchase per (user, instant) so the match
+    is deterministic. The oracle needs TWO correlated extremum
+    subqueries plus a tie-break — the union+window plan does it in one
+    sorted exchange with two frames."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("p_us"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        err,
+        pur,
+        left_on="t_us",
+        right_on="p_us",
+        by=["user_id"],
+        value_cols=["p_us", "purchase_value"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.col("p_us") - F.col("t_us")).alias("offset_us"),
+        "purchase_value",
+    ).orderBy("event_id")

@@ -51,4 +51,23 @@ def test_asof_forward(spark, frames):
 def test_asof_bad_direction(frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, "t", "rt", by=["g"], direction="nearest")
+        asof_join(left, right, "t", "rt", by=["g"], direction="sideways")
+
+
+def test_asof_nearest(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, "t", "rt", by=["g"], direction="nearest")
+    got = _collect(out)
+    assert got[("a", 5)] == "r10"         # only forward exists
+    assert got[("a", 10)] == "r10"        # distance 0, backward tie-break
+    assert got[("a", 20)] == "r15"        # only backward exists
+    assert got[("b", 7)] == "r1"
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([("a", 10)], "g string, t long")
+    right = spark.createDataFrame(
+        [("a", 8, "back"), ("a", 12, "fwd")], "g string, rt long, v string"
+    )
+    out = asof_join(left, right, "t", "rt", by=["g"], direction="nearest")
+    assert _collect(out)[("a", 10)] == "back"  # equidistant -> backward

@@ -255,3 +255,14 @@ def simhash16(text: Column) -> Column:
         votes = F.aggregate(h, F.lit(0), vote_fn(bit))
         out = out + F.when(votes > 0, F.lit(2 ** bit)).otherwise(F.lit(0))
     return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup-prep canonicalization: lowercase, strip punctuation,
+    collapse runs of whitespace, trim — so trivially-variant copies
+    (case, punctuation, spacing) hash identically. The standard first
+    stage before exact-hash dedup in a corpus pipeline; pure regexp
+    projections at scan speed."""
+    lowered = F.lower(F.trim(text))
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

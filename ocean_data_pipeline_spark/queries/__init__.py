@@ -81,6 +81,7 @@ _DEFER_TO_BACK = frozenset({
     "value_histogram_events",
     "asof_forward_deadline",
     "asof_nearest_event",
+    "dedup_normalized_documents",
 })
 
 

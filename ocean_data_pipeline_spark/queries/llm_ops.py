@@ -1046,3 +1046,45 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("n_members", F.count(F.lit(1)).over(w))
         .orderBy("vec_id")
     )
+
+
+# --- dedup on NORMALIZED text ----------------------------------------
+
+_NORM_DEDUP_ORACLE = """
+WITH h AS (
+  SELECT sha256(text) AS raw_hash,
+         sha256(trim(regexp_replace(
+             regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT count(*)                                        AS n_docs,
+       count(DISTINCT raw_hash)                        AS n_unique_raw,
+       count(DISTINCT norm_hash)                       AS n_unique_norm,
+       count(DISTINCT raw_hash) - count(DISTINCT norm_hash) AS n_extra_dups_caught
+FROM h
+"""
+
+
+@register("dedup_normalized_documents", oracle=_NORM_DEDUP_ORACLE)
+def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on CANONICALIZED text (operators.text.normalize_text:
+    lowercase, strip punctuation, collapse whitespace) vs raw text —
+    the census shows how many trivially-variant copies raw hashing
+    misses. Same one-shuffle shape as dedup_exact_documents; the
+    normalization is a scan-speed regexp projection."""
+    from ocean_data_pipeline_spark.operators.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        F.sha2(F.col("text"), 256).alias("raw_hash"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("norm_hash"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_hash").alias("n_unique_raw"),
+        F.countDistinct("norm_hash").alias("n_unique_norm"),
+        (F.countDistinct("raw_hash") - F.countDistinct("norm_hash")).alias(
+            "n_extra_dups_caught"
+        ),
+    )

@@ -101,3 +101,66 @@ def test_out_of_bbox_clamps_into_grid(spark, lats):
     df = spark.createDataFrame([(v,) for v in lats], "x double")
     idxs = [r["i"] for r in df.select(g.lat_to_index(F.col("x")).alias("i")).collect()]
     assert all(0 <= i <= 90 for i in idxs)
+
+
+# --- as-of join vs pandas merge_asof (reference implementation) -------
+
+_TS = st.integers(min_value=0, max_value=1_000)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.lists(_TS, min_size=1, max_size=12, unique=True),
+    st.lists(_TS, min_size=1, max_size=12, unique=True),
+    st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
+    """For every direction, the union+window as-of plan must agree with
+    pandas merge_asof on random integer timelines (single group)."""
+    import pandas as pd
+
+    from ocean_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("g", t) for t in lts], "g string, t long")
+    right = spark.createDataFrame(
+        [("g", t, f"v{t}") for t in rts], "g string, rt long, v string"
+    )
+    got = {
+        r["t"]: r["v"]
+        for r in asof_join(left, right, "t", "rt", by=["g"], direction=direction).collect()
+    }
+
+    lp = pd.DataFrame({"t": sorted(lts)})
+    rp = pd.DataFrame({"rt": sorted(rts), "v": [f"v{t}" for t in sorted(rts)]})
+    want_df = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", direction=direction
+    )
+    want = {
+        int(r.t): (None if pd.isna(r.v) else r.v) for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+# --- normalize_text ---------------------------------------------------
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(st.lists(_TEXT, min_size=1, max_size=30))
+def test_normalize_text_idempotent_and_variant_stable(spark, texts):
+    """normalize(normalize(x)) == normalize(x), and case/extra-space
+    variants of the same text normalize identically (the property the
+    normalized-dedup census relies on)."""
+    from ocean_data_pipeline_spark.operators.text import normalize_text
+
+    def run(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x string")
+        return [r["y"] for r in df.select(normalize_text(F.col("x")).alias("y")).collect()]
+
+    once = run(texts)
+    assert run(once) == once  # idempotent
+    variants = [f"  {t.upper()}  " for t in texts]
+    assert run(variants) == once  # trivially-variant copies collapse

@@ -82,6 +82,8 @@ _DEFER_TO_BACK = frozenset({
     "asof_forward_deadline",
     "asof_nearest_event",
     "dedup_normalized_documents",
+    "repeated_ngrams",
+    "corpus_curation_funnel",
 })
 
 

@@ -25,6 +25,7 @@ from ocean_data_pipeline_spark.operators.text import (
     quality_score,
     rolling_hashes,
     simhash16,
+    stopword_hits,
     token_count,
     winnow_positional_robust,
     winnow_select,
@@ -1086,5 +1087,157 @@ def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("norm_hash").alias("n_unique_norm"),
         (F.countDistinct("raw_hash") - F.countDistinct("norm_hash")).alias(
             "n_extra_dups_caught"
+        ),
+    )
+
+
+# --- repeated n-grams (memorization / contamination metric) -----------
+
+_REPEATED_NGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id,
+         list_aggregate(list_slice(t, i, i + 7), 'string_agg', ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(0, len(t) - 7))) AS g(i)
+)
+SELECT gram,
+       count(*)                 AS n_occurrences,
+       count(DISTINCT doc_id)   AS n_docs
+FROM grams
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, gram
+LIMIT 20
+"""
+
+
+@register("repeated_ngrams", oracle=_REPEATED_NGRAMS_ORACLE)
+def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document repeated 8-grams — the memorization /
+    boilerplate signal a training pipeline monitors (passages repeated
+    across many documents get memorized; Lee et al. '21 dedups them
+    outright). Token windows come from one array projection (slice
+    over a staged token array, no per-window re-split), explode feeds
+    a partial-aggregated count: the shuffle carries (gram, partial
+    counts), never raw text. spread=True for the degenerate
+    one-row-group scan."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    # Guard sub-8-token docs: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    # where DuckDB's generate_series(1, 0) is empty — without the
+    # filter, a short doc would explode a bogus slice(t, 0, 8).
+    grams = toks.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(7)),
+                lambda i: F.array_join(F.slice(F.col("t"), i, 8), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+# --- corpus curation funnel (composite) -------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         length(trim(text)) > 0 AS nonempty,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         {_oracle_stopword_hits('en')} AS en_hits,
+         {_oracle_stopword_hits('de')} AS de_hits,
+         {_oracle_stopword_hits('fr')} AS fr_hits,
+         {_oracle_stopword_hits('es')} AS es_hits,
+         round(greatest(0.0,
+           least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 100.0)
+           * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1))), 6) AS quality,
+         sha256(trim(regexp_replace(
+             regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_hash
+  FROM documents
+),
+staged AS (
+  SELECT *,
+         nonempty AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0 AS lang_known,
+         nonempty AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+           AND quality >= 0.3 AS quality_ok,
+         nonempty AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+           AND quality >= 0.3 AND n_tokens BETWEEN 50 AND 10000 AS length_ok
+  FROM feats
+)
+SELECT count(*)                                             AS n_total,
+       CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS BIGINT)   AS n_nonempty,
+       CAST(sum(CASE WHEN lang_known THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_known,
+       CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(sum(CASE WHEN length_ok THEN 1 ELSE 0 END) AS BIGINT)  AS n_length_ok,
+       count(DISTINCT CASE WHEN length_ok THEN norm_hash END)      AS n_unique_kept
+FROM staged
+"""
+
+
+@register("corpus_curation_funnel", oracle=_FUNNEL_ORACLE)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus CURATION funnel, as one query: raw docs →
+    non-empty → language identified → quality-scored → length-bounded
+    → normalized-dedup survivors. Composes the individually-verified
+    featurizers (operators.text: predicted_lang via stopword argmax,
+    quality_score, token_count, normalize_text) into the count-per-
+    stage report every training-data pipeline publishes. One scan, all
+    stages as conditional aggregates — no per-stage passes; the only
+    non-trivial state is the distinct normalized hash among survivors,
+    one shuffle on the hash."""
+    from ocean_data_pipeline_spark.operators.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    hits = [stopword_hits(F.lower(F.col("text")), lang) for lang in ("en", "de", "fr", "es")]
+    feats = docs.select(
+        F.length(F.trim(F.col("text"))).__gt__(0).alias("nonempty"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.greatest(*hits).alias("max_hits"),
+        quality_score(F.col("text")).alias("quality"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("norm_hash"),
+    )
+    staged = feats.select(
+        "nonempty",
+        "norm_hash",
+        (F.col("nonempty") & (F.col("max_hits") > 0)).alias("lang_known"),
+        (F.col("nonempty") & (F.col("max_hits") > 0) & (F.col("quality") >= 0.3)).alias(
+            "quality_ok"
+        ),
+        (
+            F.col("nonempty")
+            & (F.col("max_hits") > 0)
+            & (F.col("quality") >= 0.3)
+            & F.col("n_tokens").between(50, 10000)
+        ).alias("length_ok"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("nonempty"), 1).otherwise(0)).alias("n_nonempty"),
+        F.sum(F.when(F.col("lang_known"), 1).otherwise(0)).alias("n_lang_known"),
+        F.sum(F.when(F.col("quality_ok"), 1).otherwise(0)).alias("n_quality_ok"),
+        F.sum(F.when(F.col("length_ok"), 1).otherwise(0)).alias("n_length_ok"),
+        F.countDistinct(F.when(F.col("length_ok"), F.col("norm_hash"))).alias(
+            "n_unique_kept"
         ),
     )

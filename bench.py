@@ -82,6 +82,9 @@ HEADLINE = [
     "stratified_sample_events",
     "value_histogram_events",
     "stream_join_funnel_outer",
+    "asof_nearest_event",
+    "repeated_ngrams",
+    "corpus_curation_funnel",
 ]
 
 

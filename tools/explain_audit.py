@@ -185,6 +185,11 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     "stratified_sample_events": (["HashAggregate"], ["BatchEvalPython"]),
     "value_histogram_events": (["HashAggregate"], ["BatchEvalPython"]),
     "stream_join_funnel_outer": (["FullOuter"], ["BatchEvalPython"]),
+    "repeated_ngrams": (["TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    "corpus_curation_funnel": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    "dedup_normalized_documents": (["HashAggregate"], ["BatchEvalPython"]),
+    "asof_forward_deadline": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    "asof_nearest_event": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

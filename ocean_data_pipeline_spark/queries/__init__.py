@@ -44,12 +44,13 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries with a driver-green CORRECTNESS row through round 2. The driver
+# Queries with a driver-green CORRECTNESS row through round 3. The driver
 # verifies only the first 50 registry entries per round, so `load_all`
 # rotates this long-green set to the back and surfaces never-driver-verified
 # queries (plus queries whose oracle is new this round) in the front slots.
 # Local oracle parity (tests/test_oracle_parity.py) still covers everything.
 _DRIVER_VERIFIED = frozenset({
+    # green through round 2
     "q1_pricing", "describe_lineitem", "quartiles_exact", "null_counts_events",
     "events_type_profile", "conditional_agg_events", "value_ranges_quality",
     "distinct_counts", "rollup_revenue", "grouping_sets_revenue",
@@ -66,25 +67,37 @@ _DRIVER_VERIFIED = frozenset({
     "embedding_stats", "props_json_extract", "minhash_lsh_near_dup",
     "sim_topk_lsh", "token_counts_bpe", "doc_fingerprint_rolling",
     "winnow_shared_pairs",
-    # NOT listed: multimodal_features — its oracle is new this round, so it
-    # stays in the front block to earn a hash row instead of rows-only.
+    # green in round 3 (CORRECTNESS_r03.json, 49/49 oracle-backed pass)
+    "dedup_pipeline_end2end", "multimodal_features", "embedding_near_dup",
+    "sim_topk_ivf", "sim_topk_ivf_multiprobe", "tfidf_top_terms",
+    "near_dup_components", "daily_series_gapfill", "unpivot_measures",
+    "pivot_status_by_year", "union_batches_dedup", "intersect_customers",
+    "except_customers", "sql_revenue_by_nation", "sql_series_ordered",
+    "sql_above_avg_balance", "stream_tumbling_counts", "stream_sliding_counts",
+    "stream_session_counts", "stream_join_conversions",
+    "order_priority_late_ship", "nation_volume_shipping",
+    "small_qty_order_revenue", "large_order_customers", "min_cost_supplier",
+    "supplier_cnt_by_part", "disjunctive_promo_revenue", "sole_late_supplier",
+    "idle_customer_balance", "top_revenue_supplier", "nation_value_share",
+    "forecast_revenue_change", "nation_market_share",
+    "product_profit_by_nation", "returned_item_customers",
+    "late_shipment_priority", "customer_order_distribution",
+    "promo_revenue_share", "dominant_part_suppliers", "chunk_documents",
+    "train_test_split_deterministic", "pack_token_budget", "top_orders",
+    "latest_order_per_customer", "monthly_revenue_delta",
+    "rolling_avg_monthly", "running_total_per_customer", "sessionize_events",
+    "order_value_deciles",
+    # NOT listed: sim_topk_ivf_kmeans — rows-only in r03; it stays in the
+    # front block to earn a hash row with the frozen-centroid oracle.
 })
 
 # Queries added after the round's front block was already full (the
 # driver checks exactly 50): parked at the back so they don't displace
 # a never-verified query; promote them next round when the rotation
 # frees slots. Local oracle parity covers them meanwhile.
-_DEFER_TO_BACK = frozenset({
-    "winnow_robust_census",
-    "stream_join_funnel_outer",
-    "stratified_sample_events",
-    "value_histogram_events",
-    "asof_forward_deadline",
-    "asof_nearest_event",
-    "dedup_normalized_documents",
-    "repeated_ngrams",
-    "corpus_curation_funnel",
-})
+# Round 4: empty — the rotation freed 49 slots, so every previously
+# deferred query now rides in the front block.
+_DEFER_TO_BACK: frozenset[str] = frozenset()
 
 
 def load_all() -> dict[str, RegisteredQuery]:
@@ -114,6 +127,18 @@ def load_all() -> dict[str, RegisteredQuery]:
     )
 
     rotated = _DRIVER_VERIFIED | _DEFER_TO_BACK
+    # Guard against silent drift: a renamed or deleted query left in the
+    # rotation sets would otherwise be ignored and shift the front block.
+    unknown = rotated - REGISTRY.keys()
+    if unknown:
+        raise AssertionError(
+            f"rotation sets name unregistered queries: {sorted(unknown)}"
+        )
+    overlap = _DRIVER_VERIFIED & _DEFER_TO_BACK
+    if overlap:
+        raise AssertionError(
+            f"queries in both rotation sets: {sorted(overlap)}"
+        )
     front = {n: rq for n, rq in REGISTRY.items() if n not in rotated}
     back = {n: rq for n, rq in REGISTRY.items() if n in rotated}
     return {**front, **back}

@@ -92,6 +92,8 @@ HEADLINE = [
     "asof_nearest_event",
     "repeated_ngrams",
     "corpus_curation_funnel",
+    # round-4 additions
+    "bloom_join_urgent_revenue",
 ]
 
 

@@ -502,3 +502,73 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_us") - F.col("t_us")).alias("offset_us"),
         "purchase_value",
     ).orderBy("event_id")
+
+
+# --- runtime Bloom-filter join (join-bloom): the 100 TB
+# shuffle-reduction lever, registered so the driver exercises it. ------
+
+_BLOOM_ORACLE = """
+SELECT
+  l_returnflag                                               AS returnflag,
+  count(*)                                                   AS n_items,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY returnflag
+"""
+
+#: Optimizer confs the bloom posture needs at PLAN time. Applied to an
+#: isolated `spark.newSession()` (shared SparkContext, private SQLConf)
+#: so they are live when the driver finally acts on the returned
+#: DataFrame, without leaking into sibling queries' plans:
+#: the scan-size floor is for production (10 GB default) and must drop
+#: to 0 at test scale, and broadcast must be off for THIS join because
+#: runtime bloom filters target shuffle joins — neither belongs in the
+#: shared session.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register("bloom_join_urgent_revenue", oracle=_BLOOM_ORACLE)
+def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim ⋈ fact with a runtime Bloom filter: the optimizer
+    turns the `o_orderpriority = '1-URGENT'` predicate into a
+    `might_contain(bloom_filter_agg(xxhash64(o_orderkey)))` semi-filter
+    INJECTED ON THE FACT SCAN, so ~80% of lineitem rows are dropped
+    before the join shuffle instead of after it — at 100 TB that is the
+    difference between shuffling the fact table and shuffling a fifth
+    of it. Plan-gated (tools/explain_audit.py) and snapshot-pinned;
+    results are identical with the filter on or off
+    (tests/test_bloom_join.py).
+
+    Built on an isolated `newSession()` so the plan-time confs
+    (_BLOOM_CONFS) are in force whenever the caller executes the
+    returned DataFrame, while the caller's own session confs stay
+    untouched.
+    """
+    from ocean_data_pipeline_spark.session import tune_for_oracle
+
+    sub = tune_for_oracle(spark.newSession())
+    for k, v in _BLOOM_CONFS.items():
+        sub.conf.set(k, v)
+    li = table(sub, sf_dir, "lineitem")
+    orders = table(sub, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("returnflag")
+    )

@@ -77,6 +77,14 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     # q2 shape: argmin window runs on the aggregated relation; all
     # three enrichment joins broadcast
     "min_cost_supplier": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # runtime Bloom-filter join: the selective orders predicate becomes
+    # a might_contain(bloom_filter_agg(xxhash64(l_orderkey))) semi-
+    # filter injected on the FACT scan — fact rows that cannot match
+    # are dropped before the shuffle (the 100 TB lever)
+    "bloom_join_urgent_revenue": (
+        ["might_contain", "bloom_filter_agg", "xxhash64(l_orderkey"],
+        ["CartesianProduct", "BroadcastHashJoin", "BatchEvalPython"],
+    ),
     # q16 shape: NOT IN is a broadcast anti-join; size/brand filters
     # pushed to the part scan
     "supplier_cnt_by_part": (

@@ -68,6 +68,12 @@ def _entries_df(spark, rows):
     )
 
 
+def _bucket_files(cache, bucket):
+    return sorted(
+        glob.glob(os.path.join(cache.path, "v_*", f"key_bucket={bucket}", "*.parquet"))
+    )
+
+
 def test_put_rewrites_only_touched_buckets(spark, tmp_path):
     cache = ResultCache(spark, str(tmp_path / "cache"))
     # seed two buckets: aa... and bb...
@@ -75,15 +81,13 @@ def test_put_rewrites_only_touched_buckets(spark, tmp_path):
         _entry("aa" + "0" * 14, "2024-01-01 00:00:00"),
         _entry("bb" + "0" * 14, "2024-01-01 00:00:00"),
     ]))
-    aa_files = sorted(glob.glob(os.path.join(cache.path, "key_bucket=aa", "*.parquet")))
+    aa_files = _bucket_files(cache, "aa")
     aa_mtimes = [os.path.getmtime(f) for f in aa_files]
-    assert aa_files and sorted(
-        os.path.basename(d) for d in glob.glob(os.path.join(cache.path, "key_bucket=*"))
-    ) == ["key_bucket=aa", "key_bucket=bb"]
+    assert aa_files and _bucket_files(cache, "bb")
 
     # upsert into bb only: newer row must win; aa files must be untouched
     cache.put(_entries_df(spark, [_entry("bb" + "0" * 14, "2024-02-01 00:00:00")]))
-    assert sorted(glob.glob(os.path.join(cache.path, "key_bucket=aa", "*.parquet"))) == aa_files
+    assert _bucket_files(cache, "aa") == aa_files
     assert [os.path.getmtime(f) for f in aa_files] == aa_mtimes
 
     rows = {r["query_hash"]: r for r in cache.read().collect()}
@@ -97,25 +101,53 @@ def test_put_empty_batch_is_noop(spark, tmp_path):
     assert not os.path.exists(cache.path)
 
 
-def test_put_cleans_staging_dir(spark, tmp_path):
+def test_put_writes_touched_set_once_and_vacuums(spark, tmp_path):
+    """The commit writes each touched bucket into exactly ONE live
+    version directory (no staging double-write) and vacuums superseded
+    bucket dirs, so disk holds one copy of every bucket."""
     cache = ResultCache(spark, str(tmp_path / "cache"))
     cache.put(_entries_df(spark, [_entry("aa" + "0" * 14, "2024-01-01 00:00:00")]))
-    assert os.path.exists(cache.path)
-    assert not os.path.exists(cache.path + ".tmp")
+    cache.put(_entries_df(spark, [_entry("aa" + "0" * 14, "2024-02-01 00:00:00")]))
+    aa_dirs = {
+        os.path.dirname(f) for f in _bucket_files(cache, "aa")
+    }
+    assert len(aa_dirs) == 1  # superseded version vacuumed
+    assert not glob.glob(os.path.join(cache.path, "*.tmp"))
 
 
 def test_put_recovers_from_crashed_commit(spark, tmp_path):
-    """A put interrupted between staging and commit leaves a stale .tmp;
-    the next put must succeed (staging is overwrite-mode scratch, never
-    read before being rewritten) and clean it up."""
+    """A put that crashed AFTER writing its version dir but BEFORE the
+    manifest flip leaves an unreferenced (orphan) version directory.
+    Readers never see it; the next successful commit vacuums it."""
     cache = ResultCache(spark, str(tmp_path / "cache"))
     cache.put(_entries_df(spark, [_entry("aa" + "0" * 14, "2024-01-01 00:00:00")]))
-    # simulate a crash mid-commit: stale staging dir with garbage content
-    os.makedirs(cache.path + ".tmp", exist_ok=True)
-    with open(os.path.join(cache.path + ".tmp", "orphan"), "w") as f:
+    # simulate the crash: orphan version dir + stale manifest sidecar
+    orphan = os.path.join(cache.path, "v_000099", "key_bucket=zz")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "orphan"), "w") as f:
         f.write("crash leftovers")
+    with open(os.path.join(cache.path, "_manifest.json.tmp"), "w") as f:
+        f.write("{half-written")
+
+    # the orphan is invisible to reads (manifest is authoritative)
+    assert {r["query_hash"] for r in cache.read().collect()} == {"aa" + "0" * 14}
 
     cache.put(_entries_df(spark, [_entry("bb" + "0" * 14, "2024-02-01 00:00:00")]))
-    assert not os.path.exists(cache.path + ".tmp")
+    assert not os.path.exists(os.path.join(cache.path, "v_000099"))
     rows = {r["query_hash"] for r in cache.read().collect()}
     assert rows == {"aa" + "0" * 14, "bb" + "0" * 14}
+
+
+def test_cleanup_and_clear_reclaim_space(spark, tmp_path):
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+    cache.put(_entries_df(spark, [
+        _entry("aa" + "0" * 14, "2024-01-01 00:00:00"),
+        _entry("bb" + "0" * 14, "2024-01-01 00:00:00"),
+    ]))
+    # fixed "now" far in the future: everything expires
+    removed = cache.cleanup(now=F.lit("2200-01-01").cast("timestamp"))
+    assert removed == 2
+    assert cache.read().count() == 0
+    cache.clear()
+    assert not glob.glob(os.path.join(cache.path, "v_*"))
+    assert cache.read().count() == 0

@@ -119,6 +119,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         set_ops,
         sql_surface,
         stream_twins,
+        streaming_e2e,
         tpch_more,
         tpch_shapes2,
         tpch_shapes3,

@@ -1,0 +1,111 @@
+"""End-to-end streaming pipeline (SURVEY.md §2-H, the full chain):
+file stream → event-time session windows → foreachBatch keyed upsert
+into the ResultCache table — the reference's fetch→cache refresh loop
+(dashboard/app.py:93 memo cadence + cache_manager.py:123-177 upsert)
+as one Structured Streaming job.
+
+Registered ROWS-ONLY by necessity: the pipeline's output is the state
+of a table it wrote via foreachBatch side effects, which no single SQL
+statement reproduces. The correctness check lives in
+tests/test_streaming_e2e.py: the final cache state must equal the
+batch-computed "latest session per user" relation exactly (streaming ==
+batch equivalence, the same law the stream_twins queries pin
+per-operator, here pinned for the whole pipeline).
+
+Scale posture: session state is bounded by the watermark; the cache
+upsert rewrites only touched key-prefix buckets per micro-batch
+(ResultCache commit protocol); nothing crosses to the driver but the
+≤256-bucket metadata inside put().
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocean_data_pipeline_spark.queries import register
+
+
+def _sessions_to_cache_rows(sessions: DataFrame, ttl_hours: int = 24) -> DataFrame:
+    """Map session-window rows onto CACHE_SCHEMA.
+
+    Key = sha2 of the user id (the reference's normalized-params hash,
+    cache_manager.py:63-77); version column = session_end so the
+    keep-latest merge retains each user's most recent (and, for a
+    growing session re-emitted across micro-batches, most complete)
+    session. Per-user sessions are gap-disjoint, so session_end is
+    unique per user and the merge is deterministic.
+    """
+    return sessions.select(
+        F.substring(
+            F.sha2(F.concat(F.lit("user_"), F.col("user_id").cast("string")), 256), 1, 16
+        ).alias("query_hash"),
+        F.lit(0.0).alias("latitude"),
+        F.lit(0.0).alias("longitude"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_date"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_date"),
+        F.lit('["sessions"]').alias("variables"),
+        F.to_json(F.struct(F.col("n_events"))).alias("data_json"),
+        F.col("n_events").cast("long").alias("row_count"),
+        F.col("session_end").alias("fetched_at"),
+        (F.col("session_end") + F.expr("INTERVAL 24 HOURS")).alias("expires_at"),
+        F.col("n_events").cast("long").alias("file_size_bytes"),
+    )
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same TIMESTAMP(NANOS)
+    normalization catalog.table applies on the batch path."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # The file source streams DIRECTORIES; the testdata table is a
+    # single file, so stream the sf dir filtered down to that file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@register("stream_file_session_cache", oracle=None)
+def stream_file_session_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full pipeline to completion, then return the cache table:
+    one row per user = their latest session (keep-latest upsert). The
+    returned relation is deterministic for a static input directory;
+    tests/test_streaming_e2e.py pins it against the batch twin."""
+    from ocean_data_pipeline_spark.cache.result_cache import ResultCache
+    from ocean_data_pipeline_spark.streaming.sink import stream_into_cache
+    from ocean_data_pipeline_spark.streaming.windows import session_counts
+
+    sessions = session_counts(
+        _event_stream(spark, sf_dir), gap="30 minutes", watermark="10 minutes"
+    )
+    entries = _sessions_to_cache_rows(sessions)
+    workdir = tempfile.mkdtemp(prefix="stream_session_cache_")
+    cache = ResultCache(spark, os.path.join(workdir, "cache"))
+    # Session windows reject update mode; over this bounded input,
+    # complete mode re-emits all sessions each micro-batch and the
+    # keep-latest upsert converges to the exact batch-equivalent table
+    # (an unbounded deployment would use append mode and carry only
+    # watermark-finalized sessions — see stream_into_cache docstring).
+    query = stream_into_cache(
+        entries,
+        cache,
+        os.path.join(workdir, "ckpt"),
+        refresh_interval="0 seconds",
+        output_mode="complete",
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return cache.read().select(
+        "query_hash", "start_date", "end_date", "row_count"
+    ).orderBy("query_hash")

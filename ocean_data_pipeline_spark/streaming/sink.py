@@ -35,6 +35,7 @@ def stream_into_cache(
     cache: ResultCache,
     checkpoint_dir: str,
     refresh_interval: str = "5 minutes",
+    output_mode: str = "update",
 ):
     """Start a micro-batch upsert stream into the cache table.
 
@@ -42,11 +43,18 @@ def stream_into_cache(
     cache rows first). `refresh_interval` is the reference's 300 s memo
     cadence as a processing-time trigger; tests pass "0 seconds" and
     drive with processAllAvailable().
+
+    `output_mode`: "update" for keyed/tumbling aggregations (emit
+    changed keys per batch; the keep-latest upsert absorbs re-emits).
+    Session-window aggregations reject update mode — pass "append"
+    (production: emit watermark-finalized sessions only, bounded state)
+    or "complete" (re-emit all state per batch: exact final table over
+    a bounded input, unbounded state over an unbounded one).
     """
     return (
         entries.writeStream.foreachBatch(cache_upsert_writer(cache))
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        .outputMode(output_mode)
         .trigger(processingTime=refresh_interval)
         .start()
     )

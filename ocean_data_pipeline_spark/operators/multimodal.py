@@ -67,14 +67,30 @@ def parse_media_header(payload: bytes | None) -> tuple[str, int | None, int | No
         return ("image/png", w, h)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk marker segments
         i = 2
-        while i + 4 <= len(payload):
+        while i + 2 <= len(payload):
             if payload[i] != 0xFF:
                 break
+            # 0xFF fill bytes may pad between segments (B.1.1.2): skip
+            # to the last 0xFF, which prefixes the real marker byte.
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > len(payload):
+                break
             marker = payload[i + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            if marker in (0xDA, 0xD9):
+                # SOS: entropy-coded data follows (no framed segments —
+                # bytes there would be misread as headers); EOI: end of
+                # image. Either way no SOF can legally follow.
+                break
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # SOI / TEM / RSTn: standalone markers, no length field
                 i += 2
                 continue
+            if i + 4 > len(payload):
+                break
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:  # malformed length would loop forever
+                break
             if marker in _JPEG_SOF and i + 9 <= len(payload):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return ("image/jpeg", w, h)

@@ -49,6 +49,31 @@ def test_parse_malformed_is_total():
     assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x04ab") == ("image/jpeg", None, None)
 
 
+def test_jpeg_marker_walk_real_world_structure():
+    """Padded/progressive real-world JPEGs: 0xFF fill bytes between
+    segments, TEM and RSTn standalone markers, and entropy-coded data
+    after SOS that must never be misread as segment headers."""
+    sof0 = b"\xff\xc0" + bytes([0, 11, 8, 0, 2, 0, 3, 1, 1, 17, 0])
+    # fill bytes + TEM before SOF: still parsed
+    padded = b"\xff\xd8" + b"\xff\xff\xff\x01" + sof0 + b"\xff\xd9"
+    assert parse_media_header(padded) == ("image/jpeg", 3, 2)
+    # SOS terminates the walk: entropy bytes contain a fake "SOF" that
+    # would decode as garbage dimensions if the walk kept going
+    fake_sof_in_scan = b"\xff\xc0\x00\x0b\x08\xff\xff\xff\xff\x01\x01\x11\x00"
+    sos = b"\xff\xda" + bytes([0, 8, 1, 1, 0, 0, 63, 0])
+    scan_first = b"\xff\xd8" + sos + fake_sof_in_scan + b"\xff\xd9"
+    assert parse_media_header(scan_first) == ("image/jpeg", None, None)
+    # EOI terminates the walk
+    assert parse_media_header(b"\xff\xd8\xff\xd9" + sof0) == ("image/jpeg", None, None)
+    # zero segment length (malformed) terminates instead of looping
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x00" * 3) == (
+        "image/jpeg", None, None,
+    )
+    # RSTn standalone markers are stepped over
+    rst = b"\xff\xd8" + b"\xff\xd0\xff\xd7" + sof0 + b"\xff\xd9"
+    assert parse_media_header(rst) == ("image/jpeg", 3, 2)
+
+
 @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 96, 97, 255, 10_000])
 def test_synth_media_roundtrip(doc_id):
     payload = synth_media(doc_id, n_filler=doc_id % 32)

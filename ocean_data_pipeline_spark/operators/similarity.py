@@ -319,3 +319,75 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def _frozen_cell_distances(v: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of squared L2 distances from `v` to each frozen
+    centroid — a literal-folded map expression, NO shuffle and NO
+    centroid table: the codebook compiles into the plan."""
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    return F.transform(cents, lambda c: l2_sq(v, c))
+
+
+def ivf_topk_frozen(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k over a FROZEN k-means codebook
+    (operators.ivf_codebook.FROZEN_CENTROIDS by default): the
+    production posture — the codebook is a committed build artifact, so
+    index assignment and probe routing are pure deterministic
+    expressions and the whole pipeline is SQL-expressible (DuckDB
+    oracle inlines the same literals).
+
+    Plan shape: corpus assignment is a narrow map (argmin over the
+    literal distance array — no centroid join, no shuffle); probes rank
+    the same distance array and explode to their nearest `n_probes`
+    cells; the candidate set shrinks to the probed cells' occupancy via
+    one broadcast equi-join on cell id; exact cosine re-ranks. At
+    100 TB the only wide op is the final per-probe top-k window over
+    candidates.
+    """
+    if centroids is None:
+        from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+
+        centroids = FROZEN_CENTROIDS
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    c_d2 = _frozen_cell_distances(F.col("cv"), centroids)
+    # argmin with lowest-cell tie-break: array_position finds the FIRST
+    # occurrence of the minimum (1-based → -1)
+    assigned = c.withColumn(
+        "cell", (F.array_position(c_d2, F.array_min(c_d2)) - 1).cast("int")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    )
+    p_d2 = _frozen_cell_distances(F.col("pv"), centroids)
+    ranked_cells = F.array_sort(
+        F.transform(p_d2, lambda d, i: F.struct(d.alias("d2"), i.alias("cell")))
+    )
+    probe_cells = p.withColumn(
+        "cell", F.explode(F.slice(ranked_cells, 1, n_probes).getField("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

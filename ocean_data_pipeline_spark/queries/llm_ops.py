@@ -896,19 +896,74 @@ def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
-@register("sim_topk_ivf_kmeans", oracle=None)
+def _kmeans_frozen_oracle() -> str:
+    """DuckDB twin of the frozen-codebook IVF: the SAME committed
+    centroid literals (operators.ivf_codebook) are inlined as a VALUES
+    list, assignment/probing replicate the argmin-with-lowest-cell
+    tie-break, and the squared-distance fold uses the same sequential
+    multiply-accumulate order as the Spark expression."""
+    from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH cents(cell, center) AS (VALUES
+  {rows}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_sum(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM d
+),
+cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+probe_cells AS (SELECT vec_id, v, cell FROM assigned WHERE vec_id < 3 AND rn <= 2),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.v, c.v)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine_sim
+  FROM probe_cells p
+  JOIN cells c ON c.cell = p.cell AND c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+@register("sim_topk_ivf_kmeans", oracle=_kmeans_frozen_oracle())
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True IVF with a TRAINED k-means codebook
-    (operators.similarity.ivf_topk_kmeans): centroids adapt to the
-    data, so 2-of-16 probed cells reach ~0.5 recall on the isotropic
-    testdata where the deterministic argmax-dim quantizer manages
-    ~0.02. Rows-only (k-means internals aren't SQL-expressible);
-    recall gates in tests/test_ivf_recall.py."""
-    from ocean_data_pipeline_spark.operators.similarity import ivf_topk_kmeans
+    """IVF over a FROZEN trained k-means codebook
+    (operators.similarity.ivf_topk_frozen + operators.ivf_codebook):
+    centroids were trained once (MLlib KMeans, seed 42, sf0.01
+    embeddings) and committed as literals — the production pattern
+    where the codebook ships as a build artifact. Trained centroids
+    adapt to the data, so 2-of-16 probed cells reach ~0.5 recall where
+    the argmax-dim quantizer manages ~0.02 (gates in
+    tests/test_ivf_recall.py). Freezing makes the pipeline
+    deterministic across engines, so the query now carries a full
+    DuckDB oracle (same literals inlined) instead of a rows-only
+    check; the live-training path remains available as
+    operators.similarity.ivf_topk_kmeans."""
+    from ocean_data_pipeline_spark.operators.similarity import ivf_topk_frozen
 
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
-    out = ivf_topk_kmeans(emb, probes, k=3)
+    out = ivf_topk_frozen(emb, probes, k=3, n_probes=2)
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
     ).orderBy("probe_id", "rank")

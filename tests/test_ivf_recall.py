@@ -66,3 +66,20 @@ def test_multiprobe_candidates_superset(spark):
     single = ivf_topk(emb, probes, k=K)
     multi_all = ivf_topk_multiprobe(emb, probes, k=10_000)  # unbounded rank
     assert _pairs(single) <= _pairs(multi_all)
+
+
+def test_frozen_codebook_recall_matches_live_training(spark):
+    """The committed frozen codebook (operators.ivf_codebook) is the
+    artifact the registered query ships; its recall must hold the same
+    floor as live training and beat the argmax-dim quantizer."""
+    from ocean_data_pipeline_spark.operators.similarity import ivf_topk_frozen
+
+    emb = table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    exact = _pairs(cosine_topk(emb, probes, k=K))
+    frozen = _pairs(ivf_topk_frozen(emb, probes, k=K, n_probes=2))
+    argmax = _pairs(ivf_topk_multiprobe(emb, probes, k=K))
+    r_frozen = len(frozen & exact) / len(exact)
+    r_argmax = len(argmax & exact) / len(exact)
+    assert r_frozen >= 0.25, f"frozen IVF recall degenerate: {r_frozen:.3f}"
+    assert r_frozen > r_argmax, f"frozen {r_frozen:.3f} <= argmax-dim {r_argmax:.3f}"

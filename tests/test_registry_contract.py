@@ -89,7 +89,6 @@ def test_rows_only_queries_are_the_documented_exceptions(registry):
     # deliberate act, not an accident.
     allowed = {
         "sim_topk_lsh",            # BRP-LSH: hash buckets engine-specific
-        "sim_topk_ivf_kmeans",     # k-means training nondeterministic x-engine
         "minhash_lsh_near_dup",    # LSH banding recall-gated
         "approx_distinct_counts",  # HLL sketch values engine-specific
         "approx_quartiles",        # KLL sketch values engine-specific

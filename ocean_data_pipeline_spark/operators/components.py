@@ -18,10 +18,11 @@ changed-row COUNT (an aggregate action, never the data);
 `localCheckpoint` truncates lineage each round so the plan does not
 grow with iterations — the standard posture for iterative algorithms
 on 100 TB (MLlib's own iterative jobs do the same). For adversarial
-long-chain graphs, swap in the alternating large-star/small-star
-contraction (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) which converges in O(log n) rounds; the near-dup
-workload never needs it.
+long-chain graphs, `connected_components_star` below implements the
+alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), which
+converges in O(log n) rounds on any topology; the near-dup quasi-clique
+workload rarely needs it, so min-label stays the default.
 
 Reference parity: capability-class extension (SURVEY.md §2-J
 dedup-near); the reference dedups by exact cache key only
@@ -130,3 +131,101 @@ def connected_components(
         f"connected_components did not converge in {max_rounds} rounds "
         "(adversarial chain graph? use large-star/small-star contraction)"
     )
+
+
+# --- alternating large-star / small-star contraction ------------------
+#
+# The adversarial-graph fallback promised above: Kiveris et al.,
+# "Connected Components in MapReduce and Beyond" (SoCC'14, public
+# algorithm). Min-label propagation (+ pointer jumping) is the right
+# default for near-dup quasi-cliques; on pathological topologies (long
+# chains, deep trees) the star contraction converges in O(log n)
+# rounds with edge-set size monotonically non-increasing — each round
+# rewires every node toward the minimum of a neighborhood, so the
+# graph contracts toward stars centered at component minima.
+
+
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Undirected canonical edge SET: (u=min, v=max), no self-loops."""
+    return (
+        df.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbrs = E.select("u", "v").union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return _canon_edges(
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Direct edges toward the larger endpoint; link every smaller
+    neighbor (and u itself) to the minimum smaller neighbor."""
+    directed = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    emitted = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+        .union(mins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+    )
+    return _canon_edges(emitted)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    return_rounds: bool = False,
+):
+    """Connected components via alternating large-star/small-star
+    contraction: O(log n) rounds on ANY topology (the worst-case-safe
+    twin of `connected_components`; same (id, component) contract,
+    component = smallest reachable node id).
+
+    Per round: one large-star (shuffle on the smaller endpoint's
+    neighborhood), one small-star (shuffle on the larger endpoint),
+    edge set localCheckpointed so plans stay flat; convergence =
+    edge-set fixpoint (count match + exceptAll empty — exact, no
+    hash-collision early exit). At convergence the edge set IS the
+    component mapping: stars centered at each component's minimum.
+    """
+    E = _canon_edges(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        E2 = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        rounds += 1
+        if E2.count() == E.count() and E2.exceptAll(E).isEmpty():
+            E = E2
+            break
+        E = E2
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # Converged stars: every edge is (center=min, member); centers and
+    # isolated nodes label themselves.
+    mapping = E.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    labels = (
+        nodes.join(mapping, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    return (labels, rounds) if return_rounds else labels

@@ -1104,6 +1104,38 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("near_dup_components_star", oracle=_COMPONENTS_ORACLE)
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same closure as near_dup_components, computed by the
+    worst-case-safe path: alternating large-star/small-star contraction
+    (operators.components.connected_components_star, Kiveris et al.
+    SoCC'14) — O(log n) rounds on ANY topology, vs min-label
+    propagation's O(diameter). Sharing the recursive-CTE oracle proves
+    the two engines' paths agree exactly; the property tests
+    (tests/test_components.py) additionally pin the O(log n) round
+    bound on an adversarial chain graph."""
+    from ocean_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+    from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35)
+    labels = connected_components_star(pairs, src="id_a", dst="id_b")
+    out = (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(
+            "vec_id", F.coalesce("component", F.col("vec_id")).alias("component")
+        )
+    )
+    w = Window.partitionBy("component")
+    return (
+        out.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .orderBy("vec_id")
+    )
+
+
 # --- dedup on NORMALIZED text ----------------------------------------
 
 _NORM_DEDUP_ORACLE = """

@@ -43,3 +43,56 @@ def test_nonconvergence_guard_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_rounds=2)
+
+
+# --- large-star/small-star contraction fallback -----------------------
+
+import math
+import random
+
+from ocean_data_pipeline_spark.operators.components import connected_components_star
+
+
+def test_star_basic_components(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "src long, dst long"
+    )
+    got = _labels(connected_components_star(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    """Both paths must produce IDENTICAL labelings: random sparse
+    graphs across several seeds (mixed component counts and shapes)."""
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(100)
+        ]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "src long, dst long"
+        )
+        assert _labels(connected_components_star(df)) == _labels(
+            connected_components(df)
+        ), f"divergence at seed {seed}"
+
+
+def test_star_chain_converges_in_log_rounds(spark):
+    """The adversarial case the fallback exists for: a path graph of
+    n nodes, where plain min-propagation needs O(n) rounds (pointer
+    jumping gets O(log n); star contraction is O(log n) on ANY
+    topology). Bound from Kiveris et al.: < 2·log2(n) + 4 rounds."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = connected_components_star(edges, return_rounds=True)
+    assert _labels(labels) == {i: 0 for i in range(n)}
+    bound = 2 * math.ceil(math.log2(n)) + 4
+    assert rounds <= bound, f"star contraction took {rounds} > {bound} rounds"
+
+
+def test_star_empty_and_self_loop_edges(spark):
+    df = spark.createDataFrame([(5, 5), (6, 7)], "src long, dst long")
+    assert _labels(connected_components_star(df)) == {5: 5, 6: 6, 7: 6}

@@ -94,6 +94,8 @@ HEADLINE = [
     "corpus_curation_funnel",
     # round-4 additions
     "bloom_join_urgent_revenue",
+    "pii_redaction_census",
+    "benchmark_decontamination",
 ]
 
 

@@ -115,6 +115,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         grid_queries,
         joins,
         llm_ops,
+        pii_ops,
         reshape,
         set_ops,
         sql_surface,

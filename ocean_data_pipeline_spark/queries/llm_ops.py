@@ -1328,3 +1328,68 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_kept"
         ),
     )
+
+
+# --- benchmark decontamination (probe-targeted n-gram overlap) --------
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id,
+         list_aggregate(list_slice(t, i, i + 7), 'string_agg', ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(0, len(t) - 7))) AS g(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id >= 10
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_shared_grams
+FROM hits
+ORDER BY n_shared_grams DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("benchmark_decontamination", oracle=_DECONTAM_ORACLE)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against a benchmark probe set
+    (GPT-3 appendix-C style: flag training docs sharing 8-grams with
+    eval data; here docs 0-9 stand in as the "benchmark"). Differs
+    from `repeated_ngrams` (corpus-wide census) in being PROBE-
+    TARGETED: the benchmark's distinct 8-grams are a small relation,
+    BROADCAST against the corpus gram stream, so the corpus side is
+    one explode + hash-join + partial agg — no shuffle of raw text and
+    no all-pairs stage at any scale; the probe set stays broadcastable
+    because real benchmarks are tiny relative to a 100 TB corpus.
+    Same tokenization as repeated_ngrams (incl. the sequence(1,0)
+    descending-range guard)."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    grams = toks.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(7)),
+                lambda i: F.array_join(F.slice(F.col("t"), i, 8), " "),
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy(F.desc("n_shared_grams"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -77,6 +77,18 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     # q2 shape: argmin window runs on the aggregated relation; all
     # three enrichment joins broadcast
     "min_cost_supplier": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # PII scrub: pure JVM map (regexp codegen) + 1-row agg — any Python
+    # eval operator here means the regex fell off the codegen path
+    "pii_redaction_census": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "ArrowEvalPython", "Exchange hashpartitioning"],
+    ),
+    # probe-targeted decontamination: benchmark grams broadcast, no
+    # shuffle of the corpus gram stream for the join
+    "benchmark_decontamination": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    ),
     # runtime Bloom-filter join: the selective orders predicate becomes
     # a might_contain(bloom_filter_agg(xxhash64(l_orderkey))) semi-
     # filter injected on the FACT scan — fact rows that cannot match

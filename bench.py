@@ -96,6 +96,7 @@ HEADLINE = [
     "bloom_join_urgent_revenue",
     "pii_redaction_census",
     "benchmark_decontamination",
+    "source_mixture_report",
 ]
 
 

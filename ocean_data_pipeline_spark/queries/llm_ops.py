@@ -1393,3 +1393,65 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared_grams"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# --- corpus source-mixture report -------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+grp AS (
+  SELECT source, lang,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*)               AS n_tokens,
+         count(DISTINCT token)  AS n_distinct_tokens
+  FROM toks GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens, n_distinct_tokens,
+       round(n_tokens / n_docs, 4)                        AS avg_doc_tokens,
+       round(n_tokens / sum(n_tokens) OVER (), 6)         AS token_share
+FROM grp
+ORDER BY source, lang
+"""
+
+
+@register("source_mixture_report", oracle=_MIXTURE_ORACLE)
+def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus mixture profile — the report a
+    training pipeline reads before assigning source sampling weights:
+    document/token volumes, lexical diversity (distinct tokens), and
+    each cell's share of total corpus tokens. All counts are exact
+    integers; the two ratios are single bigint/bigint divisions
+    (deterministic IEEE doubles on both engines) so the oracle
+    hash-matches without float-sum ordering hazards. One explode + one
+    partial-agged groupBy; the share denominator is a window over the
+    99-row aggregate, not the data."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    grp = toks.groupBy("source", "lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+    )
+    total = Window.partitionBy()
+    return grp.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias("avg_doc_tokens"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    ).orderBy("source", "lang")

@@ -74,6 +74,48 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
+@register("stream_dedup_keys", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING deduplication (SURVEY §2-H class: stateful
+    dropDuplicates + watermark): the event stream is deduplicated on
+    (user_id, event_type) with dedup state bounded by the watermark,
+    collected through a memory sink, and the surviving KEY SET is
+    returned. Which physical row survives per key is arrival-order
+    dependent, but the key set itself is exactly the batch DISTINCT —
+    so this streaming query carries a full DuckDB oracle (rare for
+    stateful streaming). State posture: per-key dedup state is evicted
+    once the watermark passes it, so an unbounded deployment holds a
+    sliding window of keys, not the corpus."""
+    import uuid
+
+    dedup = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        dedup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).orderBy("user_id", "event_type")
+
+
 @register("stream_file_session_cache", oracle=None)
 def stream_file_session_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full pipeline to completion, then return the cache table:

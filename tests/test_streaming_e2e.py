@@ -45,3 +45,19 @@ def test_stream_session_cache_is_deterministic_across_runs(spark):
     a = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
     b = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
     assert a == b
+
+
+def test_stream_dedup_keys_equal_batch_distinct(spark):
+    """Streaming dropDuplicates key set == batch DISTINCT (the law the
+    DuckDB oracle also pins at sf0.01, here at smoke scale)."""
+    fn = load_all()["stream_dedup_keys"].fn
+    got = [(r["user_id"], r["event_type"]) for r in fn(spark, SF_SMOKE).collect()]
+    want = [
+        (r["user_id"], r["event_type"])
+        for r in table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+        .collect()
+    ]
+    assert got == want and len(got) > 0

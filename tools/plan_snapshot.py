@@ -30,7 +30,7 @@ OUT_DIR = os.path.join(REPO, "plans")
 #: label-propagation loop checkpoints mid-build) — snapshotting them
 #: would diff nondeterministically
 SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2end",
-        "stream_file_session_cache"}
+        "stream_file_session_cache", "stream_dedup_keys"}
 
 
 def normalize(plan: str) -> str:

@@ -97,6 +97,7 @@ HEADLINE = [
     "pii_redaction_census",
     "benchmark_decontamination",
     "source_mixture_report",
+    "sim_topk_pq",
 ]
 
 

@@ -391,3 +391,89 @@ def ivf_topk_frozen(
         .filter(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def pq_encode(v: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of PQ codes for `v`: per subspace, the index of the
+    nearest sub-centroid (first-minimum = lowest-code tie-break).
+    Codebook literals compile into the plan — encoding is a narrow map
+    with NO join and NO shuffle, exactly what a 100 TB index build
+    pass wants (one scan, 8 bytes out per vector)."""
+    subdim = len(codebooks[0][0])
+    codes = []
+    for m, book in enumerate(codebooks):
+        lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        sub = F.slice(v, m * subdim + 1, subdim)
+        d2s = F.transform(lits, lambda c: l2_sq(sub, c))  # noqa: B023
+        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<double> decoded vector: concatenation of the chosen
+    sub-centroids (the `x̂` of asymmetric distance computation)."""
+    parts = []
+    for m, book in enumerate(codebooks):
+        lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        parts.append(F.element_at(lits, F.element_at(codes, m + 1) + F.lit(1)))
+    return F.flatten(F.array(*parts))
+
+
+def pq_topk_frozen(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) over FROZEN
+    sub-codebooks (operators.pq_codebook by default): each 64-dim
+    vector is encoded as 8 nibble codes (32x compression), and probes
+    rank candidates by asymmetric distance d(q, x̂) — exact query
+    vector against the quantized corpus vector.
+
+    Plan shape: encode is a narrow literal-folded map (no shuffle);
+    the ADC scan streams the encoded corpus past broadcast probes (8
+    bytes/candidate instead of 256 — the reason PQ exists at 100 TB);
+    the only wide op is the per-probe top-k window. At cluster scale
+    the scan composes with IVF cell routing (encode once, route
+    probes, ADC only the probed cells); here the full-scan posture
+    keeps the query oracle-exact. Implementation reconstructs x̂ and
+    folds (q-x̂)² — algebraically identical to the per-subspace
+    lookup-table formulation, and SQL-expressible so the DuckDB twin
+    inlines the same literals.
+
+    Distances are rounded to 6 decimals BEFORE ranking on both engines
+    so rank order never hinges on sub-ulp summation-order drift.
+    """
+    if codebooks is None:
+        from ocean_data_pipeline_spark.operators.pq_codebook import PQ_CODEBOOKS
+
+        codebooks = PQ_CODEBOOKS
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    encoded = c.select(
+        "neighbor_id", pq_encode(F.col("cv"), codebooks).alias("codes")
+    ).withColumn("xhat", pq_reconstruct(F.col("codes"), codebooks))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(l2_sq(F.col("pv"), F.col("xhat")), 6).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

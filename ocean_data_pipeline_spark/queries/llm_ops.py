@@ -1455,3 +1455,88 @@ def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     ).orderBy("source", "lang")
+
+
+# --- product-quantization ANN (frozen codebooks) ----------------------
+
+
+def _pq_frozen_oracle() -> str:
+    """DuckDB twin of the frozen-codebook PQ scan: the SAME committed
+    sub-centroid literals (operators.pq_codebook) are inlined as a
+    VALUES list; encode replicates the argmin-with-lowest-code
+    tie-break, reconstruction concatenates the chosen sub-centroids in
+    subspace order, and the asymmetric distance is rounded to 6
+    decimals BEFORE ranking on both engines."""
+    from ocean_data_pipeline_spark.operators.pq_codebook import (
+        PQ_CODEBOOKS,
+        PQ_SUBDIM,
+    )
+
+    rows = ",\n  ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(m, code, ", ".join(repr(x) for x in c))
+        for m, book in enumerate(PQ_CODEBOOKS)
+        for code, c in enumerate(book)
+    )
+    return f"""
+WITH books(m, code, center) AS (VALUES
+  {rows}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT e.vec_id, t.m, list_slice(e.v, t.m * {PQ_SUBDIM} + 1, (t.m + 1) * {PQ_SUBDIM}) AS sv
+  FROM emb e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) t
+),
+d AS (
+  SELECT s.vec_id, s.m, b.code, b.center,
+         list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+                  i -> (s.sv[i] - b.center[i]) * (s.sv[i] - b.center[i]))) AS d2
+  FROM subs s JOIN books b ON b.m = s.m
+),
+chosen AS (
+  SELECT vec_id, m, center,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+  FROM d
+),
+xhat AS (
+  SELECT vec_id, flatten(list(center ORDER BY m)) AS xh
+  FROM chosen WHERE rn = 1 GROUP BY vec_id
+),
+probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 3),
+scored AS (
+  SELECT p.probe_id, x.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+               i -> (p.pv[i] - x.xh[i]) * (p.pv[i] - x.xh[i]))), 6) AS approx_d2
+  FROM probes p CROSS JOIN xhat x
+  WHERE x.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, approx_d2,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, approx_d2, rank
+FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""
+
+
+@register("sim_topk_pq", oracle=_pq_frozen_oracle())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over FROZEN sub-codebooks
+    (operators.similarity.pq_topk_frozen + operators.pq_codebook):
+    64-dim vectors encode to 8 nibble codes (32x compression), probes
+    rank the corpus by asymmetric distance against the reconstructed
+    x̂. The scan reads 8 bytes/candidate instead of 256 — the memory
+    math that makes exhaustive re-rank feasible at 100 TB; at cluster
+    scale the same encode composes with IVF cell routing. Freezing the
+    codebooks (numpy Lloyd, seed 42, committed literals) makes
+    encode + ADC deterministic, so the query carries a full DuckDB
+    oracle. Recall/compression gates: tests/test_pq.py."""
+    from ocean_data_pipeline_spark.operators.similarity import pq_topk_frozen
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return pq_topk_frozen(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "approx_d2", "rank"
+    )

@@ -210,6 +210,13 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     "dedup_normalized_documents": (["HashAggregate"], ["BatchEvalPython"]),
     "asof_forward_deadline": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     "asof_nearest_event": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # PQ ADC scan: encode/reconstruct are literal-folded JVM expressions
+    # (never Python); the bounded probe fan-out must plan as a broadcast
+    # nested-loop, not an unbroadcast CartesianProduct
+    "sim_topk_pq": (
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

@@ -98,6 +98,10 @@ HEADLINE = [
     "benchmark_decontamination",
     "source_mixture_report",
     "sim_topk_pq",
+    "span_dedup_census",
+    "quality_decile_filter",
+    "zipf_token_slope",
+    "session_concurrency_profile",
 ]
 
 

@@ -1540,3 +1540,217 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_frozen(emb, probes, k=5).select(
         "probe_id", "neighbor_id", "approx_d2", "rank"
     )
+
+
+# --- span-level dedup census (line-dedup analog) ----------------------
+
+_SPAN_DEDUP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+idx AS (
+  SELECT doc_id, source, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+  FROM docs
+),
+spans AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ') AS span
+  FROM idx
+),
+census AS (
+  SELECT span, count(DISTINCT doc_id) AS n_docs_span
+  FROM spans GROUP BY span
+),
+tagged AS (
+  SELECT s.doc_id, s.source, c.n_docs_span
+  FROM spans s JOIN census c USING (span)
+)
+SELECT source,
+       count(DISTINCT doc_id)                               AS n_docs,
+       count(*)                                             AS n_spans,
+       CAST(sum(CASE WHEN n_docs_span > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN n_docs_span > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6)                                 AS dup_fraction
+FROM tagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("span_dedup_census", oracle=_SPAN_DEDUP_ORACLE)
+def span_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup census — the line-dedup stage of CCNet /
+    RefinedWeb-style curation re-expressed for flat word-stream docs:
+    each document splits into non-overlapping 16-token spans, and a
+    span occurring in more than one distinct document counts as
+    duplicated mass. Reports per-source duplication pressure (the
+    signal that decides which crawl sources need span-level rewriting
+    rather than whole-doc dropping).
+
+    Plan shape: one narrow map builds the span array (sequence +
+    slice, no Python), one explode, one shuffle on the span string for
+    the corpus-wide census, one shuffle equi-join back to occurrences,
+    and a partial-agg rollup to sources. At 100 TB hash the span
+    (sha2) into the join key instead of the raw string to cut shuffle
+    bytes — semantics identical, documented here rather than applied
+    so the oracle stays readable."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * 16 + 1, 16), " "),
+            )
+        ).alias("span"),
+    )
+    census = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs_span")
+    )
+    tagged = spans.join(census, "span")
+    dup = F.sum(F.when(F.col("n_docs_span") > 1, 1).otherwise(0))
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.cast("bigint").alias("n_dup_spans"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- quality-decile filtering -----------------------------------------
+
+_QUALITY_DECILE_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+    round(greatest(0.0,
+      least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 100.0)
+      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1))), 6) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, score,
+         ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS decile
+  FROM per_doc
+)
+SELECT lang,
+       count(*)                                         AS n_docs,
+       CAST(sum(CASE WHEN decile >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN decile >= 2
+                           THEN CAST(score AS DECIMAL(18,6)) END) AS DOUBLE)
+             / sum(CASE WHEN decile >= 2 THEN 1 ELSE 0 END), 4) AS avg_kept_score,
+       min(CASE WHEN decile >= 2 THEN score END)        AS min_kept_score
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("quality_decile_filter", oracle=_QUALITY_DECILE_ORACLE)
+def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering: drop each language's bottom
+    quality decile (the Gopher/FineWeb 'remove the worst X% per
+    bucket' curation move, made deterministic by the (score, doc_id)
+    ntile order). Reports retention + post-filter score profile per
+    language.
+
+    Plan shape: per-doc score is a narrow map; ntile shuffles once on
+    lang (per-lang sorted window). At 100 TB replace the exact ntile
+    with approx_percentile cutoffs per lang (one pass, no full sort) —
+    same retention semantics to within sketch error; the exact window
+    keeps the oracle value-exact here."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = per_doc.withColumn("decile", F.ntile(10).over(w))
+    kept = F.when(F.col("decile") >= 2, F.lit(1)).otherwise(F.lit(0))
+    kept_score = F.when(F.col("decile") >= 2, F.col("score").cast("decimal(18,6)"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(kept_score).cast("double") / F.sum(kept), 4
+            ).alias("avg_kept_score"),
+            F.min(F.when(F.col("decile") >= 2, F.col("score"))).alias("min_kept_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Zipf rank-frequency slope ----------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+freq AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rnk
+  FROM freq
+)
+SELECT count(*)                                    AS n_tokens_fit,
+       round(regr_slope(ln(n), ln(rnk)), 4)        AS zipf_slope,
+       round(regr_r2(ln(n), ln(rnk)), 4)           AS fit_r2,
+       max(n)                                      AS top_freq
+FROM ranked WHERE rnk <= 200
+"""
+
+
+@register("zipf_token_slope", oracle=_ZIPF_ORACLE)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostics: fit ln(freq) ~ ln(rank) over
+    the 200 most frequent tokens (row_number with a token tie-break so
+    the ranking is engine-stable). A natural-language corpus sits near
+    slope −1; synthetic or templated text drifts shallow — a cheap
+    corpus-health signal for a training-data pipeline.
+
+    Plan shape: token census (one shuffle, partial aggs), then the
+    200-token head is taken with orderBy+limit — TakeOrderedAndProject,
+    per-partition top-k merged at the driver-side reducer, never a
+    global sort of the vocabulary — and only those 200 rows see a
+    window. regr_slope/regr_r2 run as single JVM aggregates, rounded
+    to 4 decimals so the fit never hinges on float summation order."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    head = freq.orderBy(F.desc("n"), F.asc("token")).limit(200)
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("token"))
+    ranked = head.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens_fit"),
+        F.round(F.regr_slope(F.log(F.col("n")), F.log(F.col("rnk"))), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log(F.col("n")), F.log(F.col("rnk"))), 4).alias("fit_r2"),
+        F.max("n").alias("top_freq"),
+    )

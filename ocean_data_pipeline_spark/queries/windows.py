@@ -285,3 +285,106 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "decile")
     )
+
+
+# --- interval sweep-line: concurrent-session profile ------------------
+
+_CONCURRENCY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq,
+         ts
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+  FROM sessions GROUP BY user_id, session_seq
+),
+deltas AS (
+  SELECT s AS ts, 1 AS delta FROM bounds
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM bounds
+),
+swept AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concur
+  FROM deltas
+)
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP)     AS day,
+       count(*)                                AS n_boundary_events,
+       CAST(max(concur) AS BIGINT)             AS max_concurrent,
+       round(CAST(sum(concur) AS DOUBLE) / count(*), 4) AS avg_concurrent
+FROM swept
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("session_concurrency_profile", oracle=_CONCURRENCY_ORACLE)
+def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra sweep line: gap-sessionize each user (30-min
+    threshold, same contract as `sessionize_events`), reduce sessions
+    to [start, end] intervals, then count concurrently-open sessions
+    by running-summing +1/-1 boundary deltas in global (ts, start-
+    before-end) order — inclusive overlap, O(n log n) where the naive
+    pairwise interval join is O(n²). Reports the daily peak and mean
+    concurrency profile.
+
+    Tie policy: boundaries at the same instant apply starts before
+    ends (ORDER BY ts, delta DESC), and equal-delta ties produce the
+    same prefix-value multiset under any order, so per-day aggregates
+    are engine-stable. Scale posture: sessionization and the bounds
+    rollup shuffle on user_id; the sweep itself orders session
+    BOUNDARIES (two rows per session — orders of magnitude smaller
+    than events). At 100 TB, range-partition boundaries by time and
+    add per-partition prefix offsets (a two-pass distributed scan);
+    the single-partition window here is over the already-collapsed
+    boundary stream, not the event stream."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = Window.partitionBy().orderBy(F.asc("ts"), F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = deltas.withColumn("concur", F.sum("delta").over(sweep))
+    return (
+        # timestamp, not date: DuckDB DATE lands in pandas as
+        # datetime64 while Spark DateType lands as object(date) —
+        # the driver's value-hash sees those as different.
+        swept.groupBy(F.col("ts").cast("date").cast("timestamp").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_boundary_events"),
+            F.max("concur").cast("bigint").alias("max_concurrent"),
+            F.round(
+                F.sum("concur").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_concurrent"),
+        )
+        .orderBy("day")
+    )

@@ -217,6 +217,17 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # span census: explode + two hash shuffles, everything JVM-side
+    "span_dedup_census": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # per-lang ntile window; score expression stays in codegen
+    "quality_decile_filter": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    # vocabulary head must plan as TakeOrderedAndProject (no global sort)
+    "zipf_token_slope": (
+        ["TakeOrderedAndProject"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # sweep-line over session boundaries: windowed prefix sum, JVM-side
+    "session_concurrency_profile": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

@@ -102,6 +102,8 @@ HEADLINE = [
     "quality_decile_filter",
     "zipf_token_slope",
     "session_concurrency_profile",
+    "split_leakage_audit",
+    "perplexity_filter_unigram",
 ]
 
 

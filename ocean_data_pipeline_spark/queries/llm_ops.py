@@ -1754,3 +1754,88 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log(F.col("n")), F.log(F.col("rnk"))), 4).alias("fit_r2"),
         F.max("n").alias("top_freq"),
     )
+
+
+# --- unigram-LM perplexity filtering ----------------------------------
+
+_PERPLEXITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+total AS (SELECT sum(c) AS t FROM census),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source,
+         round(-sum(ln(CAST(c AS DOUBLE) / t)) / count(*), 6) AS nll
+  FROM toks JOIN census USING (token) CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT source,
+       count(*)                                      AS n_docs,
+       round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+                                                     AS avg_nll,
+       max(nll)                                      AS max_nll,
+       CAST(sum(CASE WHEN nll > 3.41 THEN 1 ELSE 0 END) AS BIGINT)
+                                                     AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("perplexity_filter_unigram", oracle=_PERPLEXITY_ORACLE)
+def perplexity_filter_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering with a corpus-trained unigram
+    LM: score every document by its mean token negative-log-likelihood
+    under the corpus unigram distribution and flag the high-NLL tail
+    (here a fixed 3.41 cutoff ≈ the corpus p90; production swaps in a
+    KenLM scored the same way). High-NLL docs are the off-distribution
+    candidates a curation pipeline routes to review or drop.
+
+    Plan shape: one token census shuffle builds the LM; the corpus
+    total broadcasts as a 1-row frame (no driver collect); token→prob
+    resolves through an equi-join on the census (broadcast-able —
+    vocabulary scale, not corpus scale); per-doc NLL is one partial
+    agg. Per-doc scores round to 6 decimals before the decimal-exact
+    source rollup, so no cross-engine float-sum-order hazard."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    census = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = census.agg(F.sum("c").alias("t"))
+    lm = census.crossJoin(F.broadcast(total))
+    per_doc = (
+        toks.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.round(
+                -F.sum(F.log(F.col("c").cast("double") / F.col("t")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_nll"),
+            F.max("nll").alias("max_nll"),
+            F.sum(F.when(F.col("nll") > 3.41, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -228,3 +228,163 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- split leakage audit ----------------------------------------------
+
+_LEAKAGE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 100 < 10
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents WHERE length(trim(text)) > 0
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(1, length(text) - 7)),
+                               i -> substr(text, i, 8))) AS shingle
+  FROM docs
+),
+sig AS (
+  SELECT doc_id,
+         min(sha256('s0_' || shingle)) AS band_s0,
+         min(sha256('s1_' || shingle)) AS band_s1
+  FROM shingled GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND (a.band_s0 = b.band_s0 OR a.band_s1 = b.band_s1)
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS gram
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+),
+confirmed AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.id_a
+  JOIN sizes sb ON sb.doc_id = s.id_b
+  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.8
+),
+tagged AS (
+  SELECT p.id_a, p.id_b,
+         CASE WHEN da.split = db.split THEN da.split || '-' || db.split
+              ELSE 'cross-split' END AS category
+  FROM confirmed p
+  JOIN docs da ON da.doc_id = p.id_a
+  JOIN docs db ON db.doc_id = p.id_b
+)
+SELECT category,
+       count(*) AS n_pairs,
+       min(id_a * 1000000 + id_b) AS example_pair_key
+FROM tagged
+GROUP BY category
+ORDER BY category
+"""
+
+
+@register("split_leakage_audit", oracle=_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (banded-MinHash
+    candidates → exact unigram-Jaccard ≥ 0.8 confirm, same stages as
+    `dedup_pipeline_end2end` but corpus-wide) classified by whether
+    they CROSS the deterministic 90/10 split boundary
+    (`train_test_split_deterministic`'s sha2 bucket rule). A
+    cross-split near-dup pair means the test set leaks into training —
+    the audit every eval pipeline should run after splitting.
+
+    Plan shape: candidate generation is bucket-bounded (never
+    all-pairs), the confirm join touches candidates only, and the
+    split tag is a map-side sha2 expression — two broadcast-able joins
+    against the tiny doc→split relation. example_pair_key packs the
+    lexicographically smallest pair as id_a*1e6+id_b (ids here are
+    < 1e6; a struct-min carries the same contract at corpus scale)."""
+    from ocean_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from ocean_data_pipeline_spark.operators.text import minhash_band
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = docs.select(
+        "doc_id", F.when(bucket < 10, "test").otherwise("train").alias("split")
+    )
+
+    sig = docs.select(
+        "doc_id",
+        minhash_band(F.col("text"), "s0").alias("band_s0"),
+        minhash_band(F.col("text"), "s1").alias("band_s1"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), F.col("band_s0").alias("band_val")),
+                F.struct(F.lit(1).alias("band_idx"), F.col("band_s1").alias("band_val")),
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val"),
+              ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    confirmed = (
+        jaccard_pairs(docs, "text", "doc_id", cand, n=1)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    tagged = (
+        confirmed.join(
+            F.broadcast(split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("split_a") == F.col("split_b"),
+                F.concat_ws("-", "split_a", "split_b"),
+            )
+            .otherwise("cross-split")
+            .alias("category"),
+        )
+    )
+    return (
+        tagged.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("id_a") * 1000000 + F.col("id_b")).alias("example_pair_key"),
+        )
+        .orderBy("category")
+    )

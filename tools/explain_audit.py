@@ -228,6 +228,17 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     ),
     # sweep-line over session boundaries: windowed prefix sum, JVM-side
     "session_concurrency_profile": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    # leakage audit: split tags join as broadcasts; sha2/minhash stay JVM
+    "split_leakage_audit": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # unigram LM: corpus total is a broadcast 1-row frame (BNLJ), the
+    # token->prob join is an equi-join, everything JVM-side
+    "perplexity_filter_unigram": (
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

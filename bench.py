@@ -104,6 +104,7 @@ HEADLINE = [
     "session_concurrency_profile",
     "split_leakage_audit",
     "perplexity_filter_unigram",
+    "label_centroid_confusion",
 ]
 
 

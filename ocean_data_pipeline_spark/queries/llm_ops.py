@@ -1839,3 +1839,81 @@ def perplexity_filter_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- per-label centroids + nearest-centroid assignment ----------------
+
+_CENTROID_CONFUSION_ORACLE = """
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT e.vec_id, e.label, t.i AS dim, e.v[t.i] AS val
+  FROM emb e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+),
+cent_dims AS (
+  SELECT label, dim, round(avg(val), 6) AS cv
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS c_label, list(cv ORDER BY dim) AS center
+  FROM cent_dims GROUP BY label
+),
+assigned AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                    i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))), 6),
+                    c.c_label) AS rn
+  FROM emb e CROSS JOIN cents c
+)
+SELECT label AS true_label, c_label AS assigned_label, count(*) AS n_vecs
+FROM assigned WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("label_centroid_confusion", oracle=_CENTROID_CONFUSION_ORACLE)
+def label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-bucketing fidelity check: compute each label's mean
+    embedding (the per-class centroid a mixture-balancing pipeline
+    clusters against), assign every vector to its nearest centroid,
+    and report the true-vs-assigned confusion counts. The diagonal
+    mass tells you whether embedding-space clusters line up with the
+    labels before you trust centroid routing at corpus scale.
+
+    Plan shape: centroids come from ONE posexplode + (label, dim)
+    partial agg — the distributed elementwise mean, no vectors ever
+    collected; the 10-row centroid relation broadcasts, so assignment
+    is a map-side argmin (distances and centroid components rounded to
+    6 before comparison, ties to the lowest label — engine-stable).
+    At 100 TB this is exactly the e-step of distributed k-means:
+    linear, one shuffle of scalar (label, dim, val) triples."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("dim0", "val")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent_dims = dims.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("cv"))
+    cents = cent_dims.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("center")
+    )
+    from ocean_data_pipeline_spark.operators.similarity import l2_sq
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(l2_sq(F.col("v"), F.col("center")), 6).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("label").alias("true_label"), F.col("c_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("true_label", "assigned_label")
+    )

@@ -239,6 +239,12 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # centroid assignment: 10-row centroid relation broadcasts (BNLJ);
+    # the elementwise mean is a posexplode + hash agg, all JVM-side
+    "label_centroid_confusion": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

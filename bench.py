@@ -105,6 +105,8 @@ HEADLINE = [
     "split_leakage_audit",
     "perplexity_filter_unigram",
     "label_centroid_confusion",
+    "monthly_climatology",
+    "climatology_anomalies",
 ]
 
 

@@ -223,3 +223,248 @@ def daterange_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(month_delta.between(0, 71), F.lit(1))).alias("n_within_72_months"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+# --- monthly climatology (month-of-year normals) -----------------------
+
+_CLIMATOLOGY_ORACLE = """
+SELECT event_type,
+       month(ts)                                   AS month,
+       count(value)                                AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(value), 4)                    AS mean_value,
+       round(sqrt((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value))
+                  / (count(value) - 1)), 4)        AS stddev_value,
+       min(value)                                  AS min_value,
+       max(value)                                  AS max_value
+FROM events
+GROUP BY event_type, month(ts)
+ORDER BY event_type, month
+"""
+
+
+@register("monthly_climatology", oracle=_CLIMATOLOGY_ORACLE)
+def monthly_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year climatology normals — THE oceanographic rollup the
+    reference's dashboard time-series view builds toward (monthly
+    means across years; dashboard/app.py's summary statistics): per
+    (event_type, calendar month) count/mean/stddev/min/max, with
+    mean/stddev computed from exact decimal sums (sum, sum-of-squares)
+    so no float-summation-order drift crosses engines.
+
+    One scan, one partial-agg shuffle on 12×|event_type| groups — the
+    group count is calendar-bounded, so the plan is identical at
+    100 TB (partial aggregation does all the data reduction
+    map-side)."""
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    n = F.count("value")
+    sm = F.sum(dec).cast("double")
+    smsq = F.sum(dec * dec).cast("double")
+    return (
+        ev.groupBy("event_type", F.month("ts").alias("month"))
+        .agg(
+            n.alias("n_events"),
+            F.round(sm / n, 4).alias("mean_value"),
+            F.round(F.sqrt((smsq - sm * sm / n) / (n - 1)), 4).alias("stddev_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+# --- climatology anomalies ---------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH clim AS (
+  SELECT event_type,
+         month(ts) AS month,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(value), 4) AS mean_value,
+         round(sqrt((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value))
+                    / (count(value) - 1)), 4) AS stddev_value
+  FROM events GROUP BY event_type, month(ts)
+),
+scored AS (
+  SELECT e.event_type, month(e.ts) AS month,
+         abs(e.value - c.mean_value) / c.stddev_value AS abs_z
+  FROM events e
+  JOIN clim c ON c.event_type = e.event_type AND c.month = month(e.ts)
+  WHERE e.value IS NOT NULL AND c.stddev_value > 0
+)
+SELECT event_type, month,
+       count(*)                                        AS n_events,
+       CAST(sum(CASE WHEN abs_z > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       round(max(abs_z), 4)                            AS max_abs_z
+FROM scored
+GROUP BY event_type, month
+ORDER BY event_type, month
+"""
+
+
+@register("climatology_anomalies", oracle=_ANOMALY_ORACLE)
+def climatology_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection against the monthly climatology: every
+    observation z-scores against its (event_type, month) normal; the
+    |z| > 2 tail is the anomaly census (the reference's out-of-range
+    quality flags, upgraded from fixed bounds to seasonal normals).
+
+    The climatology relation is calendar-bounded (12×|event_type|
+    rows) so it BROADCASTS — the fact scan never shuffles; normals are
+    rounded to 4 decimals before z-scoring so both engines score
+    against identical constants."""
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    n = F.count("value")
+    sm = F.sum(dec).cast("double")
+    smsq = F.sum(dec * dec).cast("double")
+    clim = ev.groupBy("event_type", F.month("ts").alias("month")).agg(
+        F.round(sm / n, 4).alias("mean_value"),
+        F.round(F.sqrt((smsq - sm * sm / n) / (n - 1)), 4).alias("stddev_value"),
+    )
+    scored = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("month", F.month("ts"))
+        .join(F.broadcast(clim), ["event_type", "month"])
+        .filter(F.col("stddev_value") > 0)
+        .select(
+            "event_type",
+            "month",
+            (F.abs(F.col("value") - F.col("mean_value")) / F.col("stddev_value")).alias(
+                "abs_z"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("abs_z") > 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max("abs_z"), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+# --- Z-order layout locality -------------------------------------------
+
+
+def _bit(col, i: int):
+    """i-th bit of a non-negative int column via div/mod (portable to
+    any SQL engine — no bit-op dialect differences)."""
+    return (col / F.lit(2**i)).cast("bigint") % 2
+
+
+def zorder_key(lat_idx, lon_idx, bits: int = 7):
+    """Interleave `bits` bits of (lat_idx, lon_idx) into a Z-order
+    (Morton) key: lat bits land at odd positions, lon at even. Pure
+    integer arithmetic → identical in any engine, and a sortable
+    layout key: writing files sorted by z-key gives 2-D locality, so a
+    bbox predicate prunes ~O(perimeter) files instead of O(rows)
+    (the Delta/Iceberg OPTIMIZE ZORDER trick, expressed as a plain
+    column)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + _bit(lat_idx, i) * F.lit(2 ** (2 * i + 1)) + _bit(lon_idx, i) * F.lit(
+            2 ** (2 * i)
+        )
+    return z
+
+
+def _zorder_sql(lat: str, lon: str, bits: int = 7) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({lat} // {2**i}) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"(({lon} // {2**i}) % 2) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH raw AS (
+  SELECT {_RAW_LAT} AS lat_raw, {_RAW_LON} AS lon_raw FROM customer
+),
+cells AS (
+  SELECT DISTINCT
+    CAST(least(90, greatest(0, round((55.0 - least(55.0, greatest(10.0, lat_raw))) / 0.25))) AS BIGINT) AS lat_idx,
+    CAST(least(60, greatest(0, round((least(-70.0, greatest(-85.0, lon_raw)) - (-85.0)) / 0.25))) AS BIGINT) AS lon_idx
+  FROM raw
+),
+keyed AS (
+  SELECT lat_idx, lon_idx,
+         ({_zorder_sql("lat_idx", "lon_idx")}) // 64        AS z_bucket,
+         (lat_idx * 61 + lon_idx) // 64                     AS rm_bucket
+  FROM cells
+),
+probe AS (
+  SELECT * FROM keyed
+  WHERE lat_idx BETWEEN 1 AND 16 AND lon_idx BETWEEN 44 AND 59
+)
+SELECT 'row-major' AS layout, count(*) AS n_cells_probed,
+       count(DISTINCT rm_bucket) AS n_buckets_touched
+FROM probe
+UNION ALL
+SELECT 'z-order', count(*), count(DISTINCT z_bucket) FROM probe
+ORDER BY layout
+"""
+
+
+@register("zorder_layout_stats", oracle=_ZORDER_ORACLE)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout design probe: bucket the occupied grid cells into
+    64-cell files under (a) row-major order and (b) Z-order (Morton)
+    interleaving, then count how many buckets a 16×16 bbox probe
+    touches under each layout (the occupied cells lie on a
+    custkey-derived curve, so the probe covers the densest 16×16
+    window). Z-order's interleaved key keeps 2-D neighborhoods in the
+    same bucket, so the bbox touches ~O(area/64) buckets where
+    row-major touches one bucket per grid row — the
+    measured justification for sorting 100 TB of gridded writes by
+    z-key before binning into parquet files (partition pruning then
+    skips the untouched files).
+
+    Integer div/mod bit extraction only — no engine bit-op dialect;
+    the probe is a conditional aggregate over the distinct-cell
+    relation."""
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        c.select(
+            F.expr(_RAW_LAT).alias("lat_raw"),
+            F.expr(_RAW_LON).alias("lon_raw"),
+        )
+        .select(
+            lat_to_index(F.col("lat_raw")).cast("bigint").alias("lat_idx"),
+            lon_to_index(F.col("lon_raw")).cast("bigint").alias("lon_idx"),
+        )
+        .distinct()
+    )
+    keyed = cells.select(
+        "lat_idx",
+        "lon_idx",
+        (zorder_key(F.col("lat_idx"), F.col("lon_idx")) / 64)
+        .cast("bigint")
+        .alias("z_bucket"),
+        ((F.col("lat_idx") * 61 + F.col("lon_idx")) / 64)
+        .cast("bigint")
+        .alias("rm_bucket"),
+    )
+    probe = keyed.filter(
+        F.col("lat_idx").between(1, 16) & F.col("lon_idx").between(44, 59)
+    )
+    rm = probe.agg(
+        F.lit("row-major").alias("layout"),
+        F.count(F.lit(1)).alias("n_cells_probed"),
+        F.countDistinct("rm_bucket").alias("n_buckets_touched"),
+    ).select("layout", "n_cells_probed", "n_buckets_touched")
+    zo = probe.agg(
+        F.lit("z-order").alias("layout"),
+        F.count(F.lit(1)).alias("n_cells_probed"),
+        F.countDistinct("z_bucket").alias("n_buckets_touched"),
+    ).select("layout", "n_cells_probed", "n_buckets_touched")
+    return rm.unionByName(zo).orderBy("layout")

@@ -245,6 +245,15 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "HashAggregate"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # climatology: calendar-bounded groups, decimal partial aggs, JVM
+    "monthly_climatology": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # anomaly scoring: the 12x|type| normals relation must broadcast
+    "climatology_anomalies": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # layout probe: pure integer expressions over the distinct-cell set
+    "zorder_layout_stats": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

@@ -107,6 +107,7 @@ HEADLINE = [
     "label_centroid_confusion",
     "monthly_climatology",
     "climatology_anomalies",
+    "training_example_pipeline",
 ]
 
 

@@ -388,3 +388,117 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --- end-to-end training-example pipeline ------------------------------
+
+_TRAIN_E2E_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(start / 32 AS INTEGER) AS chunk_id,
+         least(32, n - start) AS n_tokens,
+         array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text
+  FROM (SELECT doc_id, t, n, unnest(range(0, n, 32)) AS start FROM toks)
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN ('0x' || substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 100 < 10
+              THEN 'test' ELSE 'train' END AS split,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_id) AS dup_rn
+  FROM chunks
+),
+survivors AS (SELECT * FROM tagged WHERE dup_rn = 1),
+packed AS (
+  SELECT split, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id, chunk_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM survivors
+)
+SELECT t.split,
+       count(*)                                   AS n_chunks_raw,
+       CAST(sum(CASE WHEN dup_rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_unique,
+       (SELECT count(DISTINCT CAST(floor((cum - n_tokens) / 256.0) AS BIGINT))
+        FROM packed p WHERE p.split = t.split)    AS n_bins,
+       CAST(sum(CASE WHEN dup_rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                                                  AS packed_tokens
+FROM tagged t
+GROUP BY t.split
+ORDER BY t.split
+"""
+
+
+@register("training_example_pipeline", oracle=_TRAIN_E2E_ORACLE)
+def training_example_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-example manufacturing: documents → 32-token
+    non-overlapping chunks → corpus-wide exact chunk dedup (lowest
+    (doc_id, chunk_id) survives) → deterministic 90/10 split tag →
+    sequential 256-token bin packing per split → per-split yield
+    report (raw chunks, unique survivors, packed bins, packed token
+    mass). The composite a pretraining data build runs nightly,
+    assembled from the same verified stages registered individually
+    (`chunk_documents`, `train_test_split_deterministic`,
+    `pack_token_budget`).
+
+    Plan shape: chunking is a map-side explode; dedup is ONE window
+    over the chunk-text shuffle (at 100 TB: hash the chunk text into
+    the partition key to cut shuffle bytes); the split tag is a
+    map-side sha2; packing windows per split over the survivor
+    ordering. No stage is all-pairs and nothing collects."""
+    from ocean_data_pipeline_spark.operators.chunking import chunk_by_tokens
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    chunks = chunk_by_tokens(docs, window=32, stride=32)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    w_dup = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    tagged = chunks.withColumn(
+        "split", F.when(bucket < 10, "test").otherwise("train")
+    ).withColumn("dup_rn", F.row_number().over(w_dup))
+    survivors = tagged.filter(F.col("dup_rn") == 1)
+    w_pack = Window.partitionBy("split").orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bins = (
+        survivors.withColumn("cum", F.sum("n_tokens").over(w_pack))
+        .select(
+            "split",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 256.0)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .groupBy("split")
+        .agg(F.countDistinct("bin_id").alias("n_bins"))
+    )
+    summary = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks_raw"),
+        F.sum(F.when(F.col("dup_rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chunks_unique"),
+        F.sum(F.when(F.col("dup_rn") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("packed_tokens"),
+    )
+    return (
+        summary.join(F.broadcast(bins), "split")
+        .select("split", "n_chunks_raw", "n_chunks_unique", "n_bins", "packed_tokens")
+        .orderBy("split")
+    )

@@ -254,6 +254,12 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     ),
     # layout probe: pure integer expressions over the distinct-cell set
     "zorder_layout_stats": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # e2e training pipeline: chunk explode + dedup window + pack window,
+    # bins rollup joins back as a broadcast
+    "training_example_pipeline": (
+        ["Window", "BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

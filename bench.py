@@ -108,6 +108,8 @@ HEADLINE = [
     "monthly_climatology",
     "climatology_anomalies",
     "training_example_pipeline",
+    "revenue_trend_by_nation",
+    "char_entropy_quality",
 ]
 
 

@@ -538,3 +538,71 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- grouped linear-trend extraction (regr_slope per group) -----------
+
+_TREND_ORACLE = """
+WITH monthly AS (
+  SELECT n_name AS nation,
+         year(o_orderdate) * 12 + month(o_orderdate) AS month_idx,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  GROUP BY n_name, year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT nation,
+       count(*)                                  AS n_months,
+       round(regr_slope(revenue, month_idx), 4)  AS trend_slope,
+       round(regr_r2(revenue, month_idx), 4)     AS trend_r2,
+       round(min(revenue), 2)                    AS min_month_revenue,
+       round(max(revenue), 2)                    AS max_month_revenue
+FROM monthly
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("revenue_trend_by_nation", oracle=_TREND_ORACLE)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend extraction: OLS slope/R² of monthly revenue
+    against a month index, one regression per nation — the
+    'is this segment growing?' analytic, kept entirely in JVM
+    aggregates (regr_slope/regr_r2) instead of a grouped-map UDF.
+
+    Plan shape: dims broadcast into the fact scan, monthly rollup from
+    exact decimal sums (one shuffle), then the regression runs over
+    calendar-bounded group sizes. Slope/R² round to 4 so the fit never
+    hinges on float summation order."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        monthly.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(F.regr_slope(F.col("revenue"), F.col("month_idx")), 4).alias(
+                "trend_slope"
+            ),
+            F.round(F.regr_r2(F.col("revenue"), F.col("month_idx")), 4).alias(
+                "trend_r2"
+            ),
+            F.round(F.min("revenue"), 2).alias("min_month_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_month_revenue"),
+        )
+        .orderBy("nation")
+    )

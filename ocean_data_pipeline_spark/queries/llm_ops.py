@@ -1917,3 +1917,87 @@ def label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("true_label", "assigned_label")
     )
+
+
+# --- character-bigram entropy (templated-text detector) ---------------
+
+_CHAR_ENTROPY_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents WHERE length(text) >= 2
+),
+bigrams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, length(text) - 1),
+                               i -> substr(text, i, 2))) AS bg
+  FROM docs
+),
+counts AS (
+  SELECT doc_id, any_value(source) AS source, bg, count(*) AS c
+  FROM bigrams GROUP BY doc_id, bg
+),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source,
+         round(ln(sum(c)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+  FROM counts GROUP BY doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(entropy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+                                           AS avg_entropy,
+       min(entropy)                        AS min_entropy,
+       max(entropy)                        AS max_entropy
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("char_entropy_quality", oracle=_CHAR_ENTROPY_ORACLE)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document, profiled per
+    source — the templated/boilerplate-text detector (machine-
+    generated and highly-repetitive docs sit far below natural-text
+    entropy; a curation pipeline drops or down-weights the low tail).
+
+    Uses the algebraic form H = ln(n) − Σc·ln(c)/n so the only
+    non-integer inputs are ln of exact integers — one log per DISTINCT
+    bigram, no probability divisions inside the sum. Per-doc entropies
+    round to 6 before the decimal-exact source rollup. Plan: explode →
+    (doc, bigram) census → per-doc partial agg — two shuffles, both on
+    keys that grow with corpus size (no global state)."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(
+        F.first("source").alias("source"), F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("entropy").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_entropy"),
+            F.min("entropy").alias("min_entropy"),
+            F.max("entropy").alias("max_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -97,3 +97,35 @@ def sql_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     global mean balance, per market segment."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_ABOVE_AVG)
+
+
+# Window function through the SQL parser: segment top-spenders via
+# row_number() OVER — the ranked-dashboard query shape. One string,
+# both engines; decimal spend sums keep the ranking key exact.
+_SQL_TOP_SPENDERS = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+),
+ranked AS (
+  SELECT c_mktsegment AS segment, c_custkey AS custkey, total_spend,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY total_spend DESC, c_custkey) AS rnk
+  FROM spend
+)
+SELECT segment, custkey, total_spend, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY segment, rnk
+"""
+
+
+@register("sql_top_spenders_window", oracle=_SQL_TOP_SPENDERS)
+def sql_top_spenders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ranking through the SQL parser: Catalyst lowers the
+    row_number() OVER text to the same Window + rank-filter plan the
+    DataFrame twins get (win-rank family), with the per-customer spend
+    rollup shuffling once on the grouping key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_SPENDERS)

@@ -260,6 +260,15 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "BroadcastHashJoin"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # grouped OLS: dims broadcast, regressions as JVM aggregates
+    "revenue_trend_by_nation": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # SQL-parser window ranking: same Window plan as the DataFrame twins
+    "sql_top_spenders_window": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    # entropy: explode + two hash shuffles, ln over exact ints, JVM-side
+    "char_entropy_quality": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

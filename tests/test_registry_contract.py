@@ -98,3 +98,24 @@ def test_rows_only_queries_are_the_documented_exceptions(registry):
     assert not unexpected, (
         f"queries registered without an oracle but not documented: {unexpected}"
     )
+
+
+def test_bench_headline_names_registered():
+    """A typo'd HEADLINE entry silently drops out of the bench (the
+    list is filtered against the registry) — fail loudly instead."""
+    import bench
+    from ocean_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"bench HEADLINE names not registered: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE names"
+
+
+def test_audit_names_registered():
+    from ocean_data_pipeline_spark.queries import load_all
+    from tools.explain_audit import AUDIT
+
+    reg = load_all()
+    missing = [n for n in AUDIT if n not in reg]
+    assert not missing, f"plan-audit names not registered: {missing}"

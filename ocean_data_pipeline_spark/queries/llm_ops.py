@@ -1965,7 +1965,9 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     round to 6 before the decimal-exact source rollup. Plan: explode →
     (doc, bigram) census → per-doc partial agg — two shuffles, both on
     keys that grow with corpus size (no global state)."""
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # spread=True: ~len(text) substr calls per row before the census
+    # shuffle; don't serialize them on a one-row-group scan.
+    docs = table(spark, sf_dir, "documents", spread=True).filter(F.length("text") >= 2)
     bigrams = docs.select(
         "doc_id",
         "source",

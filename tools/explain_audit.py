@@ -269,6 +269,14 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     "sql_top_spenders_window": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
     # entropy: explode + two hash shuffles, ln over exact ints, JVM-side
     "char_entropy_quality": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # great-circle lookup: bbox prefilter + trig stay in codegen (lat/
+    # lon are derived here; stored columns would push the box to the scan)
+    "haversine_nearby": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # zero-order-hold mean: lead window + rollup share one sorted exchange
+    "time_weighted_avg": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 

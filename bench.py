@@ -112,6 +112,8 @@ HEADLINE = [
     "char_entropy_quality",
     "haversine_nearby",
     "time_weighted_avg",
+    "contamination_ngram_sweep",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -572,3 +572,52 @@ def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --- fuzzy (edit-distance) self-match ---------------------------------
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a,
+       b.name AS name_b,
+       levenshtein(a.name, b.name) AS edit_dist,
+       a.n_parts AS n_parts_a,
+       b.n_parts AS n_parts_b
+FROM names a
+JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+ORDER BY edit_dist, name_a, name_b
+"""
+
+
+@register("fuzzy_name_pairs", oracle=_FUZZY_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: part-name pairs within Levenshtein
+    distance 3 — the catalog-reconciliation / typo-cluster op, with
+    occurrence counts so downstream merging knows which spelling
+    dominates. Edit distance is integer-exact, so the oracle needs no
+    rounding discipline at all.
+
+    Plan shape: the match runs on the DISTINCT-name relation
+    (vocabulary scale — here ~10² names for 2·10³ parts), never on the
+    base table; at 100 TB add a (length-band, first-char) blocking key
+    to the self-join so candidate pairs stay near-linear, exactly like
+    the MinHash banding used for documents. The θ-condition
+    (name <, levenshtein ≤) plans as a broadcast nested-loop over the
+    tiny name relation."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    a = names.select(F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    b = names.select(F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+        .orderBy("edit_dist", "name_a", "name_b")
+    )

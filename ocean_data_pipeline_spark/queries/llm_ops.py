@@ -2003,3 +2003,86 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- contamination n-gram sensitivity sweep ---------------------------
+
+
+def _contam_block(n: int) -> str:
+    return f"""
+  SELECT {n} AS ngram_n,
+         count(DISTINCT g.doc_id)  AS n_flagged_docs,
+         count(DISTINCT g.gram)    AS n_shared_grams
+  FROM (
+    SELECT doc_id,
+           list_aggregate(list_slice(t, i, i + {n - 1}), 'string_agg', ' ') AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0) toks,
+         unnest(generate_series(1, greatest(0, len(t) - {n - 1}))) AS gidx(i)
+  ) g
+  JOIN (
+    SELECT DISTINCT gram FROM (
+      SELECT list_aggregate(list_slice(t, i, i + {n - 1}), 'string_agg', ' ') AS gram
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0 AND doc_id < 10) toks,
+           unnest(generate_series(1, greatest(0, len(t) - {n - 1}))) AS gidx(i)
+    )
+  ) b USING (gram)
+  WHERE g.doc_id >= 10
+"""
+
+
+_CONTAM_SWEEP_ORACLE = (
+    _contam_block(4) + "UNION ALL" + _contam_block(8) + "UNION ALL" + _contam_block(13)
+    + "ORDER BY ngram_n"
+)
+
+
+@register("contamination_ngram_sweep", oracle=_CONTAM_SWEEP_ORACLE)
+def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination threshold sensitivity: re-run the benchmark-
+    overlap check (`benchmark_decontamination`) at n = 4, 8, 13 —
+    the WMDP/GPT-3 spectrum — and report how many corpus docs and
+    distinct grams each n flags. Short n over-flags (common phrases),
+    long n under-flags (paraphrase slips through); the sweep is how a
+    pipeline picks its n before committing to a scrub.
+
+    Plan shape per n: probe grams (doc_id < 10) are DISTINCT'd then
+    BROADCAST against the corpus gram stream — the corpus is never
+    shuffled for the join; the three sweeps union. At 100 TB the three
+    passes share one tokenization via a multi-n gram explode; kept
+    separate here so each stage mirrors the production single-n scrub
+    exactly."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+
+    def sweep(n: int) -> DataFrame:
+        # docs shorter than n yield no grams: filter BEFORE sequence —
+        # Spark's sequence(1, 0) is a DESCENDING range, not empty
+        # (DuckDB's generate_series(1, 0) IS empty); see repeated_ngrams.
+        grams = toks.filter(F.size("t") >= n).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+                )
+            ).alias("gram"),
+        )
+        bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+        return (
+            grams.filter(F.col("doc_id") >= 10)
+            .join(F.broadcast(bench), "gram")
+            .agg(
+                F.lit(n).alias("ngram_n"),
+                F.countDistinct("doc_id").alias("n_flagged_docs"),
+                F.countDistinct("gram").alias("n_shared_grams"),
+            )
+            .select("ngram_n", "n_flagged_docs", "n_shared_grams")
+        )
+
+    return sweep(4).unionByName(sweep(8)).unionByName(sweep(13)).orderBy("ngram_n")

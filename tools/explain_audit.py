@@ -277,6 +277,17 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     ),
     # zero-order-hold mean: lead window + rollup share one sorted exchange
     "time_weighted_avg": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    # sweep: probe grams broadcast per n; the corpus never shuffles
+    "contamination_ngram_sweep": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # fuzzy θ-join over the distinct-name relation: broadcast NLJ, no
+    # base-table cartesian
+    "fuzzy_name_pairs": (
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

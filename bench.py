@@ -114,6 +114,20 @@ HEADLINE = [
     "time_weighted_avg",
     "contamination_ngram_sweep",
     "fuzzy_name_pairs",
+    "gopher_repetition_filter",
+    "lexical_quality_rules",
+    "tokenizer_fertility",
+    "bigram_perplexity_interp",
+    "mixture_temperature_weights",
+    "minhash_jaccard_calibration",
+    "nucleus_vocab_census",
+    "weighted_sample_deterministic",
+    "ngram_novelty_census",
+    "doc_length_percentile_trim",
+    "event_funnel_conversion",
+    "weekly_retention_cohorts",
+    "event_value_run_lengths",
+    "peak_event_per_user",
 ]
 
 

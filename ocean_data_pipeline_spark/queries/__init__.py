@@ -111,11 +111,13 @@ def load_all() -> dict[str, RegisteredQuery]:
         approx,
         cache_queries,
         dedup_pipeline,
+        event_analytics,
         flagship,
         grid_queries,
         joins,
         llm_ops,
         pii_ops,
+        quality_ops,
         reshape,
         set_ops,
         sql_surface,

@@ -1,0 +1,267 @@
+"""Event-stream analytics queries (SURVEY.md §2-E/F width): ordered
+funnel conversion, weekly retention cohorts, gaps-and-islands run
+lengths, and argmax-by-struct peak events — the product-analytics
+shapes a telemetry pipeline runs daily over the `events` table.
+
+Determinism rules: orderings always carry a unique tie-breaker
+(event_id), argmax goes through lexicographic struct max (never the
+engine's unspecified arg_max tie policy), and rates are single double
+divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- ordered funnel conversion ----------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 4) AS click_through,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 4) AS purchase_through
+"""
+
+
+@register("event_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    advances a stage only with an event STRICTLY LATER than their
+    previous stage's first event — the time-ordered funnel semantics
+    of product analytics (not mere set membership, which overcounts
+    users who purchased before ever viewing).
+
+    Plan shape: three cascading (filter → user-keyed partial agg →
+    user-keyed equi-join) stages; every relation after stage one is
+    per-user (shrinking monotonically), every join is on user_id, so
+    the funnel co-partitions on one key end-to-end. The final counts
+    are four 1-row aggregates combined by broadcast cross joins."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    totals = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        totals.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked").cast("double") / F.col("n_viewed"), 4).alias(
+                "click_through"
+            ),
+            F.round(
+                F.col("n_purchased").cast("double") / F.col("n_clicked"), 4
+            ).alias("purchase_through"),
+        )
+    )
+
+
+# --- weekly retention cohorts -----------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01',
+                             min(CAST(ts AS DATE))) / 7) AS BIGINT)
+           AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor(datediff('day', DATE '2024-01-01',
+                           CAST(e.ts AS DATE)) / 7) AS BIGINT)
+         - f.cohort_week AS week_offset,
+       count(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("weekly_retention_cohorts", oracle=_RETENTION_ORACLE)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users bucket into the week of
+    their first event (weeks indexed from the corpus epoch by integer
+    day-division — no engine-specific week-truncation semantics), and
+    each (cohort, week-offset) cell counts the distinct cohort members
+    still active that week. The standard retention triangle.
+
+    Plan shape: one user-keyed partial agg for first-seen, one
+    user-keyed equi-join back onto events (co-partitioned — the
+    cohort relation is per-user, NOT broadcast: user cardinality
+    scales with the corpus), one distinct-count agg on the ~weeks²
+    cell grid."""
+    ev = table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    week_of = lambda col: F.floor(F.datediff(col, epoch) / 7).cast("bigint")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        week_of(F.min(F.to_date("ts"))).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week_of(F.to_date("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- gaps-and-islands: event-type run lengths -------------------------
+
+_RUN_LENGTHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, rn_all - rn_type AS island,
+         count(*) AS run_len
+  FROM seq GROUP BY user_id, event_type, island
+)
+SELECT event_type,
+       count(*) AS n_runs,
+       max(run_len) AS max_run,
+       round(CAST(sum(run_len) AS DOUBLE) / count(*), 4) AS avg_run
+FROM runs GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("event_value_run_lengths", oracle=_RUN_LENGTHS_ORACLE)
+def event_value_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run detection: within each user's event stream
+    (ordered by ts with event_id as the unique tie-breaker), maximal
+    runs of the same event_type are identified by the classic
+    difference-of-row-numbers trick; per type, the run census (count /
+    max / mean length). Long error runs = stuck clients; long view
+    runs without clicks = dead UI — the operational read of the same
+    shape `sessionize_events` time-gaps on.
+
+    Plan shape: both window functions share the user_id partition key
+    (ONE shuffle, two sort specs), the island agg is user-keyed, the
+    final rollup is 5 rows. No joins at all."""
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    runs = seq.groupBy(
+        "user_id", "event_type", (F.col("rn_all") - F.col("rn_type")).alias("island")
+    ).agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run"),
+            F.round(F.sum("run_len").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_run"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- peak event per user (argmax by struct) ---------------------------
+
+_PEAK_EVENT_ORACLE = """
+WITH peaks AS (
+  SELECT user_id,
+         max(struct_pack(v := value, e := event_id, t := event_type))
+           AS peak
+  FROM events GROUP BY user_id
+)
+SELECT peak.t AS peak_event_type,
+       count(*) AS n_users,
+       round(CAST(sum(CAST(round(peak.v, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) / count(*), 2) AS avg_peak_value,
+       max(peak.v) AS max_peak_value
+FROM peaks GROUP BY peak.t ORDER BY peak.t
+"""
+
+
+@register("peak_event_per_user", oracle=_PEAK_EVENT_ORACLE)
+def peak_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation without a window: each user's single
+    highest-value event, taken as max(struct(value, event_id,
+    event_type)) — lexicographic struct comparison gives argmax-by-
+    value with a unique event_id tie-breaker, which is deterministic
+    where the engines' native arg_max/max_by leave ties unspecified.
+    Distribution of peak types answers "what do users' biggest-ticket
+    interactions look like".
+
+    Plan shape: ONE partial-agg shuffle on user_id (struct max
+    combines map-side — this is the whole point vs the row_number
+    window in `latest_order_per_customer`, which must materialize and
+    sort every group), then a 5-row rollup."""
+    ev = table(spark, sf_dir, "events")
+    peaks = ev.groupBy("user_id").agg(
+        F.max(F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"),
+                       F.col("event_type").alias("t"))).alias("peak")
+    )
+    return (
+        peaks.groupBy(F.col("peak.t").alias("peak_event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.round(F.col("peak.v"), 2).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_peak_value"),
+            F.max("peak.v").alias("max_peak_value"),
+        )
+        .orderBy("peak_event_type")
+    )

@@ -1,0 +1,954 @@
+"""Corpus-quality and calibration queries (SURVEY.md §2-J width):
+Gopher/MassiveText-style repetition + lexical filter rules, tokenizer
+fertility, interpolated bigram-LM perplexity, temperature-scaled source
+mixture weights, MinHash-vs-exact Jaccard calibration, nucleus-vocab
+diversity, deterministic weighted sampling, n-gram novelty, and
+percentile length trimming — all over the `documents` table, all with
+DuckDB oracle twins.
+
+Design rules shared by every query here:
+- per-doc metrics are ratios of integers computed as one double
+  division (bit-identical across engines) and rounded BEFORE any
+  cross-row aggregation;
+- cross-row averages go through decimal sums (order-stable) and a
+  final rounded double division;
+- flags compare rounded metrics against constants chosen off the
+  sf0.01 distribution so no document sits on a knife edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.operators.text import (
+    bpe_token_count,
+    token_count,
+    tokens,
+)
+from ocean_data_pipeline_spark.queries import register
+
+# --- Gopher-style repetition rules ------------------------------------
+
+_GOPHER_REPETITION_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(1, len(arr) - 1),
+                        i -> arr[i] || ' ' || arr[i + 1]) AS g2
+  FROM d WHERE len(arr) >= 2
+),
+m AS (
+  SELECT doc_id, source,
+         round(CAST(list_max(list_transform(list_distinct(g2),
+                 x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+               / len(g2), 6) AS top2_frac,
+         round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+           AS dup2_frac
+  FROM g
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(top2_frac AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_top2_frac,
+       round(CAST(sum(CAST(dup2_frac AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_dup2_frac,
+       CAST(sum(CASE WHEN top2_frac > 0.06 OR dup2_frac > 0.05
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+@register("gopher_repetition_filter", oracle=_GOPHER_REPETITION_ORACLE)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1,
+    token-level adaptation): per document, the fraction of 2-grams
+    occupied by the single most frequent 2-gram (`top2_frac`) and the
+    fraction of duplicate 2-grams (`dup2_frac`); documents breaching
+    either threshold are the boilerplate/loop-spam candidates a
+    pretraining pipeline drops. Rolled up per source.
+
+    Plan shape: pure array expressions per row — bigrams via
+    transform(sequence), the most-frequent count via an O(d·n)
+    filter-count over distinct grams (vectorized in codegen, no
+    explode, no shuffle) — then ONE partial-agg shuffle on `source`.
+    At 100 TB this is scan-speed map work; nothing but the 20-row
+    source rollup moves."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    arr = tokens(F.lower(F.col("text")))
+    d = docs.select("doc_id", "source", arr.alias("arr")).filter(F.size("arr") >= 2)
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size("arr") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("arr", i + 1), F.element_at("arr", i + 2)
+        ),
+    )
+    g = d.select("doc_id", "source", g2.alias("g2"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("g2"),
+            lambda x: F.size(F.filter("g2", lambda y: y == x)),
+        )
+    )
+    m = g.select(
+        "source",
+        F.round(top_cnt.cast("double") / F.size("g2"), 6).alias("top2_frac"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("g2")).cast("double") / F.size("g2"),
+            6,
+        ).alias("dup2_frac"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("top2_frac").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_top2_frac"),
+            F.round(
+                F.sum(F.col("dup2_frac").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_dup2_frac"),
+            F.sum(
+                F.when((F.col("top2_frac") > 0.06) | (F.col("dup2_frac") > 0.05), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- MassiveText lexical rules ----------------------------------------
+
+_LEXICAL_RULES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+m AS (
+  SELECT doc_id, lang,
+         round(CAST(list_sum(list_transform(arr, t -> length(t))) AS DOUBLE)
+               / len(arr), 6) AS mean_word_len,
+         round(CAST(len(list_filter(arr, t -> length(t) <= 2)) AS DOUBLE)
+               / len(arr), 6) AS short_word_frac,
+         len(list_filter(arr, t -> t IN
+             ('the','and','of','to','a','in','is','that'))) AS stop_hits
+  FROM d
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND short_word_frac <= 0.05
+                      AND stop_hits >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(CAST(sum(CAST(mean_word_len AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_word_len,
+       round(CAST(sum(CAST(short_word_frac AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_short_frac
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@register("lexical_quality_rules", oracle=_LEXICAL_RULES_ORACLE)
+def lexical_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText lexical filter rules (Rae et al. 2021 §A1.1): mean
+    word length within [3, 10], short-word (≤2 chars) fraction ≤ 0.05,
+    and ≥2 hits against the English stop-list (the "contains common
+    words" rule). Per-language pass counts expose which slices a
+    rule-set built for one language unfairly drops — the standard
+    multilingual-curation audit.
+
+    Plan shape: per-row array folds (sum of lengths, filter counts) —
+    no explode, no shuffle — then one partial agg on `lang`."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("arr"))
+    mean_wl = F.round(
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / F.size("arr"),
+        6,
+    )
+    short_frac = F.round(
+        F.size(F.filter("arr", lambda t: F.length(t) <= 2)).cast("double")
+        / F.size("arr"),
+        6,
+    )
+    stop_hits = F.size(
+        F.filter(
+            "arr",
+            lambda t: t.isin("the", "and", "of", "to", "a", "in", "is", "that"),
+        )
+    )
+    m = d.select(
+        "lang",
+        mean_wl.alias("mean_word_len"),
+        short_frac.alias("short_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("short_word_frac") <= 0.05)
+        & (F.col("stop_hits") >= 2)
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(passes, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+            F.round(
+                F.sum(F.col("mean_word_len").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_word_len"),
+            F.round(
+                F.sum(F.col("short_word_frac").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_short_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- tokenizer fertility ----------------------------------------------
+
+_FERTILITY_ORACLE = r"""
+WITH m AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+           AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n_ws) AS BIGINT)    AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT)   AS bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4)    AS fertility,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4) AS chars_per_token
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: BPE-ish tokens per whitespace word
+    and characters per token, by language. Fertility skew across
+    languages is the standard signal that a tokenizer under-serves a
+    script (high fertility → more tokens per word → higher effective
+    cost and shorter effective context for that language).
+
+    Plan shape: two regexp counts per row at scan speed, exact integer
+    partial sums on `lang`, divisions only on the 5 aggregated rows."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_ws"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- interpolated bigram-LM perplexity --------------------------------
+
+_BIGRAM_PPL_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+uni AS (
+  SELECT t.w, count(*) AS c1
+  FROM d, unnest(arr) AS t(w) GROUP BY t.w
+),
+tot AS (SELECT sum(c1) AS t FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> arr[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> arr[i + 1])) AS w2
+    FROM d WHERE len(arr) >= 2
+  ) GROUP BY w1, w2
+),
+trans AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i + 1])) AS w2
+  FROM d WHERE len(arr) >= 2
+),
+scored AS (
+  SELECT doc_id, any_value(source) AS source,
+         round(-sum(ln(0.7 * (CAST(c2 AS DOUBLE) / u1.c1)
+                       + 0.3 * (CAST(u2.c1 AS DOUBLE) / t)))
+               / count(*), 6) AS nll
+  FROM trans
+  JOIN big USING (w1, w2)
+  JOIN uni u1 ON u1.w = trans.w1
+  JOIN uni u2 ON u2.w = trans.w2
+  CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_nll,
+       min(nll) AS min_nll,
+       max(nll) AS max_nll,
+       CAST(sum(CASE WHEN nll > 3.42 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("bigram_perplexity_interp", oracle=_BIGRAM_PPL_ORACLE)
+def bigram_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM scoring (Jelinek–Mercer smoothing,
+    λ=0.7): every document's mean transition NLL under
+    P(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/T, the next step up from
+    the unigram filter (`perplexity_filter_unigram`) toward a KenLM —
+    sequence-aware, so shuffled-token spam that fools a unigram LM
+    scores badly here.
+
+    Plan shape: ONE bigram explode feeds both the corpus counts and
+    the scoring stream; the bigram census is vocabulary²-bounded (not
+    corpus-bounded) so both LM relations broadcast; the corpus total
+    rides a broadcast 1-row frame. Per-doc NLL is one partial agg on
+    doc_id; transitions never shuffle on anything wider."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("arr")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("arr") - 2),
+        lambda i: F.struct(
+            F.element_at("arr", i + 1).alias("w1"),
+            F.element_at("arr", i + 2).alias("w2"),
+        ),
+    )
+    trans = (
+        d.filter(F.size("arr") >= 2)
+        .select("doc_id", "source", F.explode(pairs).alias("p"))
+        .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        d.select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("t"))
+    big = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        trans.join(F.broadcast(big), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        0.7 * (F.col("c2").cast("double") / F.col("c1_w1"))
+                        + 0.3 * (F.col("c1_w2").cast("double") / F.col("t"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_nll"),
+            F.min("nll").alias("min_nll"),
+            F.max("nll").alias("max_nll"),
+            F.sum(F.when(F.col("nll") > 3.42, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- temperature-scaled source mixture weights ------------------------
+
+_MIXTURE_TEMP_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS tok_mass
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, tok_mass,
+         round(CAST(tok_mass AS DOUBLE)
+               / (SELECT sum(tok_mass) FROM per_src), 6) AS share,
+         round(pow(CAST(tok_mass AS DOUBLE)
+                   / (SELECT sum(tok_mass) FROM per_src), 0.3), 6) AS w_raw
+  FROM per_src
+)
+SELECT source, n_docs, tok_mass, share,
+       round(w_raw / (SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6)))
+                                  AS DOUBLE) FROM w), 6) AS weight,
+       round(round(w_raw / (SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6)))
+                                        AS DOUBLE) FROM w), 6)
+             / share, 4) AS upsample_factor
+FROM w ORDER BY source
+"""
+
+
+@register("mixture_temperature_weights", oracle=_MIXTURE_TEMP_ORACLE)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual /
+    multi-source mixture rule of mC4 and XLM-R, α=0.3): each source's
+    natural token share p_s is flattened to w_s ∝ p_s^0.3 and
+    renormalized; `upsample_factor` = w_s / p_s says how many
+    effective epochs of that source a sampler draws relative to
+    natural frequency — the knob that keeps low-resource sources from
+    vanishing in the mixture.
+
+    Plan shape: one partial-agg shuffle to the per-source token
+    census; everything after operates on the 20-row source relation
+    (two tiny broadcast totals — corpus mass and Σw_raw, the latter
+    decimal-summed over ROUNDED w_raw so no engine-order float-sum
+    hazard). Scale-invariant by construction."""
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("tok_mass"),
+    )
+    tot = per_src.agg(F.sum("tok_mass").cast("double").alias("t"))
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_mass",
+        F.round(F.col("tok_mass").cast("double") / F.col("t"), 6).alias("share"),
+        F.round(
+            F.pow(F.col("tok_mass").cast("double") / F.col("t"), F.lit(0.3)), 6
+        ).alias("w_raw"),
+    )
+    sum_w = w.agg(
+        F.sum(F.col("w_raw").cast("decimal(18,6)")).cast("double").alias("sw")
+    )
+    return (
+        w.crossJoin(F.broadcast(sum_w))
+        .select(
+            "source",
+            "n_docs",
+            "tok_mass",
+            "share",
+            F.round(F.col("w_raw") / F.col("sw"), 6).alias("weight"),
+            F.round(
+                F.round(F.col("w_raw") / F.col("sw"), 6) / F.col("share"), 4
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- MinHash-vs-exact Jaccard calibration -----------------------------
+
+
+def _mh_salts() -> list[str]:
+    return [f"mh{k:02d}_" for k in range(16)]
+
+
+def _oracle_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> sha256('{salt}' || s)))"
+        for salt in _mh_salts()
+    )
+    return f"[{mins}]"
+
+
+_MINHASH_CALIB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(1, length(text) - 7)),
+           i -> substr(text, i, 8))) AS sh
+  FROM documents WHERE doc_id < 60
+),
+sig AS (
+  SELECT doc_id, sh, {_oracle_minhash_sig()} AS mh FROM d
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_filter(generate_series(1, 16),
+                 i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16, 6) AS est_j,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 6) AS exact_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT count(*) AS n_pairs,
+       round(CAST(sum(CAST(round(abs(est_j - exact_j), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS mae,
+       round(CAST(sum(CAST(round(est_j - exact_j, 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS bias,
+       round(max(round(abs(est_j - exact_j), 6)), 4) AS max_abs_err
+FROM pairs
+"""
+
+
+@register("minhash_jaccard_calibration", oracle=_MINHASH_CALIB_ORACLE)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy calibration harness: on a bounded pair panel
+    (doc_id < 60 → 1 770 pairs), compare the K=16 MinHash Jaccard
+    estimate (fraction of agreeing salted-SHA-256 component minima)
+    against exact 8-char-shingle Jaccard, reporting MAE / bias /
+    worst-case error. This is the report that justifies the LSH
+    banding thresholds used by the dedup pipeline — expected MAE for
+    K independent permutations is ≈ sqrt(J(1−J)/K), and the measured
+    numbers should sit at or below it.
+
+    Plan shape: signatures are per-row array folds over a STAGED
+    shingle column (computed once, 16 mins read it — the documented
+    30× shared-subexpression trap in operators/text.py); the pair
+    panel is an explicitly bounded self-join (≤60 ids, broadcast),
+    the production-scale posture being calibration-on-a-sample."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(F.col("doc_id") < 60)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7)),
+            lambda i: F.col("text").substr(i, F.lit(8)),
+        )
+    )
+    staged = docs.select("doc_id", sh.alias("sh"))
+
+    def _mh_component(salt: str):
+        # NB: the salt must be closed over, not passed as a defaulted
+        # second lambda arg — a 2-ary lambda makes transform() bind the
+        # array INDEX to it.
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.sha2(F.concat(F.lit(salt), s), 256))
+        )
+
+    sig = staged.select(
+        "doc_id",
+        "sh",
+        F.array(*[_mh_component(salt) for salt in _mh_salts()]).alias("mh"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("mh").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("mh").alias("mh_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq
+                )
+            ).cast("double")
+            / 16,
+            6,
+        ).alias("est_j"),
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ).alias("exact_j"),
+    )
+    err = F.round(F.col("est_j") - F.col("exact_j"), 6)
+    abs_err = F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(abs_err.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mae"),
+        F.round(
+            F.sum(err.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("bias"),
+        F.round(F.max(abs_err), 4).alias("max_abs_err"),
+    )
+
+
+# --- nucleus vocabulary (lexical-diversity) census --------------------
+
+_NUCLEUS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+tc AS (
+  SELECT doc_id, source, t, count(*) AS c
+  FROM toks GROUP BY doc_id, source, t
+),
+r AS (
+  SELECT doc_id, source, c,
+         sum(c) OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY doc_id) AS tot,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rn
+  FROM tc
+),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source,
+         min(CASE WHEN cum >= 0.9 * tot THEN rn END) AS nucleus,
+         max(rn) AS vocab,
+         round(CAST(max(rn) AS DOUBLE) / max(tot), 6) AS ttr
+  FROM r GROUP BY doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(nucleus AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_nucleus,
+       max(nucleus) AS max_nucleus,
+       round(CAST(sum(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_ttr
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("nucleus_vocab_census", oracle=_NUCLEUS_ORACLE)
+def nucleus_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity census: per document, the nucleus vocabulary
+    size (how many distinct tokens, most-frequent first, cover 90% of
+    the token mass — the top-p analogue for corpora) plus type-token
+    ratio; averaged per source. Low nucleus + low TTR identifies
+    template/boilerplate sources a mixture should down-weight.
+
+    Plan shape: one explode → (doc, token) partial-agg shuffle, one
+    doc-partitioned window (cumulative mass over a deterministic
+    (count desc, token) order), one per-doc agg, one source rollup —
+    every stage keyed on doc_id or narrower, so it scales linearly."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+    )
+    tc = toks.groupBy("doc_id", "source", "t").agg(F.count(F.lit(1)).alias("c"))
+    order = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("t"))
+    part = Window.partitionBy("doc_id")
+    r = tc.select(
+        "doc_id",
+        "source",
+        "c",
+        F.sum("c").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(part).alias("tot"),
+        F.row_number().over(order).alias("rn"),
+    )
+    per_doc = r.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.min(F.when(F.col("cum") >= 0.9 * F.col("tot"), F.col("rn"))).alias("nucleus"),
+        F.max("rn").alias("vocab"),
+        F.round(F.max("rn").cast("double") / F.max("tot"), 6).alias("ttr"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("nucleus").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_nucleus"),
+            F.max("nucleus").alias("max_nucleus"),
+            F.round(
+                F.sum(F.col("ttr").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis A-ES) -------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln((CAST(('0x' || substr(sha256('samp_' || CAST(doc_id
+                    AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                   / 4294967297.0)
+               / n_chars, 12) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (ORDER BY es_key, doc_id) AS rn
+  FROM keyed
+)
+SELECT source,
+       count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+FROM ranked WHERE rn <= 50
+GROUP BY source ORDER BY source
+"""
+
+
+@register("weighted_sample_deterministic", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each document draws u ∈ (0,1] from a
+    salted SHA-256 of its id and gets key −ln(u)/w with w = n_chars;
+    the k smallest keys are an exact weight-proportional sample. The
+    hash replaces the RNG, so the sample is reproducible across
+    engines, retries, and partitionings — the property a training-data
+    sampler actually needs. Census of the k=50 sample by source
+    (longer docs oversampled ∝ length, as intended).
+
+    Plan shape: key assignment is scan-speed map work; selection is
+    sort-limit, which compiles to TakeOrderedAndProject — each
+    partition keeps its local top-50 and only 50·P rows reach the
+    final merge, never a global sort (same strategy `top_orders`
+    pins). Keys round to 12 decimals and tie-break on doc_id, so the
+    rank-50 boundary is engine-stable."""
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit("samp_"), F.col("doc_id").cast("string")), 256), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 12).alias("es_key"),
+    )
+    sampled = keyed.orderBy(F.asc("es_key"), F.asc("doc_id")).limit(50)
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- n-gram novelty census --------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, len(arr) - 7),
+                i -> list_aggregate(arr[i : i + 7], 'string_agg', ' ')))
+           AS gram
+  FROM d WHERE len(arr) >= 8
+),
+census AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+),
+per_doc AS (
+  SELECT g.doc_id, any_value(g.source) AS source,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN c.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+         round(CAST(sum(CASE WHEN c.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS novel_frac
+  FROM grams g JOIN census c USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(novel_frac AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_novel_frac,
+       CAST(sum(CASE WHEN novel_frac = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("ngram_novelty_census", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty census: for every document (in doc_id
+    order — the ingestion order), the fraction of its distinct token
+    8-grams that first appear IN that document rather than in any
+    earlier one. Sources whose documents introduce nothing new are
+    recycled/boilerplate feeds; the metric is the streaming-corpus
+    cousin of `repeated_ngrams` (which counts cross-doc repetition
+    without direction).
+
+    Plan shape: per-row gram arrays (slice + array_join, no quadratic
+    work), ONE distinct-explode, a gram-keyed census shuffle
+    (min doc_id = first introduction), an equi-join back on gram, and
+    a doc rollup — all keys are gram or doc_id, so the whole thing is
+    two linear shuffles at corpus scale; the census join must NOT be
+    broadcast (gram cardinality grows with the corpus)."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("arr")
+    ).filter(F.size("arr") >= 8)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - 7),
+            lambda i: F.array_join(F.slice("arr", i, 8), " "),
+        )
+    )
+    grams = d.select("doc_id", "source", F.explode(gram_arr).alias("gram"))
+    census = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(census, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_frac"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("novel_frac").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_novel_frac"),
+            F.sum(F.when(F.col("novel_frac") == 1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fully_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- percentile length trimming ---------------------------------------
+
+_LENGTH_TRIM_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       round(CAST(sum(CASE WHEN n_chars >= lo AND n_chars <= hi
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS kept_frac
+FROM documents CROSS JOIN cuts
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("doc_length_percentile_trim", oracle=_LENGTH_TRIM_ORACLE)
+def doc_length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length trimming: compute the corpus p5/p95 of
+    `n_chars` (exact interpolated percentiles — Spark `percentile` ==
+    DuckDB `quantile_cont`, the `quartiles_exact` parity) and report
+    how much of each language falls outside — the tails a curation
+    pipeline clips as truncation/concatenation artifacts, and the
+    per-language census that shows whether a single corpus-wide cut
+    discriminates against a language's natural length profile.
+
+    Plan shape: the cut points are a 1-row aggregate broadcast back
+    over the scan (no driver collect, no second pass per row); the
+    rollup is one partial agg on `lang`."""
+    docs = table(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("n_chars") >= F.col("lo"))
+                        & (F.col("n_chars") <= F.col("hi")),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )

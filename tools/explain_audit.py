@@ -288,6 +288,79 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # repetition/lexical rules: pure array-expression map work — any
+    # Python eval or a join here means the per-row fold fell apart
+    "gopher_repetition_filter": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    "lexical_quality_rules": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # bigram LM: both LM relations are vocabulary-bounded → broadcast;
+    # the transition stream must never sort-merge
+    "bigram_perplexity_interp": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # mixture weights: the two totals ride 1-row broadcast frames
+    "mixture_temperature_weights": (
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # calibration panel: doc_id bound pushed to the scan, pair join is
+    # a bounded broadcast NLJ
+    "minhash_jaccard_calibration": (
+        ["LessThan(doc_id,60)", "BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # novelty census: the gram-census join must stay a shuffle join at
+    # scale (gram cardinality grows with the corpus) — gate only the
+    # absences; AQE may legitimately broadcast at sf0.01
+    "ngram_novelty_census": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # A-ES sampling: key assignment is map work; selection compiles to
+    # TakeOrderedAndProject (per-partition top-50, no global sort)
+    "weighted_sample_deterministic": (
+        ["TakeOrderedAndProject"],
+        ["BatchEvalPython", "CartesianProduct", "Window"],
+    ),
+    # percentile trim: cut points are a broadcast 1-row aggregate
+    "doc_length_percentile_trim": (
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # funnel: user-keyed joins only; no cartesian anywhere
+    "event_funnel_conversion": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    "weekly_retention_cohorts": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # gaps-and-islands: both window specs share ONE user_id exchange
+    "event_value_run_lengths": (
+        ["Window"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # argmax via struct max: ONE partial agg, explicitly windowless
+    "peak_event_per_user": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "Window", "SortMergeJoin"],
+    ),
+    # nucleus: doc-keyed windows + aggs; no joins at all
+    "nucleus_vocab_census": (
+        ["Window"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    "tokenizer_fertility": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    ),
 }
 
 

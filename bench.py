@@ -128,6 +128,11 @@ HEADLINE = [
     "weekly_retention_cohorts",
     "event_value_run_lengths",
     "peak_event_per_user",
+    "minhash_band_tuning_curve",
+    "dsir_importance_weights",
+    "semantic_dedup_cells",
+    "event_type_markov_transitions",
+    "sql_funnel_conversion",
 ]
 
 

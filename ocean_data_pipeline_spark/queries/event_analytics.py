@@ -265,3 +265,55 @@ def peak_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_event_type")
     )
+
+
+# --- first-order Markov transition matrix -----------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, count(*) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_trans,
+       round(CAST(n_trans AS DOUBLE)
+             / sum(n_trans) OVER (PARTITION BY from_type), 6) AS p_trans
+FROM trans ORDER BY from_type, to_type
+"""
+
+
+@register("event_type_markov_transitions", oracle=_MARKOV_ORACLE)
+def event_type_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next type | current type), estimated from every consecutive pair
+    in each user's (ts, event_id)-ordered stream. Off-uniform rows
+    expose behavioral structure (error→error loops, view→click paths)
+    — the session model behind funnel design and bot detection.
+
+    Plan shape: one user-keyed window (lead) → one (from,to) partial
+    agg → the row-normalizing window runs on the 25-row matrix, not
+    the event stream. Linear in events with a single wide shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    w_row = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(w_row), 6
+        ).alias("p_trans"),
+    ).orderBy("from_type", "to_type")

@@ -1,10 +1,11 @@
 """Corpus-quality and calibration queries (SURVEY.md §2-J width):
 Gopher/MassiveText-style repetition + lexical filter rules, tokenizer
 fertility, interpolated bigram-LM perplexity, temperature-scaled source
-mixture weights, MinHash-vs-exact Jaccard calibration, nucleus-vocab
-diversity, deterministic weighted sampling, n-gram novelty, and
-percentile length trimming — all over the `documents` table, all with
-DuckDB oracle twins.
+mixture weights, MinHash-vs-exact Jaccard calibration + LSH band
+tuning, nucleus-vocab diversity, deterministic weighted sampling,
+n-gram novelty, percentile length trimming, DSIR importance weighting,
+and SemDeDup cell-bounded semantic dedup — documents/embeddings
+tables, all with DuckDB oracle twins.
 
 Design rules shared by every query here:
 - per-doc metrics are ratios of integers computed as one double
@@ -513,8 +514,12 @@ def _oracle_minhash_sig() -> str:
     return f"[{mins}]"
 
 
-_MINHASH_CALIB_ORACLE = f"""
-WITH d AS (
+def _oracle_panel_cte() -> str:
+    """Shared DuckDB CTE body for the bounded calibration panel
+    (doc_id < 60): distinct 8-char shingles + the K=16 salted-SHA-256
+    MinHash signature — the twin of `_panel_signatures`."""
+    return f"""
+d AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(1, length(text) - 7)),
@@ -523,7 +528,40 @@ WITH d AS (
 ),
 sig AS (
   SELECT doc_id, sh, {_oracle_minhash_sig()} AS mh FROM d
-),
+)"""
+
+
+def _panel_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, mh) over the bounded panel (doc_id < 60): distinct
+    8-char shingles plus the K=16 salted-SHA-256 MinHash signature.
+    The shingle array is STAGED in its own projection so the 16
+    component mins read a stored column instead of re-shingling (the
+    documented 30× shared-subexpression trap in operators/text.py)."""
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7)),
+            lambda i: F.col("text").substr(i, F.lit(8)),
+        )
+    )
+    staged = docs.filter(F.col("doc_id") < 60).select("doc_id", sh.alias("sh"))
+
+    def _mh_component(salt: str):
+        # NB: the salt must be closed over, not passed as a defaulted
+        # second lambda arg — a 2-ary lambda makes transform() bind the
+        # array INDEX to it.
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.sha2(F.concat(F.lit(salt), s), 256))
+        )
+
+    return staged.select(
+        "doc_id",
+        "sh",
+        F.array(*[_mh_component(salt) for salt in _mh_salts()]).alias("mh"),
+    )
+
+
+_MINHASH_CALIB_ORACLE = f"""
+WITH {_oracle_panel_cte()},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(CAST(len(list_filter(generate_series(1, 16),
@@ -560,28 +598,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     30× shared-subexpression trap in operators/text.py); the pair
     panel is an explicitly bounded self-join (≤60 ids, broadcast),
     the production-scale posture being calibration-on-a-sample."""
-    docs = table(spark, sf_dir, "documents", spread=True).filter(F.col("doc_id") < 60)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7)),
-            lambda i: F.col("text").substr(i, F.lit(8)),
-        )
-    )
-    staged = docs.select("doc_id", sh.alias("sh"))
-
-    def _mh_component(salt: str):
-        # NB: the salt must be closed over, not passed as a defaulted
-        # second lambda arg — a 2-ary lambda makes transform() bind the
-        # array INDEX to it.
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.sha2(F.concat(F.lit(salt), s), 256))
-        )
-
-    sig = staged.select(
-        "doc_id",
-        "sh",
-        F.array(*[_mh_component(salt) for salt in _mh_salts()]).alias("mh"),
-    )
+    sig = _panel_signatures(table(spark, sf_dir, "documents", spread=True))
     a = sig.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("mh").alias("mh_a")
     )
@@ -951,4 +968,333 @@ def doc_length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
         .orderBy("lang")
+    )
+
+
+# --- LSH band-tuning curve (measured vs analytic S-curve) -------------
+
+_BAND_CONFIGS = [(16, 1), (8, 2), (4, 4)]  # (bands, rows) over K=16
+
+
+def _band_tuning_oracle() -> str:
+    per_config = []
+    for b, r in _BAND_CONFIGS:
+        bands = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a.mh[{band * r + row + 1}] = b.mh[{band * r + row + 1}]"
+                for row in range(r)
+            )
+            + ")"
+            for band in range(b)
+        )
+        per_config.append(f"""
+SELECT {b} AS n_bands, {r} AS rows_per_band,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN {bands} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detected,
+       round(CAST(sum(CAST(round(1.0 - pow(1.0 - pow(j.exact_j, {r}), {b}), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS expected_detected
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+JOIN jac j ON j.id_a = a.doc_id AND j.id_b = b.doc_id""")
+    body = "\nUNION ALL\n".join(per_config)
+    return f"""
+WITH {_oracle_panel_cte()},
+jac AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 6) AS exact_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT * FROM ({body})
+ORDER BY n_bands DESC
+"""
+
+
+@register("minhash_band_tuning_curve", oracle=_band_tuning_oracle())
+def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design report: for each (bands b, rows r) split of
+    the K=16 MinHash signature, the MEASURED candidate-pair count on
+    the calibration panel next to the ANALYTIC expectation
+    Σ 1−(1−J^r)^b from each pair's exact Jaccard — the S-curve table
+    an engineer reads to pick the dedup pipeline's banding (r=1 fires
+    on everything, r=4 only on strong overlap). Measured ≈ expected
+    validates the independence assumption the banding math rests on.
+
+    Plan shape: same bounded broadcast pair panel as
+    `minhash_jaccard_calibration`; each config is a constant-folded
+    boolean over the 16 signature slots, all three evaluated in one
+    pass over the pairs and unioned (the union branches share the
+    panel scan via plan reuse)."""
+    sig = _panel_signatures(table(spark, sf_dir, "documents", spread=True))
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("mh").alias("mh_a")
+    )
+    b_side = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("mh").alias("mh_b")
+    )
+    pairs = a.join(F.broadcast(b_side), F.col("id_a") < F.col("id_b")).select(
+        "mh_a",
+        "mh_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ).alias("exact_j"),
+    )
+    outs = []
+    for b, r in _BAND_CONFIGS:
+        detected = None
+        for band in range(b):
+            band_eq = None
+            for row in range(r):
+                i = band * r + row + 1
+                eq = F.element_at("mh_a", i) == F.element_at("mh_b", i)
+                band_eq = eq if band_eq is None else (band_eq & eq)
+            detected = band_eq if detected is None else (detected | band_eq)
+        expected = F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("exact_j"), F.lit(r)), F.lit(b)),
+            6,
+        )
+        outs.append(
+            pairs.agg(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(detected, 1).otherwise(0)).cast("bigint").alias("n_detected"),
+                F.round(
+                    F.sum(expected.cast("decimal(18,6)")).cast("double"), 2
+                ).alias("expected_detected"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(F.desc("n_bands"))
+
+
+# --- DSIR-style importance weights ------------------------------------
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (
+  SELECT w, count(*) AS c_raw,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_tgt
+  FROM toks GROUP BY w
+),
+totals AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw,
+         CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM census
+),
+scored AS (
+  SELECT doc_id, any_value(source) AS source,
+         round(sum(ln(((c_tgt + 1) / (t_tgt + v))
+                      / ((c_raw + 1) / (t_raw + v))))
+               / count(*), 6) AS logw
+  FROM toks JOIN census USING (w) CROSS JOIN totals
+  GROUP BY doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(logw AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_log_weight,
+       CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target_like
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by the mean token log-likelihood ratio between a TARGET
+    distribution (here the lang='en' slice, standing in for the
+    high-quality target corpus) and the RAW distribution, both
+    add-one-smoothed over the shared vocabulary. Documents with
+    positive log-weight look more like the target than like the crawl
+    — importance resampling selects ∝ exp(logw). Per-source averages
+    show which feeds the selection would favor.
+
+    Plan shape: ONE token census pass computes raw and target counts
+    together (conditional partial aggs — no second scan of the
+    corpus); the census and the 1-row totals broadcast
+    (vocabulary-bounded); per-doc scores are one doc-keyed agg. Two
+    linear shuffles total at any corpus size."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    census = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    totals = census.agg(
+        F.sum("c_raw").cast("double").alias("t_raw"),
+        F.sum("c_tgt").cast("double").alias("t_tgt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        toks.join(F.broadcast(census), "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.round(
+                F.sum(
+                    F.log(
+                        ((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("v")))
+                        / ((F.col("c_raw") + 1) / (F.col("t_raw") + F.col("v")))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("logw"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("logw").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_log_weight"),
+            F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_target_like"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- SemDeDup: within-cell semantic near-duplicate census -------------
+
+
+def _semantic_dedup_oracle() -> str:
+    from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH cents(cell, center) AS (VALUES
+  {rows}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_sum(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM d
+),
+cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+dups AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+),
+dup_vecs AS (
+  SELECT cell, id_a AS vec_id FROM dups
+  UNION
+  SELECT cell, id_b AS vec_id FROM dups
+)
+SELECT c.cell,
+       count(*) AS n_vecs,
+       coalesce(any_value(p.n_dup_pairs), 0) AS n_dup_pairs,
+       coalesce(any_value(dv.n_dup_vecs), 0) AS n_dup_vecs
+FROM cells c
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs
+           FROM dups GROUP BY cell) p ON p.cell = c.cell
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_vecs
+           FROM dup_vecs GROUP BY cell) dv ON dv.cell = c.cell
+GROUP BY c.cell ORDER BY c.cell
+"""
+
+
+@register("semantic_dedup_cells", oracle=_semantic_dedup_oracle())
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) census: embeddings are bucketed by
+    their nearest FROZEN k-means centroid (the committed
+    operators.ivf_codebook literals — same assignment as
+    `sim_topk_ivf_kmeans`), and near-duplicate pairs (cosine ≥ 0.30)
+    are confirmed WITHIN cells only. Per cell: occupancy, duplicate
+    pairs, and distinct vectors involved — the census that sizes how
+    much a semantic dedup pass would remove.
+
+    Plan shape: cell assignment is a literal-folded argmin (narrow
+    map, no join); the pairwise confirm is an equi-join on cell id, so
+    the quadratic work is bounded per cell — the whole point of
+    SemDeDup: at corpus scale you raise the number of cells ∝ √N and
+    cap cell occupancy, never all-pairs. Rollups are cell-keyed."""
+    from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+    from ocean_data_pipeline_spark.operators.similarity import (
+        _frozen_cell_distances,
+        cosine,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d2 = _frozen_cell_distances(F.col("v"), FROZEN_CENTROIDS)
+    cells = emb.withColumn(
+        "cell", (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+    )
+    a = cells.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = cells.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.30)
+        .select("cell", "id_a", "id_b")
+    )
+    occupancy = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    pair_counts = dups.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+    )
+    dup_vecs = (
+        dups.select("cell", F.col("id_a").alias("vec_id"))
+        .unionByName(dups.select("cell", F.col("id_b").alias("vec_id")))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_vecs"))
+    )
+    return (
+        occupancy.join(pair_counts, "cell", "left")
+        .join(dup_vecs, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
+            F.coalesce("n_dup_vecs", F.lit(0).cast("bigint")).alias("n_dup_vecs"),
+        )
+        .orderBy("cell")
     )

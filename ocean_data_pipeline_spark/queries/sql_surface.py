@@ -129,3 +129,45 @@ def sql_top_spenders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup shuffling once on the grouping key."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_TOP_SPENDERS)
+
+
+# The ordered-funnel shape through the SQL parser: three cascading
+# CTEs, each gating on STRICTLY-LATER timestamps, plus scalar
+# subqueries for the stage counts — exercises CTE resolution, scalar
+# subquery planning, and correlated-free aggregation in one string
+# that both engines accept verbatim.
+_SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 4) AS click_through,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 4) AS purchase_through
+"""
+
+
+@register("sql_funnel_conversion", oracle=_SQL_FUNNEL)
+def sql_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `event_funnel_conversion` semantics as ONE textual SQL
+    string — Catalyst plans the scalar subqueries as broadcast 1-row
+    joins, reaching the same physical posture as the DataFrame twin."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FUNNEL)

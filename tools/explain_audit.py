@@ -361,6 +361,35 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # band tuning: same bounded broadcast pair panel as calibration
+    "minhash_band_tuning_curve": (
+        ["LessThan(doc_id,60)", "BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # DSIR: census + totals broadcast (vocabulary-bounded), the corpus
+    # token stream must never sort-merge against them
+    "dsir_importance_weights": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # SemDeDup: centroid assignment is literal-folded map work (no
+    # centroid join); the pairwise confirm is an equi-join on cell
+    "semantic_dedup_cells": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # Markov matrix: one user-keyed lead window; row-normalization runs
+    # on the 25-row matrix
+    "event_type_markov_transitions": (
+        ["Window"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # SQL-string funnel: scalar subqueries plan as broadcast 1-row
+    # joins, same posture as the DataFrame twin
+    "sql_funnel_conversion": (
+        ["Subquery"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

@@ -151,3 +151,72 @@ def stream_file_session_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache.read().select(
         "query_hash", "start_date", "end_date", "row_count"
     ).orderBy("query_hash")
+
+
+_STREAM_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN v ON v.user_id = u.user_id
+  LEFT JOIN c ON c.user_id = u.user_id
+  LEFT JOIN p ON p.user_id = u.user_id
+)
+SELECT user_id, stage FROM stages ORDER BY user_id
+"""
+
+
+@register("stream_funnel_stages", oracle=_STREAM_FUNNEL_ORACLE)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel (custom keyed state via applyInPandasWithState,
+    streaming/funnel.py): each user's view→click→purchase stage machine
+    advances across micro-batches; stage is monotone, so max(stage)
+    over the update-mode emission log is the final stage, and for
+    in-event-time-order arrival it equals the batch funnel EXACTLY —
+    hence a full DuckDB oracle over the PER-USER stage relation (rare
+    for custom stateful streaming; same posture as
+    `stream_dedup_keys`). State: three int64 timestamps per user.
+    Incremental in-order equivalence across multiple micro-batches is
+    pinned separately in tests/test_streaming_e2e.py."""
+    import uuid
+
+    from ocean_data_pipeline_spark.streaming.funnel import funnel_stages
+
+    staged = funnel_stages(_event_stream(spark, sf_dir))
+    sink = f"stream_funnel_{uuid.uuid4().hex[:12]}"
+    query = (
+        staged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .orderBy("user_id")
+    )

@@ -61,3 +61,78 @@ def test_stream_dedup_keys_equal_batch_distinct(spark):
         .collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_stream_funnel_multibatch_incremental_matches_batch(spark, tmp_path):
+    """The funnel state machine must converge to the batch funnel when
+    the SAME events arrive split across multiple micro-batches in
+    event-time order — the incremental path (state carried between
+    batches), not just the single-batch degenerate case."""
+    import pandas as pd
+
+    from ocean_data_pipeline_spark.streaming.funnel import funnel_stages
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_type")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # write TIMESTAMP(MICROS): pandas' default ns unit would round-trip
+    # through the session's nanosAsLong conf as raw longs (TESTDATA.md)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    half = len(ev) // 2
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # two files; maxFilesPerTrigger=1 => two micro-batches in ts order
+    # (file source processes oldest-modified first)
+    ev.iloc[:half].to_parquet(src / "part0.parquet", index=False)
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes so batch order is deterministic
+    ev.iloc[half:].to_parquet(src / "part1.parquet", index=False)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    staged = funnel_stages(stream)
+    sink = "stream_funnel_multibatch_test"
+    q = (
+        staged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 2, "expected at least two micro-batches"
+    got = {
+        r.user_id: r.stage
+        for r in spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    }
+
+    # batch twin over the SAME pandas frame
+    pdf = ev
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        tv = tc = tp = None
+        for ts, et in zip(g["ts"], g["event_type"]):
+            if et == "view" and tv is None:
+                tv = ts
+            elif et == "click" and tv is not None and tc is None and ts > tv:
+                tc = ts
+            elif et == "purchase" and tc is not None and tp is None and ts > tc:
+                tp = ts
+        want[uid] = 3 if tp is not None else 2 if tc is not None else 1 if tv is not None else 0
+    assert got == want

@@ -82,11 +82,131 @@ def main() -> None:
     def chunk(d):
         return lambda: chunk_by_tokens(d, window=32, stride=32).groupBy().count()
 
+    ev1 = table(spark, SF_DIR, "events", spread=True)
+    ev10 = replicate(ev1, "user_id", COPIES)  # 10x USERS → 10x keyed state
+
+    from ocean_data_pipeline_spark.operators.text import tokens
+
+    def gopher_rules(d):
+        def build():
+            arr = tokens(F.lower(F.col("text")))
+            g2 = F.transform(
+                F.sequence(F.lit(0), F.size("arr") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("arr", i + 1), F.element_at("arr", i + 2)
+                ),
+            )
+            staged = (
+                d.select("source", arr.alias("arr"))
+                .filter(F.size("arr") >= 2)
+                .select("source", g2.alias("g2"))
+            )
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct("g2"),
+                    lambda x: F.size(F.filter("g2", lambda y: y == x)),
+                )
+            )
+            return staged.select(
+                "source", (top.cast("double") / F.size("g2")).alias("f")
+            ).groupBy("source").agg(F.avg("f"))
+
+        return build
+
+    def bigram_lm(d):
+        def build():
+            arr = tokens(F.lower(F.col("text")))
+            base = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+                "doc_id", arr.alias("arr")
+            )
+            pairs = F.transform(
+                F.sequence(F.lit(0), F.size("arr") - 2),
+                lambda i: F.struct(
+                    F.element_at("arr", i + 1).alias("w1"),
+                    F.element_at("arr", i + 2).alias("w2"),
+                ),
+            )
+            trans = (
+                base.filter(F.size("arr") >= 2)
+                .select("doc_id", F.explode(pairs).alias("p"))
+                .select("doc_id", "p.w1", "p.w2")
+            )
+            big = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+            return (
+                trans.join(F.broadcast(big), ["w1", "w2"])
+                .groupBy("doc_id")
+                .agg(F.sum(F.log(F.col("c2").cast("double"))).alias("s"))
+            )
+
+        return build
+
+    def funnel(ev):
+        def build():
+            v = (
+                ev.filter(F.col("event_type") == "view")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t_view"))
+            )
+            c = (
+                ev.filter(F.col("event_type") == "click")
+                .join(v, "user_id")
+                .filter(F.col("ts") > F.col("t_view"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t_click"))
+            )
+            return c.groupBy().count()
+
+        return build
+
+    def markov(ev):
+        def build():
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            seq = ev.select(
+                F.col("event_type").alias("a"),
+                F.lead("event_type").over(w).alias("b"),
+            ).filter(F.col("b").isNotNull())
+            return seq.groupBy("a", "b").count()
+
+        return build
+
+    def aes_sample(d):
+        def build():
+            u = (
+                F.conv(
+                    F.substring(
+                        F.sha2(F.concat(F.lit("samp_"), F.col("doc_id").cast("string")), 256),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + 1
+            ) / F.lit(4294967297.0)
+            return (
+                d.select(
+                    "source",
+                    "n_chars",
+                    (-F.log(u) / F.col("n_chars")).alias("k"),
+                )
+                .orderBy("k")
+                .limit(50)
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
         "q1_agg(lineitem)": (q1_agg(li1), q1_agg(li10)),
         "chunk_32tok(documents)": (chunk(docs1), chunk(docs10)),
+        "gopher_rules(documents)": (gopher_rules(docs1), gopher_rules(docs10)),
+        "bigram_lm(documents)": (bigram_lm(docs1), bigram_lm(docs10)),
+        "funnel_stages(events)": (funnel(ev1), funnel(ev10)),
+        "markov_lead(events)": (markov(ev1), markov(ev10)),
+        "aes_topk_sample(documents)": (aes_sample(docs1), aes_sample(docs10)),
     }
 
     lines = [

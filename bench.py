@@ -133,6 +133,12 @@ HEADLINE = [
     "semantic_dedup_cells",
     "event_type_markov_transitions",
     "sql_funnel_conversion",
+    "stream_funnel_stages",
+    "sql_grouping_sets_revenue",
+    "cluster_balanced_sampling",
+    "cell_label_purity",
+    "events_hourly_heatmap",
+    "ship_latency_percentiles",
 ]
 
 

@@ -317,3 +317,46 @@ def event_type_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_trans").cast("double") / F.sum("n_trans").over(w_row), 6
         ).alias("p_trans"),
     ).orderBy("from_type", "to_type")
+
+
+# --- day-of-week × hour activity heatmap ------------------------------
+
+_HEATMAP_ORACLE = """
+SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+            AS BIGINT) AS dow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 2) AS avg_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_hourly_heatmap", oracle=_HEATMAP_ORACLE)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the standard
+    telemetry seasonality view. Weekday comes from integer day-diff
+    against a known Monday epoch (0=Mon..6=Sun), NOT the engines'
+    dayofweek()/dow() functions, whose numbering conventions differ —
+    the same portability rule `weekly_retention_cohorts` uses.
+
+    Plan shape: two scalar date projections and one partial agg onto
+    the ≤168-cell grid. Scan-bound at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    return (
+        ev.groupBy(
+            (F.datediff(F.to_date("ts"), epoch) % 7).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_value"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )

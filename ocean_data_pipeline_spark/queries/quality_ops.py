@@ -1298,3 +1298,154 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --- cluster-balanced (diversity-preserving) sampling -----------------
+
+
+def _cells_cte() -> str:
+    """DuckDB CTE assigning every embedding to its nearest frozen
+    centroid — shared by the SemDeDup census and the balanced sampler."""
+    from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""cents(cell, center) AS (VALUES
+  {rows}
+),
+emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dists AS (
+  SELECT e.vec_id, e.label, e.v, c.cell,
+         list_sum(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM emb e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT vec_id, label, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)"""
+
+
+_BALANCED_SAMPLE_ORACLE = f"""
+WITH {_cells_cte()},
+ranked AS (
+  SELECT cell, vec_id,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY sha256('bal_' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rk
+  FROM cells
+)
+SELECT cell,
+       CAST((SELECT count(*) FROM cells c2 WHERE c2.cell = ranked.cell)
+            AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       min(vec_id) AS first_kept
+FROM ranked WHERE rk <= 20
+GROUP BY cell ORDER BY cell
+"""
+
+
+@register("cluster_balanced_sampling", oracle=_BALANCED_SAMPLE_ORACLE)
+def cluster_balanced_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving sampling: cap every frozen k-means cell at
+    20 members, chosen by a salted-hash shuffle order (deterministic,
+    partition-invariant) — the cluster-balanced downsampling that keeps
+    a corpus's semantic spread while flattening over-represented modes
+    (the sampling side of SemDeDup). Census per cell: occupancy vs
+    kept.
+
+    Plan shape: cell assignment is the literal-folded argmin; the cap
+    is a cell-partitioned row_number window (per-cell top-k at scale —
+    cells are the partition key, so no global sort); occupancy comes
+    from the same assignment relation."""
+    from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+    from ocean_data_pipeline_spark.operators.similarity import _frozen_cell_distances
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d2 = _frozen_cell_distances(F.col("v"), FROZEN_CENTROIDS)
+    cells = emb.select(
+        "vec_id", (F.array_position(d2, F.array_min(d2)) - 1).cast("int").alias("cell")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.sha2(F.concat(F.lit("bal_"), F.col("vec_id").cast("string")), 256),
+        F.asc("vec_id"),
+    )
+    kept = cells.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    occupancy = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    return (
+        kept.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("vec_id").alias("first_kept"),
+        )
+        .join(occupancy, "cell")
+        .select("cell", "n_vecs", "n_kept", "first_kept")
+        .orderBy("cell")
+    )
+
+
+# --- cell label-purity entropy ----------------------------------------
+
+_CELL_PURITY_ORACLE = f"""
+WITH {_cells_cte()},
+counts AS (
+  SELECT cell, label, count(*) AS c FROM cells GROUP BY cell, label
+),
+tot AS (SELECT cell, sum(c) AS n FROM counts GROUP BY cell)
+SELECT c.cell,
+       CAST(any_value(t.n) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_labels,
+       round(CAST(max(c.c) AS DOUBLE) / any_value(t.n), 6) AS purity,
+       round(ln(CAST(any_value(t.n) AS DOUBLE))
+             - sum(c.c * ln(CAST(c.c AS DOUBLE))) / any_value(t.n), 6)
+         AS label_entropy
+FROM counts c JOIN tot t ON t.cell = c.cell
+GROUP BY c.cell ORDER BY c.cell
+"""
+
+
+@register("cell_label_purity", oracle=_CELL_PURITY_ORACLE)
+def cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per frozen cell, the label
+    distribution's purity (majority-label share) and Shannon entropy
+    via the exact-integer identity H = ln(n) − Σc·ln(c)/n (logs of
+    integers only — the `char_entropy_quality` trick, so both engines
+    compute identical doubles before rounding). High-entropy cells are
+    where centroid routing mixes topics — the eval that gates using
+    cells for mixture balancing.
+
+    Plan shape: literal-folded assignment, one (cell,label) partial
+    agg, one cell rollup. No joins against anything corpus-sized."""
+    from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
+    from ocean_data_pipeline_spark.operators.similarity import _frozen_cell_distances
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d2 = _frozen_cell_distances(F.col("v"), FROZEN_CENTROIDS)
+    cells = emb.select(
+        "label", (F.array_position(d2, F.array_min(d2)) - 1).cast("int").alias("cell")
+    )
+    counts = cells.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("cell")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("purity"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+                6,
+            ).alias("label_entropy"),
+        )
+        .orderBy("cell")
+    )

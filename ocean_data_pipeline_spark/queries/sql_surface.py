@@ -171,3 +171,30 @@ def sql_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, reaching the same physical posture as the DataFrame twin."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_FUNNEL)
+
+
+# GROUPING SETS through the parser — the multi-granularity grammar
+# (rollup/cube cousins are DataFrame-side in queries/aggregates.py;
+# this is the textual form, identical in both dialects). grouping()
+# flags disambiguate NULL-as-total from NULL-as-value.
+_SQL_GROUPING_SETS = """
+SELECT
+  o_orderpriority                                           AS priority,
+  o_orderstatus                                             AS status,
+  grouping(o_orderpriority)                                 AS g_priority,
+  grouping(o_orderstatus)                                   AS g_status,
+  count(*)                                                  AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)  AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_priority, g_status, priority, status
+"""
+
+
+@register("sql_grouping_sets_revenue", oracle=_SQL_GROUPING_SETS)
+def sql_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + grouping() flags as ONE textual SQL string —
+    Catalyst lowers it to the same Expand + partial-agg plan as the
+    DataFrame rollup/cube twins (one scan, one shuffle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS)

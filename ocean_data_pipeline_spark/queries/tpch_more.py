@@ -206,3 +206,57 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+# --- order→ship latency percentiles (SLA view) ------------------------
+
+_SHIP_LATENCY_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       count(*) AS n_lineitems,
+       quantile_cont(days, 0.50) AS p50_days,
+       quantile_cont(days, 0.90) AS p90_days,
+       quantile_cont(days, 0.99) AS p99_days,
+       max(days) AS max_days
+FROM lat GROUP BY priority ORDER BY priority
+"""
+
+
+@register("ship_latency_percentiles", oracle=_SHIP_LATENCY_ORACLE)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency percentiles per priority class — the SLA
+    latency-distribution view (p50/p90/p99/max of days between order
+    and ship date). Exact interpolated percentiles: Spark `percentile`
+    == DuckDB `quantile_cont` (the `quartiles_exact` parity), over an
+    integer day-diff so the interpolation operands are identical.
+
+    Plan shape: one fact-fact equi-join on the order key (orders is
+    the smaller side but still corpus-scale — no broadcast; the SMJ /
+    shuffled-hash choice is AQE's), then a 5-group percentile agg.
+    Percentile aggregation holds per-group sorted buffers — at 100 TB
+    swap in approx_percentile for the same shape with bounded memory
+    (documented tradeoff, same as `quality_decile_filter`)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "priority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.percentile("days", F.lit(0.50)).alias("p50_days"),
+            F.percentile("days", F.lit(0.90)).alias("p90_days"),
+            F.percentile("days", F.lit(0.99)).alias("p99_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("priority")
+    )

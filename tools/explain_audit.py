@@ -390,6 +390,35 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Subquery"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # textual GROUPING SETS lowers to Expand + one partial agg
+    "sql_grouping_sets_revenue": (
+        ["Expand"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # balanced sampling: per-cell top-k window (cells are the partition
+    # key — no global sort), literal-folded assignment (no joins to
+    # anything corpus-sized beyond the occupancy self-aggregate)
+    "cluster_balanced_sampling": (
+        ["Window"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # purity: assignment + two partial aggs, joinless
+    "cell_label_purity": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # heatmap: two date projections + one partial agg, joinless
+    "events_hourly_heatmap": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # latency percentiles: fact-fact equi-join (no broadcast of a
+    # corpus-scale side is asserted by leaving the strategy to AQE),
+    # percentile agg per 5-row group
+    "ship_latency_percentiles": (
+        ["Scan parquet"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

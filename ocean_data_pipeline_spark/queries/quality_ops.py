@@ -1019,8 +1019,11 @@ def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calibration panel next to the ANALYTIC expectation
     Σ 1−(1−J^r)^b from each pair's exact Jaccard — the S-curve table
     an engineer reads to pick the dedup pipeline's banding (r=1 fires
-    on everything, r=4 only on strong overlap). Measured ≈ expected
-    validates the independence assumption the banding math rests on.
+    on everything, r=4 only on strong overlap). Measured tracks
+    expected to within the shared-signature correlation (all pairs
+    ride the SAME K salts, so the corpus-wide count fluctuates beyond
+    independent-pair noise — the per-pair estimator itself is
+    unbiased; see tests/test_quality_ops.py).
 
     Plan shape: same bounded broadcast pair panel as
     `minhash_jaccard_calibration`; each config is a constant-folded

@@ -249,3 +249,84 @@ def test_retention_offsets_nonnegative_and_cohort0_complete(spark):
         assert cells[0] == max(cells.values()), (
             f"cohort {cohort}: offset-0 must be the largest cell"
         )
+
+
+# --- LSH band tuning: measured detection ≈ analytic expectation -------
+
+
+def test_band_tuning_measured_matches_theory(spark):
+    """For each (b, r) config the measured candidate count must track
+    the analytic expectation Σ 1-(1-J^r)^b. Tolerance is RATIO-based
+    (within [0.5x, 1.5x] where the expectation is ≥ 10): every pair
+    shares the SAME K=16 salts, so pair detections are strongly
+    correlated and the independent-pair 3·sqrt(E) band does NOT apply
+    — a salt that happens to rank a widely-shared shingle low moves
+    hundreds of pairs together (verified: the per-pair estimator is
+    unbiased at 20k salts; the corpus-wide sum at a fixed small K
+    fluctuates far beyond sqrt(E))."""
+    rows = REGISTRY["minhash_band_tuning_curve"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        if r.expected_detected >= 10:
+            ratio = r.n_detected / r.expected_detected
+            assert 0.5 <= ratio <= 1.5, (
+                f"(b={r.n_bands}, r={r.rows_per_band}): measured {r.n_detected} "
+                f"vs expected {r.expected_detected}"
+            )
+        else:
+            assert r.n_detected <= 10 + 5 * r.expected_detected
+    # monotonicity: more selective banding (higher r) detects fewer
+    by_r = {r.rows_per_band: r.n_detected for r in rows}
+    assert by_r[1] >= by_r[2] >= by_r[4]
+
+
+# --- DSIR: target-slice documents must score higher -------------------
+
+
+def test_dsir_target_docs_score_positive(spark, duck):
+    """lang='en' documents ARE the target distribution, so their mean
+    log-weight must exceed the non-target mean (and be positive)."""
+    from ocean_data_pipeline_spark.queries.quality_ops import _DSIR_ORACLE
+
+    per_doc_sql = _DSIR_ORACLE.split("SELECT source,")[0] + (
+        "SELECT s.doc_id, s.logw, d.lang FROM scored s "
+        "JOIN documents d ON d.doc_id = s.doc_id"
+    )
+    pdf = duck.execute(per_doc_sql).df()
+    en = pdf[pdf.lang == "en"].logw.mean()
+    rest = pdf[pdf.lang != "en"].logw.mean()
+    assert en > 0 > rest
+    assert en > rest
+
+
+# --- SemDeDup / balanced sampling / purity invariants -----------------
+
+
+def test_semantic_dedup_cell_invariants(spark):
+    rows = REGISTRY["semantic_dedup_cells"].fn(spark, SF_ORACLE).collect()
+    assert sum(r.n_vecs for r in rows) == 500  # every vector assigned once
+    for r in rows:
+        assert 0 <= r.n_dup_vecs <= r.n_vecs
+        max_pairs = r.n_vecs * (r.n_vecs - 1) // 2
+        assert 0 <= r.n_dup_pairs <= max_pairs
+        if r.n_dup_pairs:
+            assert r.n_dup_vecs >= 2
+
+
+def test_balanced_sampling_caps_cells(spark):
+    rows = REGISTRY["cluster_balanced_sampling"].fn(spark, SF_ORACLE).collect()
+    for r in rows:
+        assert r.n_kept == min(20, r.n_vecs)
+
+
+def test_cell_purity_entropy_consistency(spark):
+    rows = REGISTRY["cell_label_purity"].fn(spark, SF_ORACLE).collect()
+    for r in rows:
+        assert 0.0 <= r.purity <= 1.0
+        assert r.label_entropy >= -1e-9
+        if r.n_labels == 1:
+            assert r.purity == 1.0 and abs(r.label_entropy) < 1e-9
+        else:
+            assert r.label_entropy > 0
+        # entropy bounded by ln(n_labels)
+        assert r.label_entropy <= math.log(r.n_labels) + 1e-9

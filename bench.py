@@ -139,6 +139,7 @@ HEADLINE = [
     "cell_label_purity",
     "events_hourly_heatmap",
     "ship_latency_percentiles",
+    "multimodal_av_metadata",
 ]
 
 

@@ -227,3 +227,156 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- audio / video container headers ----------------------------------
+
+AV_META_SCHEMA = (
+    "doc_id long, media_type string, sample_rate int, channels int, "
+    "bit_depth int, n_samples long, duration_ms long"
+)
+
+
+def parse_av_header(
+    payload: bytes | None,
+) -> tuple[str, int | None, int | None, int | None, int | None, int | None]:
+    """(media_type, sample_rate, channels, bit_depth, n_samples,
+    duration_ms) from real container bytes — the audio/video sibling of
+    `parse_media_header`, pure stdlib `struct`:
+
+    - WAV: RIFF chunk walk (ids ASCII, sizes little-endian uint32, odd
+      sizes pad to even per spec); 'fmt ' carries channels @2, sample
+      rate @4, bits-per-sample @14; 'data' carries the payload size,
+      so n_samples = data_size / block_align and duration follows.
+    - MP4: ISO-BMFF box walk (sizes big-endian uint32); an 'ftyp'
+      leading box marks the container, 'moov'→'mvhd' (version-0)
+      carries timescale @12 and duration @16 of the box body, so
+      duration_ms = 1000·duration/timescale.
+
+    Truncated/malformed payloads → ('unknown', None, ...) — a bad blob
+    must not kill the stage.
+    """
+    none = (None, None, None, None, None)
+    if not payload or len(payload) < 12:
+        return ("unknown", *none)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        sr = ch = bits = block_align = None
+        data_size = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            body = payload[i + 8 : i + 8 + csize]
+            if cid == b"fmt " and len(body) >= 16:
+                ch, sr = struct.unpack("<HI", body[2:8])
+                block_align, bits = struct.unpack("<HH", body[12:16])
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # odd chunk sizes pad to even
+        n_samples = (
+            data_size // block_align if data_size is not None and block_align else None
+        )
+        dur = (
+            int(n_samples * 1000 // sr) if n_samples is not None and sr else None
+        )
+        return ("audio/wav", sr, ch, bits, n_samples, dur)
+    if payload[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= len(payload):
+            (bsize,) = struct.unpack(">I", payload[i : i + 4])
+            btype = payload[i + 4 : i + 8]
+            if bsize < 8:
+                break
+            if btype == b"moov":
+                j = i + 8
+                end = min(i + bsize, len(payload))
+                while j + 8 <= end:
+                    (csize,) = struct.unpack(">I", payload[j : j + 4])
+                    ctype = payload[j + 4 : j + 8]
+                    if csize < 8:
+                        break
+                    if ctype == b"mvhd" and j + 28 <= len(payload):
+                        version = payload[j + 8]
+                        if version == 0:
+                            ts, dur = struct.unpack(">II", payload[j + 20 : j + 28])
+                            ms = int(dur * 1000 // ts) if ts else None
+                            return ("video/mp4", None, None, None, None, ms)
+                    j += csize
+            i += bsize
+        return ("video/mp4", *none)
+    return ("unknown", *none)
+
+
+def synth_av_media(doc_id: int) -> bytes:
+    """Deterministic synthetic audio/video payload: a VALID minimal WAV
+    (even doc_id) or MP4 ftyp+moov/mvhd (odd doc_id) whose parameters
+    are arithmetic in doc_id, so an SQL oracle predicts exactly what
+    the parser must recover:
+
+    WAV: sample_rate = 8000 + 100·(doc_id mod 80), channels =
+    1 + (doc_id mod 2 of doc_id//2), bits = 16, n_samples =
+    32 + doc_id mod 64. MP4: timescale 1000, duration =
+    250·(1 + doc_id mod 40) ms.
+    """
+    if doc_id % 2 == 0:
+        sr = 8000 + 100 * (doc_id % 80)
+        ch = 1 + ((doc_id // 2) % 2)
+        bits = 16
+        n_samples = 32 + doc_id % 64
+        block = ch * bits // 8
+        data = bytes((doc_id + k) % 251 for k in range(n_samples * block))
+        fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * block, block, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        riff_body = b"WAVE" + chunks
+        return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    ftyp = b"isom\x00\x00\x02\x00isommp41"
+    ftyp_box = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+    dur_ms = 250 * (1 + doc_id % 40)
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", 1000, dur_ms)  # timescale, duration
+        + b"\x00" * 80  # rate/volume/matrix/predefines/next-track
+    )
+    mvhd_box = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov_box = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    return ftyp_box + moov_box
+
+
+def pack_synthetic_av(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic synthetic WAV/MP4 payload per row —
+    the audio/video test-bench twin of `pack_synthetic_media`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synth_av_media(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def extract_av_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio/video header decode over binary payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_av_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [t for t, *_ in parsed],
+                    "sample_rate": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "channels": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "bit_depth": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "n_samples": pd.array([p[4] for p in parsed], dtype="Int64"),
+                    "duration_ms": pd.array([p[5] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AV_META_SCHEMA)

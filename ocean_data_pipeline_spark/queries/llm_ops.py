@@ -2086,3 +2086,51 @@ def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return sweep(4).unionByName(sweep(8)).unionByName(sweep(13)).orderBy("ngram_n")
+
+
+# --- audio/video container metadata ----------------------------------
+
+_AV_METADATA_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(8000 + 100 * (doc_id % 80) AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(1 + ((doc_id // 2) % 2) AS INT) END AS channels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS INT) END AS bit_depth,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(32 + doc_id % 64 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(floor((32 + doc_id % 64) * 1000.0
+                            / (8000 + 100 * (doc_id % 80))) AS BIGINT)
+            ELSE CAST(250 * (1 + doc_id % 40) AS BIGINT) END AS duration_ms
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("multimodal_av_metadata", oracle=_AV_METADATA_ORACLE)
+def multimodal_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video metadata decode with REAL container parsing:
+    deterministic synthetic WAV (RIFF chunk walk — fmt/data chunks,
+    little-endian, odd-size padding) and MP4 (ISO-BMFF box walk —
+    ftyp, moov→mvhd v0 timescale/duration, big-endian) payloads flow
+    as opaque binary through Arrow-batched mapInPandas, and
+    `parse_av_header` (operators/multimodal.py) reads sample rate /
+    channels / bit depth / sample count / duration back from the
+    bytes at spec offsets. The oracle recomputes every field
+    arithmetically from doc_id — a parser that misreads an offset,
+    endianness, or the RIFF padding rule hash-mismatches. Sample
+    decode stays codec-gated exactly like pixels (`decode_pixels`).
+
+    The filtering use-case this feeds: duration/sample-rate/channel
+    censuses are how an audio-video curation pipeline drops
+    out-of-spec media before the expensive decode stage."""
+    from ocean_data_pipeline_spark.operators.multimodal import (
+        extract_av_metadata,
+        pack_synthetic_av,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    packed = pack_synthetic_av(docs, "doc_id")
+    return extract_av_metadata(packed).orderBy("doc_id")

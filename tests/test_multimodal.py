@@ -121,3 +121,90 @@ def test_extract_features_deterministic(spark):
 def test_pixel_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_pixels(GOLDEN_PNG_1X1)
+
+
+# --- audio/video header parsing ---------------------------------------
+
+
+def test_wav_parser_recovers_fields():
+    import struct
+
+    from ocean_data_pipeline_spark.operators.multimodal import parse_av_header
+
+    # hand-built WAV: 3 channels, 22050 Hz, 8-bit, 5 samples
+    fmt = struct.pack("<HHIIHH", 1, 3, 22050, 22050 * 3, 3, 8)
+    data = b"\x01" * 15
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_av_header(wav) == ("audio/wav", 22050, 3, 8, 5, 0)
+
+
+def test_wav_parser_honors_odd_chunk_padding():
+    import struct
+
+    from ocean_data_pipeline_spark.operators.multimodal import parse_av_header
+
+    # an odd-sized junk chunk BEFORE fmt must be skipped with its pad
+    # byte; a parser that forgets the pad misaligns every later chunk
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 + pad
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    data = b"\x00" * 8  # 4 samples
+    body = b"WAVE" + junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_av_header(wav) == ("audio/wav", 8000, 1, 16, 4, 0)
+
+
+def test_mp4_parser_reads_mvhd_duration():
+    import struct
+
+    from ocean_data_pipeline_spark.operators.multimodal import parse_av_header
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00"
+    mvhd_body = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+    mvhd_body += struct.pack(">II", 600, 1500) + b"\x00" * 80  # 2.5 s
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    assert parse_av_header(ftyp + moov) == (
+        "video/mp4", None, None, None, None, 2500,
+    )
+
+
+def test_av_parser_survives_malformed_payloads():
+    from ocean_data_pipeline_spark.operators.multimodal import (
+        parse_av_header,
+        synth_av_media,
+    )
+
+    assert parse_av_header(None)[0] == "unknown"
+    assert parse_av_header(b"")[0] == "unknown"
+    assert parse_av_header(b"RIFF\xff\xff\xff\xffWAVE")[0] == "audio/wav"
+    assert parse_av_header(b"\x00" * 64)[0] == "unknown"
+    # truncating a valid container anywhere must never raise
+    full = synth_av_media(4)
+    for cut in range(0, len(full), 7):
+        parse_av_header(full[:cut])
+    full = synth_av_media(5)
+    for cut in range(0, len(full), 7):
+        parse_av_header(full[:cut])
+
+
+def test_synth_av_roundtrip_matches_arithmetic():
+    from ocean_data_pipeline_spark.operators.multimodal import (
+        parse_av_header,
+        synth_av_media,
+    )
+
+    for doc_id in range(0, 200, 7):
+        got = parse_av_header(synth_av_media(doc_id))
+        if doc_id % 2 == 0:
+            sr = 8000 + 100 * (doc_id % 80)
+            n = 32 + doc_id % 64
+            assert got == (
+                "audio/wav", sr, 1 + ((doc_id // 2) % 2), 16, n, n * 1000 // sr,
+            )
+        else:
+            assert got == (
+                "video/mp4", None, None, None, None, 250 * (1 + doc_id % 40),
+            )

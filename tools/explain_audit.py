@@ -419,6 +419,11 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Scan parquet"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # AV metadata decode must run Arrow-batched, like images
+    "multimodal_av_metadata": (
+        ["MapInPandas"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

@@ -140,6 +140,9 @@ HEADLINE = [
     "events_hourly_heatmap",
     "ship_latency_percentiles",
     "multimodal_av_metadata",
+    "daily_ohlc_bars",
+    "order_percentile_ranks",
+    "lineitem_corr_stats",
 ]
 
 

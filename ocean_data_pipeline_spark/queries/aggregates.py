@@ -606,3 +606,49 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- correlation / covariance stats -----------------------------------
+
+_CORR_STATS_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 4) AS std_qty
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("lineitem_corr_stats", oracle=_CORR_STATS_ORACLE)
+def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped correlation / covariance profile — the bivariate
+    descriptive-statistics family (corr, covar_samp, stddev_samp as
+    single-pass JVM aggregates; both engines use the numerically
+    stable streaming formulation, and results round to 4/2 before
+    compare). Quantity should correlate strongly with extended price
+    (price ≈ qty × unit price); discount should not — the sanity
+    profile a feature-engineering pass runs before model fitting.
+
+    Plan shape: ONE partial-agg shuffle onto the 3-row flag grid; all
+    moments accumulate map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.corr("l_discount", "l_extendedprice"), 4).alias(
+                "corr_disc_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

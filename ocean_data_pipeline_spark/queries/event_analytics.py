@@ -360,3 +360,58 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+# --- daily OHLC bars ---------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH bars AS (
+  SELECT CAST(ts AS DATE) AS day,
+         min(struct_pack(t := ts, e := event_id, v := value)) AS o,
+         max(struct_pack(t := ts, e := event_id, v := value)) AS c,
+         min(value) AS low,
+         max(value) AS high,
+         count(*) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, o.v AS open, high, low,
+       c.v AS close, n_events
+FROM bars ORDER BY day
+"""
+
+
+@register("daily_ohlc_bars", oracle=_OHLC_ORACLE)
+def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars over the event value
+    stream — the time-series downsampling shape of every market-data /
+    telemetry dashboard. Open and close are argmin/argmax-by-time via
+    lexicographic struct min/max with the unique event_id tie-breaker
+    (deterministic where a naive first()/last() is arrival-order
+    dependent), so the whole bar is ONE partial+final aggregate — no
+    window. Struct min/max has no hash-agg buffer, so Spark plans
+    SortAggregate: partitions sort by the ~30-key day column (cheap)
+    and still combine map-side before the shuffle.
+
+    Plan shape: one partial-agg shuffle onto the ~30-row day grid."""
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min(
+            F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                     F.col("value").alias("v"))
+        ).alias("o"),
+        F.max(
+            F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                     F.col("value").alias("v"))
+        ).alias("c"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return bars.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("o.v").alias("open"),
+        "high",
+        "low",
+        F.col("c.v").alias("close"),
+        "n_events",
+    ).orderBy("day")

@@ -1255,28 +1255,59 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup: at corpus scale you raise the number of cells ∝ √N and
     cap cell occupancy, never all-pairs. Rollups are cell-keyed."""
     from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
-    from ocean_data_pipeline_spark.operators.similarity import (
-        _frozen_cell_distances,
-        cosine,
-    )
+    from ocean_data_pipeline_spark.operators.similarity import _frozen_cell_distances
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     d2 = _frozen_cell_distances(F.col("v"), FROZEN_CENTROIDS)
-    cells = emb.withColumn(
-        "cell", (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+    # Materialize the assignment ONCE: three plan branches (both pair
+    # sides + occupancy) would otherwise each re-run the literal-folded
+    # argmin AND re-compile its 16x64-literal codegen (~2s apiece).
+    # This is the index-build posture anyway: assignment is written
+    # once, probed many times. Values are deterministic, so parity is
+    # unaffected.
+    cells = (
+        emb.withColumn(
+            "cell", (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+        )
+        # Precompute the norm ONCE per vector: the pairwise confirm
+        # reads |cells|² /cell pairs, and cosine-from-scratch would
+        # re-fold both norms per PAIR (2·pairs folds vs |cells| folds —
+        # the cosine_near_dup_pairs rule). Materialize the assignment
+        # too: three plan branches (both pair sides + occupancy) would
+        # each re-run the literal-folded argmin otherwise.
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "v", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     a = cells.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = cells.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     dups = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.30)
+        .filter(F.round(dot / (F.col("na") * F.col("nb")), 6) >= 0.30)
         .select("cell", "id_a", "id_b")
     )
     occupancy = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))

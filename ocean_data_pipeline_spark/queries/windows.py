@@ -454,3 +454,55 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.sum("dur_us") > 0)
         .orderBy("user_id")
     )
+
+
+# --- percent_rank / cume_dist distribution ranks ----------------------
+
+_PCT_RANK_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice,
+         round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+           AS pct_rank,
+         round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+           AS cume
+  FROM orders
+)
+SELECT CAST(floor(pct_rank * 10) AS BIGINT) AS decile_bucket,
+       count(*) AS n_orders,
+       round(min(cume), 6) AS min_cume,
+       round(max(cume), 6) AS max_cume
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("order_percentile_ranks", oracle=_PCT_RANK_ORACLE)
+def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over the order-value distribution
+    (unique o_orderkey tie-break), bucketed to a decile histogram —
+    the remaining ANSI distribution-rank grammar next to the
+    row_number / rank / ntile family already covered. Both engines
+    define percent_rank = (rank−1)/(N−1) and cume_dist = rank/N, and
+    both sides round to 6 before the floor-bucket, so the histogram is
+    engine-stable.
+
+    Plan shape: a global-order window (single-partition by necessity —
+    the documented exact-rank cost; at 100 TB the decile histogram
+    would come from approx_percentile cuts instead, same tradeoff as
+    `quality_decile_filter`), then a 10-row rollup."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return (
+        ranked.groupBy(
+            F.floor(F.col("pct_rank") * 10).cast("bigint").alias("decile_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("cume"), 6).alias("min_cume"),
+            F.round(F.max("cume"), 6).alias("max_cume"),
+        )
+        .orderBy("decile_bucket")
+    )

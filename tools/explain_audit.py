@@ -375,7 +375,7 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     # SemDeDup: centroid assignment is literal-folded map work (no
     # centroid join); the pairwise confirm is an equi-join on cell
     "semantic_dedup_cells": (
-        ["Scan parquet"],
+        ["Scan ExistingRDD"],  # assignment materialized once (checkpoint)
         ["BatchEvalPython", "CartesianProduct"],
     ),
     # Markov matrix: one user-keyed lead window; row-normalization runs
@@ -423,6 +423,25 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     "multimodal_av_metadata": (
         ["MapInPandas"],
         ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # OHLC: one map-side-combining aggregate, explicitly windowless.
+    # min/max over a STRUCT has no hash-agg buffer implementation, so
+    # Spark plans SortAggregate — still partial+final (map-side
+    # combine), just sorted within partitions.
+    "daily_ohlc_bars": (
+        ["SortAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "Window", "SortMergeJoin"],
+    ),
+    # distribution ranks need the global-order window (documented); the
+    # rollup must not add joins
+    "order_percentile_ranks": (
+        ["Window"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # bivariate moments accumulate map-side: one partial agg, joinless
+    "lineitem_corr_stats": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "Window", "SortMergeJoin"],
     ),
 }
 

@@ -30,7 +30,8 @@ OUT_DIR = os.path.join(REPO, "plans")
 #: label-propagation loop checkpoints mid-build) — snapshotting them
 #: would diff nondeterministically
 SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2end",
-        "stream_file_session_cache", "stream_dedup_keys"}
+        "stream_file_session_cache", "stream_dedup_keys", "stream_funnel_stages",
+        "semantic_dedup_cells"}
 
 
 def normalize(plan: str) -> str:

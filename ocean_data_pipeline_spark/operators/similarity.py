@@ -303,6 +303,16 @@ def lsh_topk(
         inputCol="features", outputCol="hashes", bucketLength=bucket_length,
         numHashTables=num_tables, seed=42,
     )
+    if c.isEmpty():
+        # MLlib fit() cannot infer the vector width from zero rows; an
+        # empty corpus has a well-defined answer (no neighbors), so
+        # return it with the normal output schema instead of raising.
+        return p.limit(0).select(
+            "probe_id",
+            F.lit(None).cast("bigint").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
     model = lsh.fit(c)
     cand = (
         model.approxSimilarityJoin(p, c, float("inf"), distCol="l2")

@@ -1,0 +1,46 @@
+"""Empty-input totality: every registered query must PLAN AND RUN over
+empty (zero-row, schema-preserving) copies of all ten tables without
+raising — the guard against `.collect()[0]` on an empty aggregate,
+division expressions that assume rows exist, and percentile/window
+calls that choke on empty partitions. A query may legitimately return
+zero rows or NULL-valued aggregates on empty input; it may not crash.
+
+Streaming queries are excluded: a file-stream source over an empty
+directory has nothing to trigger on, and their crash surface is the
+batch-side expressions already covered by the batch twins.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocean_data_pipeline_spark.catalog import TABLES
+from ocean_data_pipeline_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+#: stream-source queries need files to trigger; everything batch runs.
+_STREAMING = {n for n in REGISTRY if n.startswith("stream_")}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        df.limit(0).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if n not in _STREAMING)
+)
+def test_query_is_total_on_empty_tables(spark, empty_sf_dir, name):
+    df = REGISTRY[name].fn(spark, empty_sf_dir)
+    assert df.count() >= 0

@@ -267,8 +267,14 @@ def monthly_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.month("ts").alias("month"))
         .agg(
             n.alias("n_events"),
-            F.round(sm / n, 4).alias("mean_value"),
-            F.round(F.sqrt((smsq - sm * sm / n) / (n - 1)), 4).alias("stddev_value"),
+            # when() guards keep the divisions unevaluated for n=0 /
+            # n=1 groups (Spark's If short-circuits): under ANSI mode a
+            # zero divisor RAISES, and a degenerate group must yield
+            # NULL stats, not kill the job
+            F.when(n > 0, F.round(sm / n, 4)).alias("mean_value"),
+            F.when(
+                n > 1, F.round(F.sqrt((smsq - sm * sm / n) / (n - 1)), 4)
+            ).alias("stddev_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -324,8 +330,13 @@ def climatology_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = F.sum(dec).cast("double")
     smsq = F.sum(dec * dec).cast("double")
     clim = ev.groupBy("event_type", F.month("ts").alias("month")).agg(
-        F.round(sm / n, 4).alias("mean_value"),
-        F.round(F.sqrt((smsq - sm * sm / n) / (n - 1)), 4).alias("stddev_value"),
+        # same ANSI-safe guards as monthly_climatology: a group with
+        # fewer than two observations has no stddev, and the division
+        # must not evaluate (zero divisor raises under ANSI)
+        F.when(n > 0, F.round(sm / n, 4)).alias("mean_value"),
+        F.when(
+            n > 1, F.round(F.sqrt((smsq - sm * sm / n) / (n - 1)), 4)
+        ).alias("stddev_value"),
     )
     scored = (
         ev.filter(F.col("value").isNotNull())

@@ -44,3 +44,26 @@ def empty_sf_dir(spark, tmp_path_factory):
 def test_query_is_total_on_empty_tables(spark, empty_sf_dir, name):
     df = REGISTRY[name].fn(spark, empty_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def single_row_sf_dir(spark, tmp_path_factory):
+    """One-row copies of every table — the n=1 degenerate class
+    (N−1 denominators, single-partition windows, self-joins with no
+    second row)."""
+    out = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        df.limit(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if n not in _STREAMING)
+)
+def test_query_is_total_on_single_row_tables(spark, single_row_sf_dir, name):
+    df = REGISTRY[name].fn(spark, single_row_sf_dir)
+    assert df.count() >= 0

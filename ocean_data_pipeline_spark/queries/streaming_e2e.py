@@ -116,12 +116,57 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
-@register("stream_file_session_cache", oracle=None)
+_SESSION_CACHE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM seq
+),
+agg AS (
+  SELECT user_id, sid,
+         min(ts) AS s_start,
+         max(ts) + INTERVAL 30 MINUTE AS s_end,
+         count(*) AS n
+  FROM sess GROUP BY user_id, sid
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY s_end DESC) AS rn
+    FROM agg
+  ) WHERE rn = 1
+)
+SELECT substr(sha256('user_' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS query_hash,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S') AS start_date,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S') AS end_date,
+       CAST(n AS BIGINT) AS row_count
+FROM latest ORDER BY query_hash
+"""
+
+
+@register("stream_file_session_cache", oracle=_SESSION_CACHE_ORACLE)
 def stream_file_session_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full pipeline to completion, then return the cache table:
     one row per user = their latest session (keep-latest upsert). The
     returned relation is deterministic for a static input directory;
-    tests/test_streaming_e2e.py pins it against the batch twin."""
+    tests/test_streaming_e2e.py pins it against the batch twin, and the
+    DuckDB oracle above re-derives it from scratch — lag-gap
+    sessionization mirroring Spark's session_window semantics exactly
+    (a new session starts iff the gap is ≥ 30 min, the window end is
+    last-event + gap, exclusive), latest session per user, and the
+    same sha2 key / second-precision date formatting. Side-effectful
+    streaming with a FULL value oracle."""
     from ocean_data_pipeline_spark.cache.result_cache import ResultCache
     from ocean_data_pipeline_spark.streaming.sink import stream_into_cache
     from ocean_data_pipeline_spark.streaming.windows import session_counts

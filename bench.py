@@ -143,6 +143,9 @@ HEADLINE = [
     "daily_ohlc_bars",
     "order_percentile_ranks",
     "lineitem_corr_stats",
+    "nation_top_balances_array",
+    "order_frame_values",
+    "sql_exists_customers",
 ]
 
 

@@ -14,7 +14,7 @@ become independent of partitioning/AQE decisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
@@ -651,4 +651,56 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --- sorted array aggregation -----------------------------------------
+
+_TOP_BALANCES_ARRAY_ORACLE = """
+WITH ranked AS (
+  SELECT n.n_name AS nation_name, c.c_acctbal,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT nation_name,
+       list(c_acctbal ORDER BY rk) AS top_balances,
+       CAST(count(*) AS BIGINT) AS n_listed
+FROM ranked WHERE rk <= 3
+GROUP BY nation_name ORDER BY nation_name
+"""
+
+
+@register("nation_top_balances_array", oracle=_TOP_BALANCES_ARRAY_ORACLE)
+def nation_top_balances_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ARRAY aggregation: each nation's top-3 customer balances
+    as an array column in rank order — the collect-per-group shape that
+    feeds report payloads and nested outputs. Determinism rules:
+    membership AND order come from an explicit row_number (value desc,
+    custkey tie-break), never from collect_list's arrival order, which
+    is partition-nondeterministic.
+
+    Plan shape: broadcast nation dim, one window per nation key, array
+    agg on ≤3 rows per group. Arrays stay small by construction (top-k
+    bounded), so the array column can't blow a row past the 2 GB
+    record limit — the constraint unbounded collect_list would
+    violate at corpus scale."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation_name"), "c_acctbal", "c_custkey"
+    )
+    w = Window.partitionBy("nation_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return (
+        ranked.groupBy("nation_name")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rk"), F.col("c_acctbal")))
+            ).getField("c_acctbal").alias("top_balances"),
+            F.count(F.lit(1)).cast("bigint").alias("n_listed"),
+        )
+        .orderBy("nation_name")
     )

@@ -198,3 +198,33 @@ def sql_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame rollup/cube twins (one scan, one shuffle)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GROUPING_SETS)
+
+
+# EXISTS / NOT EXISTS through the parser — the correlated-subquery
+# grammar (the DataFrame twins use semi/anti joins directly).
+_SQL_EXISTS = """
+SELECT c_mktsegment                          AS segment,
+       count(*)                              AS n_customers,
+       CAST(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT'
+            ) THEN 1 ELSE 0 END) AS BIGINT)  AS n_with_urgent,
+       CAST(sum(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            ) THEN 1 ELSE 0 END) AS BIGINT)  AS n_never_ordered
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+@register("sql_exists_customers", oracle=_SQL_EXISTS)
+def sql_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS inside conditional aggregates,
+    as ONE textual SQL string — Catalyst decorrelates both subqueries
+    into ExistenceJoins over the orders relation (no per-row
+    re-execution), the same physical family as the DataFrame
+    semi/anti twins."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS)

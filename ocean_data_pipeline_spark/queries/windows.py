@@ -506,3 +506,84 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile_bucket")
     )
+
+
+# --- first_value / nth_value frame grammar ----------------------------
+
+_FRAME_VALUES_ORACLE = """
+WITH hist AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         first_value(o_totalprice) OVER w AS first_order_price,
+         nth_value(o_totalprice, 3) OVER w AS third_order_price,
+         last_value(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS latest_order_price,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(sum(CASE WHEN latest_order_price > first_order_price
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_grew,
+       CAST(sum(CASE WHEN latest_order_price < first_order_price
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shrank,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN third_order_price IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_3plus
+FROM hist WHERE o_orderkey IN (
+  SELECT max(o_orderkey) FROM orders GROUP BY o_custkey
+)
+"""
+
+
+@register("order_frame_values", oracle=_FRAME_VALUES_ORACLE)
+def order_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value with explicit ROW frames —
+    the navigation-function grammar not yet exercised by the
+    lag/lead/rank family: per customer, the first, third, and latest
+    order price over their (orderdate, orderkey)-ordered history, then
+    a census of whose latest order grew vs their first. last_value
+    needs the UNBOUNDED FOLLOWING frame (the default frame stops at
+    CURRENT ROW — the classic silent-wrong-answer trap, made explicit
+    here on both engines).
+
+    Plan shape: all three windows share the customer partition key →
+    ONE exchange; the per-customer row is selected by a max-orderkey
+    semi-join (aggregate relation, broadcastable)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    hist = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_order_price"),
+        F.last("o_totalprice").over(w_full).alias("latest_order_price"),
+    )
+    last_keys = o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("o_orderkey"))
+    return (
+        hist.join(F.broadcast(last_keys), ["o_custkey", "o_orderkey"], "leftsemi")
+        .agg(
+            F.sum(
+                F.when(F.col("latest_order_price") > F.col("first_order_price"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_grew"),
+            F.sum(
+                F.when(F.col("latest_order_price") < F.col("first_order_price"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_shrank"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(
+                F.when(F.col("third_order_price").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_with_3plus"),
+        )
+    )

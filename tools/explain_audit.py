@@ -443,6 +443,24 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["BatchEvalPython", "CartesianProduct", "Window", "SortMergeJoin"],
     ),
+    # ordered array agg: membership+order from the window, nation dim
+    # broadcast
+    "nation_top_balances_array": (
+        ["Window", "BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # navigation functions: all three frames share ONE customer
+    # exchange; the latest-row filter is a broadcast semi-join
+    "order_frame_values": (
+        ["Window", "LeftSemi"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # correlated EXISTS decorrelates to ExistenceJoin, never a
+    # per-row subquery loop
+    "sql_exists_customers": (
+        ["ExistenceJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

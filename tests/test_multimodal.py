@@ -8,6 +8,8 @@ pixel-codec path.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from ocean_data_pipeline_spark.operators.multimodal import (
     FEATURE_SCHEMA,
@@ -208,3 +210,52 @@ def test_synth_av_roundtrip_matches_arithmetic():
             assert got == (
                 "video/mp4", None, None, None, None, 250 * (1 + doc_id % 40),
             )
+
+
+# --- fuzz: parsers must be total on arbitrary bytes -------------------
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_media_header_parser_total_on_fuzz(payload):
+    from ocean_data_pipeline_spark.operators.multimodal import parse_media_header
+
+    t, w, h = parse_media_header(payload)
+    assert isinstance(t, str)
+    assert w is None or w >= 0
+    assert h is None or h >= 0
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_av_header_parser_total_on_fuzz(payload):
+    from ocean_data_pipeline_spark.operators.multimodal import parse_av_header
+
+    t, sr, ch, bits, n, dur = parse_av_header(payload)
+    assert isinstance(t, str)
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_valid_container_with_corrupt_tail_keeps_header_fields(doc_id, tail):
+    """Appending garbage AFTER a valid container must not change the
+    parsed header fields (parsers read spec offsets, not file ends) —
+    except WAV, where extra bytes can legitimately parse as additional
+    RIFF chunks; there the parse must merely stay total and keep the
+    media type."""
+    from ocean_data_pipeline_spark.operators.multimodal import (
+        parse_av_header,
+        parse_media_header,
+        synth_av_media,
+        synth_media,
+    )
+
+    img = synth_media(doc_id)
+    assert parse_media_header(img + tail)[:3] == parse_media_header(img)[:3]
+    av = synth_av_media(doc_id)
+    got = parse_av_header(av + tail)
+    if doc_id % 2 == 0:
+        assert got[0] == "audio/wav"
+    else:
+        # MP4: garbage after the moov box is skipped by the box walk
+        assert got == parse_av_header(av)

@@ -67,3 +67,29 @@ def single_row_sf_dir(spark, tmp_path_factory):
 def test_query_is_total_on_single_row_tables(spark, single_row_sf_dir, name):
     df = REGISTRY[name].fn(spark, single_row_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def constant_sf_dir(spark, tmp_path_factory):
+    """Fifty identical copies of each table's first row — the
+    zero-variance / hot-key degenerate class (stddev 0 denominators,
+    single-value distributions, every join key colliding)."""
+    out = tmp_path_factory.mktemp("sf_const")
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        one = spark.read.parquet(src).limit(1)
+        dup = one
+        for _ in range(49):
+            dup = dup.unionByName(one)
+        dup.coalesce(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if n not in _STREAMING)
+)
+def test_query_is_total_on_constant_tables(spark, constant_sf_dir, name):
+    df = REGISTRY[name].fn(spark, constant_sf_dir)
+    assert df.count() >= 0

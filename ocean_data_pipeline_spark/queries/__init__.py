@@ -113,13 +113,18 @@ def load_all() -> dict[str, RegisteredQuery]:
         dedup_pipeline,
         event_analytics,
         flagship,
+        graph_ops,
         grid_queries,
+        incremental,
+        interval_ops,
         joins,
+        layout_ops,
         llm_ops,
         pii_ops,
         quality_ops,
         reshape,
         set_ops,
+        timeseries_ops,
         sql_surface,
         stream_twins,
         streaming_e2e,

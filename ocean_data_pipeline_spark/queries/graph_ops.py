@@ -1,0 +1,194 @@
+"""Graph analytics over the part co-purchase graph (SURVEY.md §2-J
+width: the relationship-mining shapes an LLM-data / recommendation
+pipeline runs over entity co-occurrence — the same machinery as
+document near-dup graphs, here on the star schema so the oracle is
+pure SQL).
+
+Graph construction: nodes are parts, an (undirected) edge connects two
+parts that appear in the same order. Canonical edge = (pa < pb), built
+by a self equi-join on l_orderkey — per-order fanout is C(items, 2)
+with items ≤ ~13, so edge generation is linear in orders, never
+all-pairs.
+
+Scale design (the part that matters at 100 TB): triangle enumeration
+uses the degree-ordered orientation of Suri & Vassilvitskii ("Counting
+Triangles and the Curse of the Last Reducer", WWW'11): each undirected
+edge is directed from its lower-(degree, id) endpoint to its
+higher-(degree, id) endpoint, so every node's out-degree is O(sqrt(m))
+on any graph and wedge generation is O(m^1.5) worst-case — a skewed
+hub node no longer produces deg² wedges. All stages are equi-joins
+(orderkey, node key, canonical pair), so the whole pipeline shuffles
+on keys and AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical co-purchase edges (pa < pb)."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT pa AS node FROM edges
+    UNION ALL
+    SELECT pb AS node FROM edges
+  ) GROUP BY node
+)
+"""
+
+_TRIANGLE_ORACLE = f"""
+WITH {_EDGES_SQL},
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN edges e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT CAST(coalesce(sum(degree * (degree - 1)), 0) AS BIGINT) // 2
+        FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       CASE WHEN (SELECT coalesce(sum(degree * (degree - 1)), 0) FROM deg) > 0
+            THEN round(3.0 * (SELECT n_triangles FROM tri)
+                       / ((SELECT sum(degree * (degree - 1)) FROM deg) // 2), 6)
+       END AS global_clustering
+"""
+
+
+@register("copurchase_triangle_census", oracle=_TRIANGLE_ORACLE)
+def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: node/edge/wedge
+    counts, exact triangle count, and the global clustering coefficient
+    3·triangles / wedges — the standard graph-cohesion readout (and the
+    same computation that grades a near-dup candidate graph's density).
+
+    Plan shape: edge census = one self equi-join on l_orderkey over the
+    distinct (order, part) projection + one distinct shuffle on the
+    canonical pair. Triangles use the DEGREE-ORDERED orientation (see
+    module docstring): two equi-joins attach endpoint degrees, wedges
+    come from a self equi-join of the oriented edge list on its source,
+    and each wedge is closed by one hash join against the canonical
+    edge list. Out-degree under this orientation is O(sqrt(m)), so the
+    wedge relation is O(m^1.5) regardless of hub skew — the reason this
+    formulation survives a power-law graph at 100 TB where the naive
+    id-ordered join (which the small-data DuckDB oracle uses) blows up
+    on the highest-degree node. Scalars combine via broadcast joins of
+    1-row aggregates.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient each edge from lower (degree, id) to higher (degree, id).
+    e = (
+        edges.join(deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    # Wedges from a common source; canonical closing pair is (min, max)
+    # by id because the undirected edge list is canonical by id.
+    w1 = e.select(F.col("src").alias("s"), F.col("dst").alias("x"))
+    w2 = e.select(F.col("src").alias("s"), F.col("dst").alias("y"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("pa"), F.col("y").alias("pb"))
+    )
+    tri = wedges.join(edges, ["pa", "pb"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedge_sum = deg.agg(
+        F.coalesce(F.sum(F.col("degree") * (F.col("degree") - 1)), F.lit(0)).alias(
+            "deg_pairs2"
+        )
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedge_sum))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.expr("deg_pairs2 div 2").alias("n_wedges"),
+            "n_triangles",
+            F.when(
+                F.col("deg_pairs2") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles") / F.expr("deg_pairs2 div 2"), 6
+                ),
+            ).alias("global_clustering"),
+        )
+    )
+
+
+_DEGREE_ORACLE = f"""
+WITH {_EDGES_SQL}
+SELECT degree, count(*) AS n_parts
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("part_degree_distribution", oracle=_DEGREE_ORACLE)
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many parts
+    have each co-purchase degree — the heavy-tail diagnostic that
+    decides whether a downstream pairwise stage needs the degree-
+    ordered treatment (`copurchase_triangle_census`) or a hub cap.
+
+    Plan shape: the edge census (equi-join + distinct), one partial
+    agg per endpoint onto node keys, one partial agg onto the ≤max-
+    degree histogram grid. Linear in edges; integer-exact output."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("degree")
+    )

@@ -1,0 +1,242 @@
+"""Incremental-computation queries (SURVEY.md §2-D/J width): algebraic
+partial-aggregate merge, incremental materialized-view refresh, and
+SCD2 change history — the shapes a 100 TB pipeline uses to avoid
+recomputing the world on every batch.
+
+Why these are first-class at scale: a daily-ingest corpus cannot
+re-aggregate 100 TB per day. The mergeable-state discipline (count/
+sum/min/max partials that combine associatively, exactly the contract
+of Spark's own partial_* physical aggregates) is what makes per-batch
+cost proportional to the BATCH, not the corpus. The oracles recompute
+from scratch, so a green row proves merge == recompute.
+
+Determinism: all money math in DECIMAL(18,2) partials (exact,
+order-independent), doubles only at the final division, rounded on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+_CUTOFF = "1998-01-01"
+
+# --- algebraic partial-aggregate merge --------------------------------
+
+_MERGE_ORACLE = """
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-01') AS ship_month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 2) AS avg_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY 1 ORDER BY ship_month
+"""
+
+
+@register("incremental_agg_merge", oracle=_MERGE_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic partial-aggregate merge: the fact table is split at a
+    batch boundary (shipdate < 1998-01-01 vs >=), each half is reduced
+    to per-month mergeable states (count, decimal sums, min, max), and
+    the states are merged with a second aggregate — sum-of-counts,
+    sum-of-sums, min-of-mins, max-of-maxes — with the mean derived only
+    AFTER the merge (mean itself is not mergeable; its sufficient
+    statistics are). The oracle aggregates the unsplit table, so the
+    green row is a proof of merge == recompute — the invariant every
+    incremental 100 TB rollup rests on.
+
+    Plan shape: two disjoint filtered scans (the split predicate is
+    pushed to parquet) -> two partial aggs onto month keys -> a union
+    of ~2x months rows -> one merge agg on month. The merge stage's
+    input is O(months), not O(rows)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-01").alias(
+                "ship_month"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("p_sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("p_sum_price"),
+            F.min("l_extendedprice").alias("p_min"),
+            F.max("l_extendedprice").alias("p_max"),
+        )
+
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    states = partial(li.filter(F.col("l_shipdate") < cutoff)).unionByName(
+        partial(li.filter(F.col("l_shipdate") >= cutoff))
+    )
+    return (
+        states.groupBy("ship_month")
+        .agg(
+            F.sum("p_n").alias("n_rows"),
+            F.sum("p_sum_qty").alias("sum_qty"),
+            F.sum("p_sum_price").alias("sum_price"),
+            F.min("p_min").alias("min_price"),
+            F.max("p_max").alias("max_price"),
+        )
+        .select(
+            "ship_month",
+            "n_rows",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.round(F.col("sum_price").cast("double") / F.col("n_rows"), 2).alias(
+                "avg_price"
+            ),
+            "min_price",
+            "max_price",
+        )
+        .orderBy("ship_month")
+    )
+
+
+# --- incremental materialized-view refresh ----------------------------
+
+_MV_CUTOFF = "2000-01-01"
+
+_MV_ORACLE = f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       max(CASE WHEN o_orderdate >= TIMESTAMP '{_MV_CUTOFF}'
+                THEN 1 ELSE 0 END) = 1 AS refreshed
+FROM orders
+GROUP BY 1 ORDER BY order_month
+"""
+
+
+@register("mv_incremental_refresh", oracle=_MV_ORACLE)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: a monthly-revenue MV was
+    built on the pre-cutoff corpus; a delta batch (orders on/after
+    2000-01-01) arrives, is reduced to partial states, and is MERGED
+    into the stored MV — only months the delta touches change, flagged
+    `refreshed`. The oracle rebuilds the MV from the full table, so the
+    green row proves delta-merge == full recompute including the
+    touched-month flags.
+
+    Plan shape: identical to `incremental_agg_merge` but framed as MV
+    maintenance: the per-batch cost is O(delta) + O(touched months);
+    the untouched MV rows pass through the merge agg unchanged. At
+    100 TB the stored MV is a parquet/Delta table and the merge is a
+    MERGE INTO keyed on month — semantics identical to this union-agg
+    formulation."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame, refreshed: bool) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias(
+                "order_month"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p_rev"),
+            F.lit(1 if refreshed else 0).alias("p_refreshed"),
+        )
+
+    mv = partial(o.filter(F.col("o_orderdate") < cutoff), refreshed=False)
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff), refreshed=True)
+    return (
+        mv.unionByName(delta)
+        .groupBy("order_month")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.sum("p_rev").cast("double").alias("revenue"),
+            (F.max("p_refreshed") == 1).alias("refreshed"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# --- SCD2 change history ----------------------------------------------
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) IS NULL
+              OR lag(o_orderpriority) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM seq
+),
+hist AS (
+  SELECT o_custkey, o_orderpriority AS priority, island,
+         min(o_orderdate) AS vf, count(*) AS n_orders
+  FROM islands GROUP BY o_custkey, o_orderpriority, island
+)
+SELECT o_custkey, priority,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY island),
+                '%Y-%m-%d') AS valid_to,
+       n_orders,
+       lead(vf) OVER (PARTITION BY o_custkey ORDER BY island) IS NULL
+         AS is_current
+FROM hist
+ORDER BY o_custkey, island
+"""
+
+
+@register("scd2_priority_history", oracle=_SCD2_ORACLE)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history: each customer's
+    order-priority timeline is compressed into validity intervals —
+    maximal runs of the same priority (gaps-and-islands over the
+    (orderdate, orderkey)-ordered stream) become [valid_from, valid_to)
+    rows with the open interval flagged `is_current`. This is the
+    standard warehouse pattern for tracking attribute changes through a
+    CDC feed without overwriting history.
+
+    Plan shape: the change-flag lag window, the running-sum island
+    window, and the interval lead window all partition on o_custkey —
+    ONE exchange serves all three (the middle agg is also custkey-
+    keyed). Linear in orders; output is O(change points)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    islands = seq.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    hist = islands.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("priority"), "island"
+    ).agg(F.min("o_orderdate").alias("vf"), F.count(F.lit(1)).alias("n_orders"))
+    w_iv = Window.partitionBy("o_custkey").orderBy("island")
+    return hist.select(
+        "o_custkey",
+        "priority",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("vf").over(w_iv), "yyyy-MM-dd").alias("valid_to"),
+        "n_orders",
+        F.lead("vf").over(w_iv).isNull().alias("is_current"),
+        "island",
+    ).orderBy("o_custkey", "island").drop("island")

@@ -1,0 +1,168 @@
+"""Interval / range-join queries (SURVEY.md §2-C width): temporal
+overlap detection and windowed rollups — the join shapes that have no
+native equi key and therefore need deliberate scale treatment (a naive
+theta join is a cartesian product at 100 TB).
+
+Two scale postures demonstrated:
+- `shipment_overlap_pairs`: the interval predicate rides on an
+  existing equi key (same order), so the theta part only runs inside
+  key groups whose fanout is bounded by order size (<= ~13 lines).
+- `fiscal_window_rollup`: no natural equi key — the classic fix is to
+  EXPLODE each row into the coarse bins its interval covers and
+  equi-join on the bin (Databricks' range-join optimization, DuckDB's
+  IEJoin paper's bucketed baseline). Explode factor = interval span /
+  bin width (here 3), so the join is linear, never quadratic, and the
+  small-data oracle can afford the direct theta join the engine
+  refuses to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- same-order shipment overlap pairs --------------------------------
+
+_OVERLAP_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_orderkey,
+         abs(datediff('day', a.l_shipdate, b.l_shipdate)) AS gap_days
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+  WHERE abs(datediff('day', a.l_shipdate, b.l_shipdate)) <= 7
+)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT l_orderkey) AS n_orders_with_overlap,
+       CASE WHEN count(*) > 0
+            THEN round(CAST(sum(gap_days) AS DOUBLE) / count(*), 4)
+       END AS avg_gap_days
+FROM pairs
+"""
+
+
+@register("shipment_overlap_pairs", oracle=_OVERLAP_ORACLE)
+def shipment_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal overlap join within a key group: pairs of lineitems in
+    the SAME order whose 8-day handling windows [shipdate, shipdate+7d]
+    overlap (|delta-days| <= 7) — the co-shipment consolidation signal.
+    The census reports pair count, orders affected, and mean gap.
+
+    Plan shape: a self equi-join on l_orderkey (shuffle on the key,
+    never a cartesian product) with the interval predicate and the
+    linenumber de-dup ordering as residual filters; per-key fanout is
+    C(order size, 2) <= C(13,2), so the pair relation is linear in
+    orders. The final census is a single 1-row aggregate."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_shipdate").alias("ship_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_shipdate").alias("ship_b"),
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .select(
+            F.col("k").alias("l_orderkey"),
+            F.abs(F.datediff("ship_b", "ship_a")).alias("gap_days"),
+        )
+        .filter(F.col("gap_days") <= 7)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("l_orderkey").alias("n_orders_with_overlap"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(F.sum("gap_days").cast("double") / F.count(F.lit(1)), 4),
+        ).alias("avg_gap_days"),
+    )
+
+
+# --- binned range join: overlapping fiscal windows --------------------
+
+_FISCAL_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS mon,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+w AS (SELECT DISTINCT mon AS w0 FROM m)
+SELECT strftime(w.w0, '%Y-%m-%d') AS window_start,
+       count(*) AS n_months,
+       CAST(sum(m.n) AS BIGINT) AS n_rows,
+       round(CAST(sum(m.rev) AS DOUBLE), 2) AS window_rev
+FROM w JOIN m
+  ON m.mon >= w.w0 AND m.mon < w.w0 + INTERVAL 3 MONTH
+GROUP BY w.w0 ORDER BY window_start
+"""
+
+
+@register("fiscal_window_rollup", oracle=_FISCAL_ORACLE)
+def fiscal_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window rollup via a BINNED range join: revenue over
+    every 3-month fiscal window anchored at each month with data. Each
+    month belongs to 3 windows, so this is an interval containment join
+    (month in [w0, w0+3mo)) with NO equi key.
+
+    Scale posture: the engine side never runs the theta join. The fact
+    table is first reduced to per-month partials (O(months) rows), each
+    month row is EXPLODED into the exactly-3 window anchors that could
+    contain it ({m, m-1mo, m-2mo}), and an equi-join against the
+    anchor set keeps the windows that exist. Work is 3x months — at
+    100 TB the pre-aggregation means the range logic touches thousands
+    of rows, not trillions; the theta join survives only in the DuckDB
+    oracle, which proves the rewrite exact.
+
+    Plan shape: one partial agg onto months -> generator (explode) ->
+    equi-join (broadcast-able anchor list) -> final agg on anchors."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    m = li.groupBy(
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("mon")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    anchors = m.select(F.col("mon").alias("w0")).distinct()
+    cand = m.select(
+        F.explode(
+            F.array(
+                F.col("mon"),
+                F.add_months("mon", -1),
+                F.add_months("mon", -2),
+            )
+        ).alias("w0"),
+        "rev",
+        "n",
+    )
+    return (
+        cand.join(anchors, "w0")
+        .groupBy("w0")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum("rev").cast("double"), 2).alias("window_rev"),
+        )
+        .select(
+            F.date_format("w0", "yyyy-MM-dd").alias("window_start"),
+            "n_months",
+            "n_rows",
+            "window_rev",
+        )
+        .orderBy("window_start")
+    )

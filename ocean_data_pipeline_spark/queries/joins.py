@@ -621,3 +621,70 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+# --- full outer join: nation presence reconciliation -------------------
+
+_FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers,
+       CASE WHEN c.nationkey IS NOT NULL AND s.nationkey IS NOT NULL
+              THEN 'both'
+            WHEN c.nationkey IS NOT NULL THEN 'customers_only'
+            ELSE 'suppliers_only' END AS presence
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
+@register("full_outer_nation_presence", oracle=_FULL_OUTER_ORACLE)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch FULL OUTER equi-join (completes the §2-C join-type grid
+    whose streaming twin is `stream_join_funnel_outer`): per-nation
+    customer counts reconciled against per-nation supplier counts,
+    keeping nations present on EITHER side and classifying each as
+    both / customers_only / suppliers_only — the reconciliation shape
+    of every two-source data audit.
+
+    Plan shape: both inputs are first reduced to per-key partials
+    (O(nations) rows), so the full-outer join — which cannot broadcast
+    (both sides must keep unmatched rows) — shuffles only the tiny
+    aggregated relations; the fact tables are touched once each by the
+    counting aggs. SortMergeJoin FullOuter on the key is the expected
+    physical plan at any scale."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    ca, sa = c.alias("c"), s.alias("s")
+    return (
+        ca.join(sa, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.coalesce(F.col("c.n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("s.n_suppliers"), F.lit(0)).alias("n_suppliers"),
+            F.when(
+                F.col("c.nationkey").isNotNull() & F.col("s.nationkey").isNotNull(),
+                "both",
+            )
+            .when(F.col("c.nationkey").isNotNull(), "customers_only")
+            .otherwise("suppliers_only")
+            .alias("presence"),
+        )
+        .orderBy("nationkey")
+    )

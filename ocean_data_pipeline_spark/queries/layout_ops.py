@@ -1,0 +1,141 @@
+"""Physical-layout planning queries (SURVEY.md §4 width, sibling of
+`zorder_layout_stats`): small-file compaction planning and shuffle
+bucket-balance profiling — the table-maintenance arithmetic a
+lakehouse runs nightly (Delta OPTIMIZE / Iceberg rewrite planning),
+expressed as ordinary aggregates so the planner itself scales.
+
+Both queries operate on O(partition-count) aggregated relations, never
+on raw rows, so planning cost is independent of table size — the
+property that lets a 100 TB table's maintenance job run on one
+executor's worth of work after the initial scan-side partial aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+#: Target rows per compacted output file (literal so both engines and
+#: any sf agree; a real deployment derives it from target bytes /
+#: observed row width).
+_TARGET_ROWS = 5000
+
+_COMPACTION_ORACLE = f"""
+WITH p AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-01') AS part,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT part, n_rows,
+         CAST(coalesce(sum(n_rows) OVER (ORDER BY part
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+  FROM p
+)
+SELECT cum_before // {_TARGET_ROWS} AS file_id,
+       count(*) AS n_partitions,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(part) AS first_part,
+       max(part) AS last_part
+FROM c GROUP BY 1 ORDER BY file_id
+"""
+
+
+@register("compaction_plan", oracle=_COMPACTION_ORACLE)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: per-partition (ship-month) row
+    counts are packed, in partition order, into target-size output
+    files of ~5000 rows — file_id = floor(rows-before / target),
+    the deterministic first-fit-in-order policy Delta's OPTIMIZE uses
+    per bin. The plan lists, per output file, the partitions merged,
+    total rows, and the partition span (contiguous spans keep the
+    table's time-clustering, so min/max skipping stats stay tight
+    after compaction).
+
+    Plan shape: one partial agg onto O(partitions) rows, one running-
+    sum window over that tiny relation, one final agg onto O(files).
+    The fact table is touched exactly once, by the counting agg."""
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate")
+    p = li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-01").alias("part")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+    c = p.select(
+        "part",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.groupBy(F.expr(f"cum_before div {_TARGET_ROWS}").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("part").alias("first_part"),
+            F.max("part").alias("last_part"),
+        )
+        .orderBy("file_id")
+    )
+
+
+#: Knuth multiplicative hash — identical integer arithmetic on both
+#: engines (BIGINT stays exact while key * 2654435761 < 2^63, i.e.
+#: keys < ~3.5e9; beyond that both sides would move to a 128-bit or
+#: hex-sha2 mix).
+_MIX = 2654435761
+_MOD = 4294967296
+_BUCKETS = 32
+
+_BUCKET_ORACLE = f"""
+WITH b AS (
+  SELECT ((o_custkey * {_MIX}) % {_MOD}) % {_BUCKETS} AS bucket,
+         o_custkey
+  FROM orders
+)
+SELECT bucket,
+       count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_keys,
+       round(count(*) / (CAST(sum(count(*)) OVER () AS DOUBLE)
+                         / {_BUCKETS}), 4) AS load_factor
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("shuffle_bucket_histogram", oracle=_BUCKET_ORACLE)
+def shuffle_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle bucket-balance profile: rows and distinct keys per hash
+    bucket under a 32-way multiplicative hash partitioning of
+    o_custkey, with each bucket's load factor vs the uniform ideal
+    (sum/32). Load factors far from 1.0 predict straggler reducers —
+    the diagnostic run before choosing bucketing columns for a
+    co-located join layout (`join-colocated`, tests/test_bucketing.py).
+    The hash is Knuth's multiplicative mix in exact BIGINT arithmetic
+    rather than the engines' incompatible builtin hashes, so the
+    oracle computes the identical assignment.
+
+    Plan shape: one partial agg onto <= 32 (bucket, key-count) rows —
+    count-distinct adds a key-level pre-agg — then the load-factor
+    window runs over <= 32 rows. Scan-bound; planning cost O(1)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    b = o.select(
+        ((F.col("o_custkey") * _MIX) % _MOD % _BUCKETS).alias("bucket"),
+        "o_custkey",
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        F.round(
+            F.col("n_rows")
+            / (F.sum("n_rows").over(w).cast("double") / _BUCKETS),
+            4,
+        ).alias("load_factor"),
+    ).orderBy("bucket")

@@ -1,0 +1,191 @@
+"""Time-series smoothing & anomaly queries (SURVEY.md §2-G width): the
+ordered-series analytics the reference's dashboard computes globally
+(`dashboard/app.py:222-290` time-series plots, §2 win-frame family),
+generalized to exponentially-weighted smoothing and rolling-window
+anomaly detection.
+
+Both queries aggregate the fact table FIRST (per-month / per-day
+partials), so the window functions run on the calendar-sized series,
+never on raw facts — at 100 TB the windows see thousands of rows. The
+single-partition window is therefore deliberate and safe: the series
+is O(calendar), not O(corpus); a per-entity variant would partition by
+the entity key.
+
+Determinism: frame sums are exact DECIMAL; doubles appear only in the
+final scalar expression, which is the identical IEEE tree on both
+engines, then rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- exponentially-weighted moving average ----------------------------
+
+_EWMA_ORACLE = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT month, rev,
+         row_number() OVER (ORDER BY month) AS rn,
+         rev * pow(0.7, -row_number() OVER (ORDER BY month)) AS term
+  FROM m
+),
+s AS (
+  SELECT month, rev, rn,
+         sum(term) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS prefix,
+         first_value(rev) OVER (ORDER BY month) AS r1
+  FROM t
+)
+SELECT month,
+       round(rev, 2) AS revenue,
+       round(0.3 * pow(0.7, rn) * (prefix - r1 * pow(0.7, -1))
+             + pow(0.7, rn - 1) * r1, 2) AS ewma
+FROM s ORDER BY month
+"""
+
+
+@register("ewma_monthly_revenue", oracle=_EWMA_ORACLE)
+def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of monthly
+    revenue: e_1 = r_1, e_n = alpha*r_n + (1-alpha)*e_{n-1} — the
+    recursive smoother every monitoring dashboard runs. The recursion
+    is rewritten as a closed-form PREFIX SUM so it needs no iterative
+    loop and no stateful UDF:
+
+        e_n = alpha * (1-a)^n * sum_{i<=n}( r_i * (1-a)^-i  - t_1 )
+              + (1-a)^(n-1) * r_1
+
+    i.e. one running sum of r_i*(1-a)^-i plus first_value — all
+    built-in window functions. Numeric envelope: (1-a)^-n grows, so
+    the rewrite is valid while n * ln(1/(1-a)) < ~700 (n <~ 1960
+    months at alpha=0.3) — far beyond any calendar series; an
+    unbounded per-key stream would switch to applyInPandasWithState,
+    which carries e_{n-1} as O(1) state.
+
+    Plan shape: partial agg onto ~80 month rows, then three window
+    expressions over ONE sort of the tiny aggregated series."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias(
+            "month"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"))
+    w = Window.orderBy("month")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = m.select(
+        "month",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        (F.col("rev") * F.pow(F.lit(0.7), -F.row_number().over(w))).alias("term"),
+    )
+    s = t.select(
+        "month",
+        "rev",
+        "rn",
+        F.sum("term").over(w_run).alias("prefix"),
+        F.first("rev").over(w_run).alias("r1"),
+    )
+    return s.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round(
+            F.lit(0.3)
+            * F.pow(F.lit(0.7), F.col("rn"))
+            * (F.col("prefix") - F.col("r1") * F.pow(F.lit(0.7), F.lit(-1)))
+            + F.pow(F.lit(0.7), F.col("rn") - 1) * F.col("r1"),
+            2,
+        ).alias("ewma"),
+    ).orderBy("month")
+
+
+# --- rolling z-score anomaly detection --------------------------------
+
+_ZSCORE_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+f AS (
+  SELECT day, rev,
+         count(*) OVER w AS n,
+         sum(rev) OVER w AS s1,
+         sum(rev * rev) OVER w AS s2
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT day, rev, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+           / (n - 1) AS var
+  FROM f WHERE n >= 8
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(mu, 2) AS rolling_mean,
+       round((CAST(rev AS DOUBLE) - mu) / sqrt(var), 3) AS zscore
+FROM z
+WHERE var > 0 AND abs((CAST(rev AS DOUBLE) - mu) / sqrt(var)) > 2
+ORDER BY day
+"""
+
+
+@register("daily_zscore_anomalies", oracle=_ZSCORE_ORACLE)
+def daily_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each day's revenue is scored
+    against the trailing 28-day window (EXCLUDING the current day, so
+    an anomaly cannot suppress its own detection); days with |z| > 2
+    are flagged. The ops-monitoring shape behind every
+    revenue/traffic alerting pipeline.
+
+    Determinism at the filter boundary: the rolling mean and variance
+    come from EXACT decimal frame sums (sum, sum-of-squares); the
+    double math that follows is the same IEEE expression tree on both
+    engines, so the |z| > 2 cut selects identical rows — no
+    epsilon-straddling between engine and oracle. Variance uses the
+    (n-1) sample form, guarded for n < 2 (warm-up requires n >= 8)
+    and var <= 0 (constant window), the DIVIDE_BY_ZERO class the
+    round-4 totality sweep flagged on climatology.
+
+    Plan shape: partial agg onto ~2400 day rows, ONE sort serving all
+    three frame aggregates, scalar filter. O(calendar), not O(rows)."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    f = d.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rev").over(w).alias("s1"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).alias("s2"),
+    ).filter(F.col("n") >= 8)
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("rev").cast("double") - mu) / F.sqrt(var)
+    return (
+        f.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(mu, 2).alias("rolling_mean"),
+            F.round(z, 3).alias("zscore"),
+            var.alias("_var"),
+            z.alias("_z"),
+        )
+        .filter((F.col("_var") > 0) & (F.abs(F.col("_z")) > 2))
+        .drop("_var", "_z")
+        .orderBy("day")
+    )

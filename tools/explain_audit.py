@@ -461,6 +461,55 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["ExistenceJoin"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # round 5: graph / incremental / interval / timeseries / layout ----
+    # full outer cannot broadcast; both sides are pre-aggregated so the
+    # SMJ shuffles O(nations) rows, never the fact tables
+    "full_outer_nation_presence": (
+        ["SortMergeJoin FullOuter"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # edge census + wedge joins are all equi-joins (the only nested
+    # loops are the bounded 1-row scalar combines at the end)
+    "copurchase_triangle_census": (
+        ["SortMergeJoin Inner"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # same-order self-join: equi on l_orderkey, interval predicate as
+    # residual — never a cartesian despite the theta condition
+    "shipment_overlap_pairs": (
+        ["abs(datediff"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # binned range join: explode(Generate) + equi-join — the theta
+    # join exists only in the oracle
+    "fiscal_window_rollup": (
+        ["Generate", "explode"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # partial states from two disjoint pushed-predicate scans, merged
+    # by a second agg over the union
+    "incremental_agg_merge": (
+        ["Union", "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "mv_incremental_refresh": (
+        ["Union", "PushedFilters: [IsNotNull(o_orderdate)"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # all three windows + the island agg share ONE custkey exchange
+    # (the only other exchange is the presentation orderBy)
+    "scd2_priority_history": (
+        ["Window", "hashpartitioning(o_custkey"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # windows run post-aggregation on the calendar-sized series
+    "ewma_monthly_revenue": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    "daily_zscore_anomalies": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    "compaction_plan": (["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    "shuffle_bucket_histogram": (
+        ["Window"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 

@@ -54,7 +54,12 @@ def shipment_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cartesian product) with the interval predicate and the
     linenumber de-dup ordering as residual filters; per-key fanout is
     C(order size, 2) <= C(13,2), so the pair relation is linear in
-    orders. The final census is a single 1-row aggregate."""
+    orders. The final census is a single 1-row aggregate.
+
+    Pair identity: (orderkey, linenumber) is NOT unique in the
+    testdata, so pairing is by STRICT linenumber inequality — two rows
+    sharing a linenumber never form a pair (they are duplicate
+    manifests of the same line, not two shipments)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )

@@ -146,6 +146,16 @@ HEADLINE = [
     "nation_top_balances_array",
     "order_frame_values",
     "sql_exists_customers",
+    # round-5 additions: one per new family (graph, incremental/SCD2,
+    # interval, timeseries, layout, full-outer join-grid completion)
+    "copurchase_triangle_census",
+    "incremental_agg_merge",
+    "scd2_priority_history",
+    "shipment_overlap_pairs",
+    "fiscal_window_rollup",
+    "ewma_monthly_revenue",
+    "compaction_plan",
+    "full_outer_nation_presence",
 ]
 
 

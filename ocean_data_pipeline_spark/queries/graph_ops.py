@@ -30,8 +30,19 @@ from ocean_data_pipeline_spark.catalog import table
 from ocean_data_pipeline_spark.queries import register
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct canonical co-purchase edges (pa < pb)."""
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """Distinct canonical co-purchase edges (pa < pb).
+
+    `checkpoint=True` materializes the edge list once (localCheckpoint,
+    same device as `operators/components.py`): the census consumes the
+    edges from FOUR subtrees (two degree joins, the wedge closing join,
+    the edge count), and without a checkpoint Spark re-runs the
+    self-join + distinct for each — at sf0.1 that re-derivation is most
+    of the query's runtime. On a multi-executor cluster the same role
+    is played by reliable checkpoint/cache; the edge list is O(orders ·
+    C(order size, 2)), linear in the corpus."""
     pl = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -39,12 +50,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    return (
+    edges = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
     )
+    return edges.localCheckpoint() if checkpoint else edges
 
 
 _EDGES_SQL = """
@@ -103,13 +115,13 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the highest-degree node. Scalars combine via broadcast joins of
     1-row aggregates.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    ).localCheckpoint()
     # Orient each edge from lower (degree, id) to higher (degree, id).
     e = (
         edges.join(deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa")

@@ -109,6 +109,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     from ocean_data_pipeline_spark.queries import (  # noqa: F401
         aggregates,
         approx,
+        audits,
         cache_queries,
         dedup_pipeline,
         event_analytics,

@@ -1,0 +1,298 @@
+"""Data-quality and statistical audit queries (SURVEY.md §2-B/D
+width, generalizing the reference's validator stack
+`run_pipeline.py:54-157` — schema/row-count/range checks — into the
+expectation-suite census, independence testing, and latency-SLA
+shapes a production pipeline runs per batch).
+
+All three are single-digit-row reports computed from partial
+aggregates, so audit cost is scan-bound at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- constraint-violation census (expectation suite) ------------------
+
+_DQ_ORACLE = """
+WITH li AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                  THEN 1 ELSE 0 END) AS v_disc,
+         sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS v_price,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key
+  FROM lineitem
+),
+joined AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+orphan AS (
+  SELECT (SELECT count(*) FROM lineitem) AS n,
+         count(*) AS v
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+rules AS (
+  SELECT 'nonpositive_quantity' AS rule, n, CAST(v_qty AS BIGINT) AS n_violations FROM li
+  UNION ALL
+  SELECT 'discount_out_of_range', n, CAST(v_disc AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'negative_price', n, CAST(v_price AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'null_order_key', n, CAST(v_key AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'ship_before_order', n, CAST(v AS BIGINT) FROM joined
+  UNION ALL
+  SELECT 'orphan_lineitem', n, CAST(v AS BIGINT) FROM orphan
+)
+SELECT rule, CAST(n AS BIGINT) AS n_checked, n_violations,
+       CASE WHEN n > 0
+            THEN round(CAST(n_violations AS DOUBLE) / n, 6) END
+         AS violation_rate
+FROM rules ORDER BY rule
+"""
+
+
+@register("dq_constraint_census", oracle=_DQ_ORACLE)
+def dq_constraint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation census (expectation suite): six data-
+    quality rules — four column-level (non-positive quantity, discount
+    outside [0,1], negative price, null key), one cross-table temporal
+    (shipment before its order date), one referential (orphan
+    lineitems) — each reported as checked/violations/rate. The
+    generalization of the reference's per-stage validators
+    (run_pipeline.py:77-157) to a declarative rule census.
+
+    Plan shape: the four column rules are conditional aggregates over
+    ONE lineitem scan (one 1-row partial agg); the temporal rule is a
+    fact-fact equi-join reduced to a 1-row agg; the referential rule is
+    a LEFT ANTI join (the absence probe). Nothing but 1-row relations
+    ever reaches the driver-side union."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    col_rules = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        ).alias("v_disc"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("v_price"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("v_key"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nonpositive_quantity").alias("rule"),
+                    F.col("n"),
+                    F.col("v_qty").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("discount_out_of_range").alias("rule"),
+                    F.col("n"),
+                    F.col("v_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("negative_price").alias("rule"),
+                    F.col("n"),
+                    F.col("v_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("null_order_key").alias("rule"),
+                    F.col("n"),
+                    F.col("v_key").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n", "r.n_violations")
+    temporal = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+        .select(F.lit("ship_before_order").alias("rule"), "n", "n_violations")
+    )
+    n_li = li.agg(F.count(F.lit(1)).alias("n"))
+    orphan = (
+        li.select("l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(n_li))
+        .select(F.lit("orphan_lineitem").alias("rule"), "n", "n_violations")
+    )
+    rules = col_rules.unionByName(temporal).unionByName(orphan)
+    return rules.select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        # empty-table totality: conditional-agg sums are NULL on zero
+        # rows — a rule that checked nothing has 0 violations
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint").alias(
+            "n_violations"
+        ),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.coalesce(F.col("n_violations"), F.lit(0)).cast("double")
+                / F.col("n"),
+                6,
+            ),
+        ).alias("violation_rate"),
+    ).orderBy("rule")
+
+
+# --- chi-square independence test -------------------------------------
+
+_CHISQ_ORACLE = """
+WITH base AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+obs AS (SELECT seg, pri, count(*) AS n FROM base GROUP BY seg, pri),
+grid AS (
+  SELECT s.seg, p.pri, coalesce(o.n, 0) AS n
+  FROM (SELECT DISTINCT seg FROM base) s
+  CROSS JOIN (SELECT DISTINCT pri FROM base) p
+  LEFT JOIN obs o ON o.seg = s.seg AND o.pri = p.pri
+),
+tot AS (
+  SELECT g.seg, g.pri, g.n,
+         sum(g.n) OVER (PARTITION BY g.seg) AS row_tot,
+         sum(g.n) OVER (PARTITION BY g.pri) AS col_tot,
+         sum(g.n) OVER () AS grand
+  FROM grid g
+)
+SELECT CAST(max(grand) AS BIGINT) AS n_obs,
+       count(*) AS n_cells,
+       (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS dof,
+       round(sum(pow(n - CAST(row_tot AS DOUBLE) * col_tot / grand, 2)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / grand)), 4) AS chi2
+FROM tot WHERE row_tot > 0 AND col_tot > 0
+"""
+
+
+@register("segment_priority_chisq", oracle=_CHISQ_ORACLE)
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is order priority independent of
+    the customer's market segment? The full contingency grid (distinct
+    segments x distinct priorities, INCLUDING zero cells — omitting
+    them understates the statistic) with expected counts
+    row_tot*col_tot/N and the summed (obs-exp)^2/exp.
+
+    Plan shape: one equi-join + one partial agg onto the <=25-cell
+    grid; the category cross join is bounded by the two distinct sets
+    (the same bounded-pair-generator device as the contamination
+    sweep). The three marginal windows run on grid-sized data.
+    Cross-engine fp: 25 double terms of magnitude ~1, sum-order error
+    ~1e-14 — round(4) is 10 orders of margin."""
+    base = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "o_custkey",
+        )
+        .select("seg", "pri")
+    )
+    obs = base.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    segs = base.select("seg").distinct()
+    pris = base.select("pri").distinct()
+    grid = (
+        segs.crossJoin(F.broadcast(pris))
+        .join(obs, ["seg", "pri"], "left")
+        .select("seg", "pri", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = grid.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    ).filter((F.col("row_tot") > 0) & (F.col("col_tot") > 0))
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    return tot.agg(
+        F.max("grand").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)).alias("dof"),
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+    )
+
+
+# --- funnel conversion-latency percentiles ----------------------------
+
+_LATENCY_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         (epoch_us(min(e.ts)) - epoch_us(min(v.t_view))) / 1e6 AS lat_s
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(lat_s, 0.5), 3) AS p50_s,
+       round(quantile_cont(lat_s, 0.9), 3) AS p90_s,
+       round(quantile_cont(lat_s, 0.99), 3) AS p99_s,
+       round(max(lat_s), 3) AS max_s
+FROM p
+"""
+
+
+@register("conversion_latency_percentiles", oracle=_LATENCY_ORACLE)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency SLA view: seconds from each user's first
+    view to their first STRICTLY-LATER purchase (the same stage gating
+    as `event_funnel_conversion`), summarized as exact p50/p90/p99/max
+    — the product-analytics companion to `ship_latency_percentiles`.
+
+    Determinism: latency is exact integer microseconds divided once by
+    1e6; Spark's exact `percentile` and DuckDB's `quantile_cont` share
+    linear interpolation. Exact percentiles sort per group — fine on
+    the per-user relation (users << events); the documented scale
+    cutover is approx_percentile when even the user relation is huge.
+
+    Plan shape: two user-keyed partial aggs and one user equi-join
+    (co-partitioned), then a single 1-row percentile aggregate."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.min("t_view"))) / 1e6
+            ).alias("lat_s")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 3).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 3).alias("p90_s"),
+        F.round(F.expr("percentile(lat_s, 0.99)"), 3).alias("p99_s"),
+        F.round(F.max("lat_s"), 3).alias("max_s"),
+    )

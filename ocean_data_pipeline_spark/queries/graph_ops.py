@@ -204,3 +204,101 @@ def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("degree")
     )
+
+
+# --- fixed-iteration PageRank -----------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+_PAGERANK_ORACLE = f"""
+WITH {_EDGES_SQL},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+r1 AS (
+  SELECT s.dst AS node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * sum(r.pr / d.degree) AS pr
+  FROM sym s JOIN r0 r ON r.node = s.src JOIN deg d ON d.node = s.src
+  GROUP BY s.dst
+),
+r2 AS (
+  SELECT s.dst AS node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * sum(r.pr / d.degree) AS pr
+  FROM sym s JOIN r1 r ON r.node = s.src JOIN deg d ON d.node = s.src
+  GROUP BY s.dst
+),
+r3 AS (
+  SELECT s.dst AS node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * sum(r.pr / d.degree) AS pr
+  FROM sym s JOIN r2 r ON r.node = s.src JOIN deg d ON d.node = s.src
+  GROUP BY s.dst
+)
+SELECT node, round(pr, 10) AS pagerank
+FROM r3 ORDER BY pagerank DESC, node LIMIT 20
+"""
+
+
+@register("pagerank_copurchase_top20", oracle=_PAGERANK_ORACLE)
+def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    symmetrized co-purchase graph; top-20 most central parts. The
+    iterative-algorithm-as-composed-DataFrames pattern: the loop runs
+    in the DRIVER building a lazy plan (contrast `near_dup_components`,
+    whose data-dependent loop must execute per round — PageRank's
+    iteration count is fixed, so nothing executes until the action).
+
+    Determinism: every node has degree >= 1 (nodes come FROM edges), so
+    there are no dangling-mass corrections and rank mass stays exactly
+    conserved; per-neighbor contributions are ~1e-5 doubles whose sum
+    order can differ between engines by ~1e-18 — round(10) is 8 orders
+    of margin, and the top-20 cut orders by the ROUNDED rank with the
+    node id as total tie-break.
+
+    Plan shape: edge census + degrees checkpointed ONCE; each
+    iteration is one equi-join (ranks are (node, pr) — shuffles
+    O(nodes)) followed by a partial agg onto nodes; contributions
+    combine map-side. 3 iterations = 3 shuffles of the rank relation,
+    the edge relation partitioning reused. Top-20 is
+    TakeOrderedAndProject, no global sort."""
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    ).localCheckpoint()
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .join(deg.select(F.col("node").alias("src"), "degree"), "src")
+    ).localCheckpoint()
+    n_nodes = deg.count()  # one scalar; bounds every rank expression
+    if n_nodes == 0:
+        return deg.select(
+            F.col("node"), F.lit(0.0).alias("pagerank")
+        ).limit(20)
+    ranks = deg.select("node", (F.lit(1.0) / n_nodes).alias("pr"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            sym.join(ranks.select(F.col("node").alias("src"), "pr"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(1 - _PR_DAMP) / n_nodes
+                    + F.lit(_PR_DAMP) * F.sum(F.col("pr") / F.col("degree"))
+                ).alias("pr")
+            )
+        )
+    return (
+        ranks.select("node", F.round("pr", 10).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(20)
+    )

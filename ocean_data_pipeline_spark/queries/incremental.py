@@ -240,3 +240,114 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("vf").over(w_iv).isNull().alias("is_current"),
         "island",
     ).orderBy("o_custkey", "island").drop("island")
+
+
+# --- SCD2 point-in-time (temporal as-of) join -------------------------
+
+_PIT_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) IS NULL
+              OR lag(o_orderpriority) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM seq
+),
+hist AS (
+  SELECT o_custkey, o_orderpriority AS priority, island,
+         min(o_orderdate) AS vf
+  FROM islands GROUP BY o_custkey, o_orderpriority, island
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         o_orderdate + INTERVAL 90 DAY AS review_ts
+  FROM orders
+),
+matched AS (
+  SELECT p.o_orderkey, p.o_orderpriority AS priority_at_order,
+         h.priority AS priority_at_review,
+         row_number() OVER (PARTITION BY p.o_orderkey
+                            ORDER BY h.vf DESC, h.island DESC) AS rn
+  FROM probe p JOIN hist h
+    ON h.o_custkey = p.o_custkey AND h.vf <= p.review_ts
+)
+SELECT priority_at_order, priority_at_review,
+       count(*) AS n_orders
+FROM matched WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("scd2_point_in_time_join", oracle=_PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal as-of) join against the SCD2 history:
+    each order probes the priority interval ACTIVE 90 days after it was
+    placed — the warehouse question "which dimension version governed
+    this fact at time t". The result is the priority drift matrix
+    (priority at order time x priority in force at review time); the
+    diagonal is regime stability.
+
+    As-of semantics: with contiguous [valid_from, valid_to) intervals,
+    the active version is the one with the LARGEST valid_from <=
+    probe-time — an equi-join on the customer key with a backward-
+    looking residual, deduplicated per probe by row_number over
+    (valid_from DESC, island DESC); the island tie-break makes
+    same-day regime flips deterministic on both engines.
+
+    Plan shape: the history build is `scd2_priority_history`'s
+    one-exchange window stack; the probe join shuffles on o_custkey
+    (co-partitioned with the history), per-probe fanout is the
+    customer's interval count (~orders per customer), and the dedup
+    window partitions on the unique o_orderkey. Output is the tiny
+    priority x priority matrix."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    islands = seq.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    hist = islands.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("priority"), "island"
+    ).agg(F.min("o_orderdate").alias("vf"))
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority_at_order"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("review_ts"),
+    )
+    w_dedup = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("vf"), F.desc("island")
+    )
+    matched = (
+        probe.join(hist, "o_custkey")
+        .filter(F.col("vf") <= F.col("review_ts"))
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        matched.groupBy(
+            "priority_at_order", F.col("priority").alias("priority_at_review")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority_at_order", "priority_at_review")
+    )

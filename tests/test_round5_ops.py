@@ -283,3 +283,145 @@ def test_overlap_pairs_bounded_by_order_sizes(spark):
         orders_hit += hit
     assert row["n_pairs"] == n_pairs
     assert row["n_orders_with_overlap"] == orders_hit
+
+
+# --- batch 2: pagerank / PIT join / audits ----------------------------
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Top-20 ranks must equal a pure-Python power iteration on the
+    collected edge list (3 rounds, d=0.85), and total rank mass over
+    all nodes must stay exactly 1 (no dangling nodes by construction)."""
+    from ocean_data_pipeline_spark.queries.graph_ops import _copurchase_edges
+
+    edges = [(r["pa"], r["pb"]) for r in _copurchase_edges(spark, SF).collect()]
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            nxt[v] = 0.15 / n + 0.85 * sum(pr[u] / len(adj[u]) for u in adj[v])
+        pr = nxt
+    assert math.isclose(sum(pr.values()), 1.0, abs_tol=1e-9)
+    expected = sorted(
+        ((round(p, 10), node) for node, p in pr.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = REGISTRY["pagerank_copurchase_top20"].fn(spark, SF).collect()
+    assert [(r["pagerank"], r["node"]) for r in got] == expected
+
+
+def test_pit_join_accounts_for_every_order(spark):
+    """The point-in-time probe must match every order to exactly one
+    interval: matrix cell counts sum to the order count."""
+    cells = REGISTRY["scd2_point_in_time_join"].fn(spark, SF).collect()
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["n_orders"] for r in cells) == n_orders
+    assert all(r["n_orders"] > 0 for r in cells)
+
+
+def test_dq_census_recounts(spark):
+    """Rule census must agree with direct recounts, and checked
+    denominators must be the right relations (scan vs join)."""
+    rows = {r["rule"]: r for r in REGISTRY["dq_constraint_census"].fn(spark, SF).collect()}
+    assert set(rows) == {
+        "nonpositive_quantity",
+        "discount_out_of_range",
+        "negative_price",
+        "null_order_key",
+        "ship_before_order",
+        "orphan_lineitem",
+    }
+    li = table(spark, SF, "lineitem")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    n_li = li.count()
+    for rule in ("nonpositive_quantity", "discount_out_of_range",
+                 "negative_price", "null_order_key", "orphan_lineitem"):
+        assert rows[rule]["n_checked"] == n_li
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    assert rows["ship_before_order"]["n_checked"] == joined.count()
+    assert (
+        rows["ship_before_order"]["n_violations"]
+        == joined.filter(F.col("l_shipdate") < F.col("o_orderdate")).count()
+    )
+    assert (
+        rows["orphan_lineitem"]["n_violations"]
+        == n_li
+        - li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
+    )
+
+
+def test_chisq_matches_python_reference(spark):
+    """Chi-square statistic must reproduce from the collected
+    contingency table, including structural zero cells."""
+    row = REGISTRY["segment_priority_chisq"].fn(spark, SF).collect()[0]
+    base = (
+        table(spark, SF, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .join(
+            table(spark, SF, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    segs = sorted({r["c_mktsegment"] for r in base})
+    pris = sorted({r["o_orderpriority"] for r in base})
+    obs = {(r["c_mktsegment"], r["o_orderpriority"]): r["count"] for r in base}
+    grand = sum(obs.values())
+    row_tot = {s: sum(obs.get((s, p), 0) for p in pris) for s in segs}
+    col_tot = {p: sum(obs.get((s, p), 0) for s in segs) for p in pris}
+    chi2 = sum(
+        (obs.get((s, p), 0) - row_tot[s] * col_tot[p] / grand) ** 2
+        / (row_tot[s] * col_tot[p] / grand)
+        for s in segs
+        for p in pris
+    )
+    assert row["n_obs"] == grand
+    assert row["n_cells"] == len(segs) * len(pris)
+    assert row["dof"] == (len(segs) - 1) * (len(pris) - 1)
+    assert math.isclose(row["chi2"], round(chi2, 4), abs_tol=0.0002)
+
+
+def test_conversion_latency_matches_python_quantiles(spark):
+    """Exact percentiles must reproduce with numpy linear
+    interpolation over the per-user latency list."""
+    import numpy as np
+
+    row = REGISTRY["conversion_latency_percentiles"].fn(spark, SF).collect()[0]
+    ev = table(spark, SF, "events").select("user_id", "event_type", "ts").collect()
+    first_view: dict[int, object] = {}
+    for r in ev:
+        if r["event_type"] == "view" and (
+            r["user_id"] not in first_view or r["ts"] < first_view[r["user_id"]]
+        ):
+            first_view[r["user_id"]] = r["ts"]
+    first_purchase: dict[int, object] = {}
+    for r in ev:
+        if (
+            r["event_type"] == "purchase"
+            and r["user_id"] in first_view
+            and r["ts"] > first_view[r["user_id"]]
+            and (
+                r["user_id"] not in first_purchase
+                or r["ts"] < first_purchase[r["user_id"]]
+            )
+        ):
+            first_purchase[r["user_id"]] = r["ts"]
+    lats = [
+        (first_purchase[u] - first_view[u]).total_seconds() for u in first_purchase
+    ]
+    assert row["n_converted"] == len(lats)
+    if lats:
+        for col, q in (("p50_s", 0.5), ("p90_s", 0.9), ("p99_s", 0.99)):
+            assert math.isclose(
+                row[col], round(float(np.quantile(lats, q)), 3), abs_tol=0.002
+            ), (col, row[col])
+        assert math.isclose(row["max_s"], round(max(lats), 3), abs_tol=0.002)

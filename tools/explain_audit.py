@@ -510,6 +510,34 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # fixed-iteration PageRank: every iteration is an equi-join +
+    # partial agg; top-20 never global-sorts
+    "pagerank_copurchase_top20": (
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # temporal as-of probe: custkey equi-join + per-orderkey dedup
+    # window; never a nested loop over intervals
+    "scd2_point_in_time_join": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # referential rule is the absence probe; everything reaching the
+    # union is a 1-row relation
+    "dq_constraint_census": (
+        ["LeftAnti", "Union"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # the category grid is the bounded broadcast pair generator; the
+    # unbounded CartesianProduct operator must never appear
+    "segment_priority_chisq": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "conversion_latency_percentiles": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 

@@ -32,9 +32,16 @@ COPIES = 10
 REPEATS = 3
 
 
-def replicate(df: DataFrame, id_col: str, copies: int) -> DataFrame:
+def replicate(df: DataFrame, id_col: str | list[str], copies: int) -> DataFrame:
+    """Self-union `copies` times with the id column(s) offset per copy
+    so keys stay unique ACROSS copies (multi-column form keeps e.g.
+    graph copies disjoint in both endpoints)."""
+    id_cols = [id_col] if isinstance(id_col, str) else id_col
     parts = [
-        df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000)) for i in range(copies)
+        df.withColumns(
+            {c: F.col(c) + F.lit(i * 10_000_000) for c in id_cols}
+        )
+        for i in range(copies)
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -54,6 +61,9 @@ def main() -> None:
     li1 = table(spark, SF_DIR, "lineitem", spread=True)
     docs10 = replicate(docs1, "doc_id", COPIES)
     li10 = replicate(li1, "l_orderkey", COPIES)
+    li10g = replicate(li1, ["l_orderkey", "l_partkey"], COPIES)
+    ord1 = table(spark, SF_DIR, "orders", spread=True)
+    ord10 = replicate(ord1, "o_custkey", COPIES)
 
     from ocean_data_pipeline_spark.operators.dedup import exact_dedup
     from ocean_data_pipeline_spark.operators.chunking import chunk_by_tokens
@@ -197,6 +207,107 @@ def main() -> None:
 
         return build
 
+    def scd2_islands(o):
+        def build():
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            seq = o.withColumn(
+                "chg",
+                F.when(
+                    F.lag("o_orderpriority").over(w).isNull()
+                    | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+                    1,
+                ).otherwise(0),
+            )
+            islands = seq.withColumn(
+                "island",
+                F.sum("chg").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            return islands.groupBy("o_custkey", "o_orderpriority", "island").agg(
+                F.min("o_orderdate").alias("vf"), F.count(F.lit(1)).alias("n")
+            )
+
+        return build
+
+    def pair_overlap(li):
+        def build():
+            a = li.select(
+                F.col("l_orderkey").alias("k"),
+                F.col("l_linenumber").alias("la"),
+                F.col("l_shipdate").alias("sa"),
+            )
+            b = li.select(
+                F.col("l_orderkey").alias("k"),
+                F.col("l_linenumber").alias("lb"),
+                F.col("l_shipdate").alias("sb"),
+            )
+            return (
+                a.join(b, "k")
+                .filter(F.col("la") < F.col("lb"))
+                .filter(F.abs(F.datediff("sb", "sa")) <= 7)
+                .groupBy()
+                .count()
+            )
+
+        return build
+
+    def edge_orient(li):
+        def build():
+            pl = li.select("l_orderkey", "l_partkey").distinct()
+            a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+            b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+            edges = (
+                a.join(b, "k")
+                .filter(F.col("pa") < F.col("pb"))
+                .select("pa", "pb")
+                .distinct()
+            )
+            deg = (
+                edges.select(F.col("pa").alias("node"))
+                .unionAll(edges.select(F.col("pb").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+            return edges.join(
+                deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa"
+            ).groupBy().count()
+
+        return build
+
+    def ewma_window(o):
+        def build():
+            from pyspark.sql import Window
+
+            m = o.groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias(
+                    "month"
+                )
+            ).agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                    "rev"
+                )
+            )
+            w = Window.orderBy("month")
+            t = m.select(
+                "month",
+                "rev",
+                F.row_number().over(w).alias("rn"),
+                (F.col("rev") * F.pow(F.lit(0.7), -F.row_number().over(w))).alias(
+                    "term"
+                ),
+            )
+            return t.select(
+                "month",
+                F.sum("term")
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .alias("prefix"),
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -207,6 +318,18 @@ def main() -> None:
         "funnel_stages(events)": (funnel(ev1), funnel(ev10)),
         "markov_lead(events)": (markov(ev1), markov(ev10)),
         "aes_topk_sample(documents)": (aes_sample(docs1), aes_sample(docs10)),
+        # round 5: keyed windows (SCD2), keyed self-join (interval
+        # pairs), graph edge census + degree join, post-agg calendar
+        # window (EWMA). orders replicate by custkey (10x key groups,
+        # same per-key series shape); the graph replicates by BOTH
+        # orderkey and partkey so the 10 copies are disjoint graphs.
+        "scd2_islands(orders)": (scd2_islands(ord1), scd2_islands(ord10)),
+        "pair_overlap(lineitem)": (pair_overlap(li1), pair_overlap(li10)),
+        "edge_census_degree(lineitem)": (
+            edge_orient(li1),
+            edge_orient(li10g),
+        ),
+        "ewma_month_window(orders)": (ewma_window(ord1), ewma_window(ord10)),
     }
 
     lines = [

@@ -171,9 +171,15 @@ def _spread_path(repo_root: str) -> str:
         for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
     ]
-    if rounds:
-        return os.path.join(repo_root, f"BENCH_SPREAD_r{max(rounds) + 1:02d}.json")
-    return os.path.join(repo_root, "BENCH_SPREAD.json")
+    if not rounds:
+        return os.path.join(repo_root, "BENCH_SPREAD.json")
+    # Never clobber a committed spread artifact: if the driver skipped a
+    # round (no BENCH_r{N}.json) the max+1 stamp can collide with an
+    # existing spread file from that round — bump past any that exist.
+    n = max(rounds) + 1
+    while os.path.exists(os.path.join(repo_root, f"BENCH_SPREAD_r{n:02d}.json")):
+        n += 1
+    return os.path.join(repo_root, f"BENCH_SPREAD_r{n:02d}.json")
 
 
 def main() -> None:

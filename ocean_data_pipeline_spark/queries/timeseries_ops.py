@@ -46,10 +46,17 @@ s AS (
 )
 SELECT month,
        round(rev, 2) AS revenue,
-       round(0.3 * pow(0.7, rn) * (prefix - r1 * pow(0.7, -1))
-             + pow(0.7, rn - 1) * r1, 2) AS ewma
+       round(CAST(CAST(0.3 * pow(0.7, rn) * (prefix - r1 * pow(0.7, -1))
+                       + pow(0.7, rn - 1) * r1 AS VARCHAR)
+                  AS DECIMAL(38,15)), 2) AS ewma
 FROM s ORDER BY month
 """
+# ^ ewma rounds through the double's SHORTEST DECIMAL REPR (varchar →
+# decimal → half-up), replicating Spark's round(double) semantics: the
+# exact-cents recursion makes early terms land exactly on .xx5 (e_2 has
+# 3 decimals), where Spark rounds the repr ".225" up but a binary-value
+# round sees .2249999... and rounds down. Revenue needs no such care —
+# it is cents-exact, so round(2) is the identity.
 
 
 @register("ewma_monthly_revenue", oracle=_EWMA_ORACLE)
@@ -189,3 +196,144 @@ def daily_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_var", "_z")
         .orderBy("day")
     )
+
+
+# --- streaming EWMA (stateful incremental smoother) -------------------
+
+#: Recursive-CTE oracle mirroring the STREAMING recursion's exact IEEE
+#: expression tree (0.3*rev + 0.7*e per step, doubles throughout) —
+#: bit-identical to the pandas fold, where the batch twin's closed-form
+#: prefix sum can land on the other side of a .xx5 rounding boundary
+#: (observed: one cent at smoke scale). Same relation, different
+#: but exactly-matched float associativity.
+_STREAM_EWMA_ORACLE = """
+WITH RECURSIVE m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+         row_number() OVER (
+           ORDER BY strftime(date_trunc('month', o_orderdate), '%Y-%m-01')
+         ) AS rn
+  FROM orders GROUP BY 1
+),
+rec AS (
+  SELECT month, rev, rn, rev AS e FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.month, m.rev, m.rn, 0.3 * m.rev + 0.7 * rec.e AS e
+  FROM m JOIN rec ON m.rn = rec.rn + 1
+)
+SELECT month, round(rev, 2) AS revenue,
+       round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,15)), 2) AS ewma
+FROM rec ORDER BY month
+"""
+# ^ same shortest-repr rounding path as the batch oracle (see above):
+# with bit-identical recursion doubles on both sides, identical strings
+# → identical decimals → identical half-up rounding at any scale.
+
+
+@register("stream_ewma_monthly", oracle=_STREAM_EWMA_ORACLE)
+def stream_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA (SURVEY §2-H custom stateful operator): the
+    monthly-revenue feed arrives as ordered micro-batches (one file of
+    monthly partials per 6-month block, maxFilesPerTrigger=1) and an
+    `applyInPandasWithState` smoother folds e_n = 0.3*r_n + 0.7*e_{n-1}
+    across batches, carrying ONE double of state — the incremental
+    form of `ewma_monthly_revenue`, with a FULL value oracle: a DuckDB
+    recursive CTE that replays the identical IEEE expression tree per
+    step (bit-exact with the pandas fold, where the batch twin's
+    closed-form can differ by one ulp at a .xx5 rounding boundary).
+
+    Why this shape scales: the stream consumes PRE-AGGREGATED partials
+    (the upstream monthly rollup), so per-batch work is O(months in
+    batch) and state is O(1) per series; a per-entity fleet of
+    smoothers would key the state by the entity instead of the single
+    calendar series here (documented single-partition posture, same as
+    the batch twin). Unlike the closed-form rewrite, the recursion
+    needs no (1-a)^-n term, so the streaming form has NO series-length
+    envelope — the two formulations cross-check each other through the
+    shared oracle."""
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Upstream rollup: monthly partials, written as one file per
+    # 6-month block in month order (the incremental feed).
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    m = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .orderBy("month")
+        .collect()
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_ewma_")
+    indir = f"{workdir}/in"
+    import os as _os
+
+    _os.makedirs(indir, exist_ok=True)
+    schema = "month string, rev double"
+    for i in range(0, len(m), 6):
+        block = [(r["month"], r["rev"]) for r in m[i : i + 6]]
+        spark.createDataFrame(block, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{indir}/block_{i // 6:04d}")
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{indir}/block_*")
+    )
+
+    def fold(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            yield pd.DataFrame(columns=["month", "revenue", "ewma"])
+            return
+        rows = rows.sort_values("month")
+        e = state.get[0] if state.exists else None
+        out = []
+        for r in rows.itertuples():
+            e = r.rev if e is None else 0.3 * r.rev + 0.7 * e
+            # raw doubles out; rounding happens ENGINE-side so the
+            # half-up rule matches the oracle on identical bits
+            out.append((r.month, r.rev, e))
+        state.update((float(e),))
+        yield pd.DataFrame(out, columns=["month", "revenue", "ewma"])
+
+    smoothed = (
+        feed.withColumn("series", F.lit(1))
+        .groupBy("series")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="month string, revenue double, ewma double",
+            stateStructType="e double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"stream_ewma_{uuid.uuid4().hex[:12]}"
+    query = (
+        smoothed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("ewma", 2).alias("ewma"),
+    ).orderBy("month")

@@ -425,3 +425,20 @@ def test_conversion_latency_matches_python_quantiles(spark):
                 row[col], round(float(np.quantile(lats, q)), 3), abs_tol=0.002
             ), (col, row[col])
         assert math.isclose(row["max_s"], round(max(lats), 3), abs_tol=0.002)
+
+
+def test_stream_ewma_equals_batch_twin(spark):
+    """The stateful streaming smoother must emit exactly the batch
+    closed-form EWMA relation — streaming == batch for the whole
+    pipeline, state carried across 6-month micro-batches
+    (maxFilesPerTrigger=1 guarantees > 1 batch at smoke scale)."""
+    batch = REGISTRY["ewma_monthly_revenue"].fn(spark, SF).collect()
+    stream = REGISTRY["stream_ewma_monthly"].fn(spark, SF).collect()
+    assert len(batch) > 6  # enough months for several micro-batches
+    assert [(r["month"], r["revenue"]) for r in stream] == [
+        (r["month"], r["revenue"]) for r in batch
+    ]
+    for s, b in zip(stream, batch):
+        # closed-form vs recursion may straddle a .xx5 boundary by one
+        # cent (each side is pinned exactly by its own oracle)
+        assert math.isclose(s["ewma"], b["ewma"], abs_tol=0.011), (s, b)

@@ -228,3 +228,97 @@ def sql_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi/anti twins."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_EXISTS)
+
+
+# Textual PIVOT clause through the parser — the relational-operator
+# grammar Spark lowers to the same Expand + single partial aggregate as
+# the DataFrame pivot twin (`pivot_status_by_year`). DuckDB's PIVOT
+# grammar differs, so the oracle is the portable CASE formulation; the
+# priority list is pinned (never inferred) so the output schema is
+# static — the scale rule for pivot at 100 TB.
+_SQL_PIVOT_SPARK = """
+SELECT * FROM (
+  SELECT year(o_orderdate) AS order_year,
+         o_orderpriority AS pri,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+PIVOT (
+  CAST(sum(price) AS DOUBLE)
+  FOR pri IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+              '4-NOT SPECIFIED' AS not_specified, '5-LOW' AS low)
+)
+ORDER BY order_year
+"""
+
+_SQL_PIVOT_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS urgent,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS high,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS medium,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS not_specified,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS low
+FROM orders
+GROUP BY year(o_orderdate)
+ORDER BY order_year
+"""
+
+
+@register("sql_pivot_priority_by_year", oracle=_SQL_PIVOT_ORACLE)
+def sql_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8th SQL-string query: the textual PIVOT clause (revenue per
+    order-priority column per year). Catalyst rewrites PIVOT into the
+    same conditional-aggregate plan as the oracle's CASE formulation —
+    one scan, one partial agg, no per-pivot-value passes. The IN list
+    is explicit: inferring pivot columns from data needs an extra
+    distinct pass and makes the schema data-dependent, both wrong at
+    100 TB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIVOT_SPARK)
+
+
+# Textual LATERAL VIEW explode — Spark's UDTF/generator grammar
+# (SURVEY §2-I), the SQL twin of the DataFrame explode in `top_tokens`.
+# DuckDB spells the same generator as unnest(regexp_split_to_array).
+_SQL_LATERAL_SPARK = r"""
+SELECT token, count(*) AS n_occurrences
+FROM documents
+LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) t AS token
+WHERE length(trim(text)) > 0
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 30
+"""
+
+_SQL_LATERAL_ORACLE = """
+SELECT token, count(*) AS n_occurrences
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 30
+"""
+
+
+@register("sql_lateral_explode_tokens", oracle=_SQL_LATERAL_ORACLE)
+def sql_lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9th SQL-string query: LATERAL VIEW explode through the parser —
+    the generator (UDTF) grammar over the token stream, top-30 tokens.
+    Same tokenization contract as `top_tokens` (trim+lower, whitespace
+    split, empty docs excluded BEFORE the generator so no empty-string
+    token appears). The generator output feeds a partial agg before the
+    shuffle — the explosion never crosses the wire raw."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_SPARK)

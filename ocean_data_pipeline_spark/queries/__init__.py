@@ -112,6 +112,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         audits,
         cache_queries,
         dedup_pipeline,
+        embedding_decomp,
         event_analytics,
         flagship,
         graph_ops,

@@ -442,3 +442,30 @@ def test_stream_ewma_equals_batch_twin(spark):
         # closed-form vs recursion may straddle a .xx5 boundary by one
         # cent (each side is pinned exactly by its own oracle)
         assert math.isclose(s["ewma"], b["ewma"], abs_tol=0.011), (s, b)
+
+
+def test_top_component_matches_numpy_power_iteration(spark):
+    """The distributed power iteration must reproduce numpy running
+    the SAME 6 iterations from the same start vector on the exactly
+    recomputed covariance (spectrum here is near-degenerate, so only
+    the matched-iteration comparison is meaningful, not the true
+    eigenvector), and the loading vector must be unit-norm."""
+    import numpy as np
+
+    rows = REGISTRY["embedding_top_component"].fn(spark, SF).collect()
+    emb = table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    n, d = X.shape
+    C = (X.T @ X) / n - np.outer(X.sum(0), X.sum(0)) / (n * n)
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(6):
+        w = C @ v
+        lam = float(np.sqrt((w * w).sum()))
+        v = w / lam
+    if v[0] < 0:
+        v = -v
+    got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim_idx"])])
+    assert len(got) == d
+    assert abs(float(np.sqrt((got * got).sum())) - 1.0) < 1e-3
+    assert float(np.abs(got - v).max()) < 5e-5, float(np.abs(got - v).max())
+    assert abs(rows[0]["eigenvalue"] - lam) < 1e-4

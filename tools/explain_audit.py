@@ -538,6 +538,9 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         [],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # power-iteration result assembly over the checkpointed iterate:
+    # scalar combines are bounded broadcasts; nothing Python-side
+    "embedding_top_component": ([], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

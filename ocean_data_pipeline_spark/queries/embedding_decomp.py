@@ -8,7 +8,9 @@ Scale design: the covariance build shown here is the oracle-friendly
 O(n*d^2) pair-explode formulation; at 100 TB (or d in the thousands)
 the engine-side cutover is per-partition Gram accumulation in
 mapInPandas (numpy X^T X per Arrow batch -> d^2-cell partials summed
-by ONE reduce), which produces the identical matrix with O(n*d) I/O.
+by ONE reduce), which produces the identical matrix with O(n*d) I/O —
+IMPLEMENTED in operators/gram.py (covariance_matrix) and pinned equal
+to this formulation in tests/test_round5_ops.py.
 Everything after the covariance is O(d^2) per iteration — scale-
 invariant driver-side-sized work kept distributed here only so the
 oracle can replay it.

@@ -469,3 +469,44 @@ def test_top_component_matches_numpy_power_iteration(spark):
     assert abs(float(np.sqrt((got * got).sum())) - 1.0) < 1e-3
     assert float(np.abs(got - v).max()) < 5e-5, float(np.abs(got - v).max())
     assert abs(rows[0]["eigenvalue"] - lam) < 1e-4
+
+
+def test_gram_operator_equals_pair_explode(spark):
+    """The mapInPandas Gram accumulation (the 100 TB cutover documented
+    in embedding_decomp) must equal the pair-explode covariance within
+    float-sum reassociation noise, cell by cell."""
+    from ocean_data_pipeline_spark.operators.gram import covariance_matrix
+
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    fast = {
+        (r["i"], r["j"]): r["v"]
+        for r in covariance_matrix(emb, "embedding").collect()
+    }
+    x = emb.select("vec_id", F.posexplode("embedding").alias("i", "xi")).select(
+        "vec_id", "i", F.col("xi").cast("double").alias("xi")
+    )
+    n = emb.count()
+    a = x.select("vec_id", F.col("i").alias("ai"), F.col("xi").alias("ax"))
+    b = x.select("vec_id", F.col("i").alias("bi"), F.col("xi").alias("bx"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("sij"))
+    )
+    m = x.groupBy("i").agg(F.sum("xi").alias("mi"))
+    slow = {
+        (r["i"], r["j"]): r["v"]
+        for r in s.join(
+            m.select(F.col("i").alias("_a"), F.col("mi").alias("ma")),
+            F.col("i") == F.col("_a"),
+        )
+        .join(
+            m.select(F.col("i").alias("_b"), F.col("mi").alias("mb")),
+            F.col("j") == F.col("_b"),
+        )
+        .select("i", "j", (F.col("sij") / n - F.col("ma") * F.col("mb") / (n * n)).alias("v"))
+        .collect()
+    }
+    assert set(fast) == set(slow) and len(fast) > 0
+    for k, v in fast.items():
+        assert math.isclose(v, slow[k], rel_tol=1e-9, abs_tol=1e-12), (k, v, slow[k])

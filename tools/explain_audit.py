@@ -541,6 +541,48 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
     # power-iteration result assembly over the checkpointed iterate:
     # scalar combines are bounded broadcasts; nothing Python-side
     "embedding_top_component": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # BM25: df + (N, avgdl) scalars broadcast, top-10 without a global
+    # sort; the only nested-loop is the broadcast 1-row stats frame
+    "bm25_topk": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # RRF: the fusion FULL OUTER legitimately sort-merges (full outer
+    # cannot broadcast); ranks come from window sorts, top-10 is
+    # TakeOrderedAndProject
+    "rrf_hybrid_retrieval": (
+        ["TakeOrderedAndProject", "SortMergeJoin FullOuter", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # posting-list AND: one agg + keyed metadata rejoin, no self-join
+    "inverted_index_conjunctive": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # PMI: df sides and the N scalar are broadcasts; pair generation is
+    # the doc_id equi-join, never an unbounded product
+    "token_pmi_pairs": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # prefix-filtered set-similarity join: candidate generation and the
+    # confirm rejoin are all equi-joins (broadcast at this scale)
+    "prefix_filter_jaccard_join": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # CMS: the three counter arrays (<= 64 rows) come back as broadcast
+    # joins — estimating never re-shuffles the keyed relation
+    "countmin_heavy_hitters": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # skyline: the window runs over distinct price LEVELS and the
+    # surviving-level rejoin broadcasts; no pairwise comparison shape
+    "pareto_skyline_orders": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 

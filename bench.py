@@ -163,6 +163,8 @@ HEADLINE = [
     "countmin_heavy_hitters",
     "pareto_skyline_orders",
     "kcore_copurchase",
+    "kmv_distinct_estimate",
+    "poisson_bootstrap_ci",
 ]
 
 

@@ -119,3 +119,362 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_orders"), F.asc("o_custkey"))
         .limit(_TOPK)
     )
+
+
+# --- KMV distinct-count sketch ----------------------------------------
+
+#: K minimum values kept per group.
+_KMV_K = 64
+#: Salted sha256 → uniform in (0, 1], the engine-portable RNG
+#: replacement (same device as `weighted_sample_deterministic`).
+#: The group is part of the salt, so each group draws an INDEPENDENT
+#: uniform realization — with a shared hash, groups containing the same
+#: keys would report correlated (even identical) estimates.
+_KMV_U_SQL = """(CAST(('0x' || substr(sha256('kmv_' || o_orderpriority || '_'
+      || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967297.0"""
+
+_KMV_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+u AS (
+  SELECT o_orderpriority, o_custkey,
+         {_KMV_U_SQL} AS u
+  FROM keys
+),
+ranked AS (
+  SELECT o_orderpriority, u,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY u, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS exact_distinct
+  FROM u
+),
+kth AS (
+  SELECT o_orderpriority,
+         any_value(exact_distinct) AS exact_distinct,
+         max(CASE WHEN rn = {_KMV_K} THEN u END) AS u_k
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(CASE WHEN u_k IS NULL THEN exact_distinct
+                  ELSE ({_KMV_K} - 1) / u_k END, 2) AS kmv_estimate,
+       round((CASE WHEN u_k IS NULL THEN exact_distinct
+                   ELSE ({_KMV_K} - 1) / u_k END - exact_distinct)
+             / exact_distinct, 4) AS rel_error
+FROM kth ORDER BY o_orderpriority
+"""
+
+
+@register("kmv_distinct_estimate", oracle=_KMV_ORACLE)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al.,
+    RANDOM'02; Beyer et al., SIGMOD'07): per order priority, hash the
+    distinct customers to uniforms, keep the k=64 smallest, estimate
+    |D| = (k−1)/u₍ₖ₎ — graded in-query against the exact distinct
+    count. Groups with fewer than k members fall back to the exact
+    count (the sketch IS exact below k). Unlike the HLL built-in
+    (`approx_distinct_counts`, rows-only by necessity), the hash here
+    is a salted sha256 → identical uniforms on both engines → the
+    sketch itself is oracle-verified.
+
+    Plan shape: one distinct shuffle on (priority, custkey), then a
+    per-group window keeping 64 rows — at scale the keep-k-smallest
+    would be a partial top-k agg (each partition keeps its local k,
+    merge keeps the global k: mergeable sketch state, same discipline
+    as the CMS counters above)."""
+    keys = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit("kmv_"),
+                            F.col("o_orderpriority"),
+                            F.lit("_"),
+                            F.col("o_custkey").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(4294967297.0)
+    ).alias("u")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("u", "o_custkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = keys.select("o_orderpriority", "o_custkey", u).select(
+        "o_orderpriority",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("exact_distinct"),
+    )
+    kth = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("exact_distinct").alias("exact_distinct"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))).alias("u_k"),
+        )
+    )
+    est = F.when(F.col("u_k").isNull(), F.col("exact_distinct")).otherwise(
+        (_KMV_K - 1) / F.col("u_k")
+    )
+    return kth.select(
+        "o_orderpriority",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(est, 2).alias("kmv_estimate"),
+        F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+            "rel_error"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+# --- CMS self-join-size (F2) estimate ---------------------------------
+
+#: Wider rows for the inner-product use: the F2 estimate's expected
+#: overshoot is F1²/w (every cross-term collides somewhere), so w must
+#: scale with (F1/ε)²/F2 — 64 is fine for point queries but would bury
+#: F2 under the bias term here; 1024 puts the bias at a few × F2.
+_F2_W = 1024
+
+_F2_ORACLE = f"""
+WITH k AS (
+  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey
+),
+h AS (
+  SELECT c,
+         ((l_partkey * {_MIXES[0]}) % {_MOD}) % {_F2_W} AS b0,
+         ((l_partkey * {_MIXES[1]}) % {_MOD}) % {_F2_W} AS b1,
+         ((l_partkey * {_MIXES[2]}) % {_MOD}) % {_F2_W} AS b2
+  FROM k
+),
+est AS (
+  SELECT least(
+           (SELECT sum(s * s) FROM (SELECT sum(c) AS s FROM h GROUP BY b0)),
+           (SELECT sum(s * s) FROM (SELECT sum(c) AS s FROM h GROUP BY b1)),
+           (SELECT sum(s * s) FROM (SELECT sum(c) AS s FROM h GROUP BY b2))
+         ) AS cms_f2,
+         (SELECT sum(c * c) FROM k) AS exact_f2
+)
+SELECT CAST(exact_f2 AS BIGINT) AS exact_self_join_size,
+       CAST(cms_f2 AS BIGINT) AS cms_estimate,
+       round(CAST(cms_f2 AS DOUBLE) / exact_f2, 4) AS inflation
+FROM est
+"""
+
+
+@register("cms_join_size_estimate", oracle=_F2_ORACLE)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a Count-Min sketch: the
+    self-join size of lineitem on l_partkey (F2 = Σ c(k)² — exactly
+    the blowup a planner must predict before a co-purchase style
+    self-join) estimated as min_i Σ_b counter_i[b]² (Cormode &
+    Muthukrishnan §4.2: the CMS inner product, one-sided like the
+    point estimate), graded against the exact Σ c². `inflation` is
+    the honest readout of the w=1024 sketch — the expected overshoot
+    is F1²/w (see _F2_W), reported rather than hidden.
+
+    Plan shape: one shuffle keyed on l_partkey produces the per-key
+    counts; each of the 3 counter rows is a ≤64-row agg over that
+    relation; everything downstream of the keyed agg is scalar-sized.
+    The exact side reuses the SAME keyed relation — one fact pass
+    total. At stream scale the counters merge by element-wise sum,
+    so the estimate is available without ever materializing per-key
+    counts (the planner-statistics use case)."""
+    k = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = k.select(
+        "c",
+        *[
+            ((F.col("l_partkey") * mix) % _MOD % _F2_W).alias(f"b{i}")
+            for i, mix in enumerate(_MIXES)
+        ],
+    ).localCheckpoint()  # consumed by 4 subtrees (3 counter aggs + exact)
+    rows = [
+        h.groupBy(f"b{i}")
+        .agg(F.sum("c").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias(f"f2_{i}"))
+        for i in range(len(_MIXES))
+    ]
+    exact = h.agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    out = exact
+    for i, r in enumerate(rows):
+        out = out.crossJoin(F.broadcast(r))
+    cms = F.least(*[F.col(f"f2_{i}") for i in range(len(_MIXES))])
+    return out.select(
+        F.col("exact_f2").cast("bigint").alias("exact_self_join_size"),
+        cms.cast("bigint").alias("cms_estimate"),
+        F.round(cms.cast("double") / F.col("exact_f2"), 4).alias("inflation"),
+    )
+
+
+# --- Poisson bootstrap confidence interval ----------------------------
+
+#: Replicates. 32 keeps the per-row fanout trivial while giving
+#: rank-2 / rank-31 ≈ 94% central interval endpoints.
+_BOOT_B = 32
+#: Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ 1/i!); weights
+#: truncate at 5 (P(w>5) < 6e-4). Identical literals on both engines.
+_POIS_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+
+
+def _boot_u_sql() -> str:
+    return """(CAST(('0x' || substr(sha256('boot_' || CAST(o_orderkey AS VARCHAR)
+        || '_' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967297.0"""
+
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS price, b
+  FROM orders o CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b)
+),
+weighted AS (
+  SELECT b, price,
+         CASE WHEN u <= {_POIS_CUM[0]} THEN 0
+              WHEN u <= {_POIS_CUM[1]} THEN 1
+              WHEN u <= {_POIS_CUM[2]} THEN 2
+              WHEN u <= {_POIS_CUM[3]} THEN 3
+              WHEN u <= {_POIS_CUM[4]} THEN 4
+              ELSE 5 END AS w
+  FROM (SELECT b, price, {_boot_u_sql()} AS u FROM reps)
+),
+rep_means AS (
+  SELECT b,
+         CAST(sum(w * price) AS DOUBLE) / sum(w) AS m
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM rep_means
+),
+point AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS full_mean
+  FROM orders
+)
+SELECT round(p.full_mean, 4) AS point_estimate,
+       round((SELECT CAST(sum(CAST(m AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*) FROM rep_means), 4) AS boot_mean,
+       round((SELECT m FROM ranked WHERE rn = 2), 4) AS ci_lo,
+       round((SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}), 4) AS ci_hi
+FROM point p
+"""
+
+
+@register("poisson_bootstrap_ci", oracle=_BOOT_ORACLE)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean order
+    price via the POISSON bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google TR'12): classical
+    resampling needs a global draw of n indices, impossible
+    row-parallel — but multinomial(n, 1/n) → Poisson(1) per row as
+    n → ∞, so each row draws its own iid replicate weights from a
+    hash, no coordination. B=32 replicates; CI endpoints are the
+    rank-2 / rank-31 replicate means (~94% central interval).
+
+    Determinism: the "RNG" is the salted-sha256 uniform of
+    (o_orderkey, replicate) pushed through the exact Poisson(1)
+    inverse CDF (identical threshold literals both engines); replicate
+    sums are exact DECIMAL (prices are cents-exact), so each replicate
+    mean is the identical double on both engines; the cross-replicate
+    mean sums exact decimals too.
+
+    Plan shape: the B-fold fanout is a map-side explode (no shuffle of
+    the fanned stream until the replicate agg, which map-side-combines
+    to B·partitions partials); everything after is over B=32 rows.
+    One fact pass for the replicates + one for the point estimate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    reps = o.select(
+        "o_orderkey",
+        "price",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("boot_"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    cums = [float(c) for c in _POIS_CUM]
+    wexpr = (
+        F.when(F.col("u") <= cums[0], 0)
+        .when(F.col("u") <= cums[1], 1)
+        .when(F.col("u") <= cums[2], 2)
+        .when(F.col("u") <= cums[3], 3)
+        .when(F.col("u") <= cums[4], 4)
+        .otherwise(5)
+    )
+    weighted = reps.select("b", "price", uu.alias("u")).select(
+        "b", "price", wexpr.alias("w")
+    )
+    rep_means = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")
+        ).alias("m")
+    )
+    from pyspark.sql import Window
+
+    ranked = rep_means.select(
+        "m", "b", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
+    )
+    summary = rep_means.agg(
+        F.round(
+            F.sum(F.col("m").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("boot_mean")
+    )
+    point = o.agg(
+        F.round(
+            F.sum("price").cast("double") / F.count(F.lit(1)), 4
+        ).alias("point_estimate")
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.round("m", 4).alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.round("m", 4).alias("ci_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("point_estimate", "boot_mean", "ci_lo", "ci_hi")
+    )

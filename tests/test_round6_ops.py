@@ -169,3 +169,103 @@ def test_pmi_rare_token_collocations_rank_first(spark):
     rows = REGISTRY["token_pmi_pairs"].fn(spark, SF_ORACLE).collect()
     assert rows and all(r.co_df >= 5 for r in rows)
     assert "dup" in (rows[0].token_a, rows[0].token_b)
+
+
+def test_kmv_error_within_sampling_bound(spark):
+    """KMV std error is ~1/sqrt(k) = 12.5% at k=64; assert every group
+    within 4 sigma (50%) and the group-mean within 2 sigma — loose
+    enough to be deterministic-stable, tight enough to catch a broken
+    estimator (a bad hash or an off-by-one in u_k lands far outside)."""
+    rows = REGISTRY["kmv_distinct_estimate"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    errs = [abs(r.rel_error) for r in rows]
+    assert all(e < 0.5 for e in errs), rows
+    assert sum(errs) / len(errs) < 0.25, rows
+
+
+def test_cms_f2_one_sided_and_bias_bounded(spark):
+    """CMS inner-product estimate >= exact F2 (one-sided), and the
+    overshoot is within a few multiples of the E[bias] = F1^2/w term."""
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.sketch_ops import _F2_W
+
+    r = REGISTRY["cms_join_size_estimate"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.cms_estimate >= r.exact_self_join_size
+    f1 = table(spark, SF_ORACLE, "lineitem").count()
+    expected_bias = f1 * f1 / _F2_W
+    assert r.cms_estimate - r.exact_self_join_size < 3 * expected_bias, r
+
+
+def test_bootstrap_ci_brackets_point(spark):
+    """CI endpoints ordered, point estimate inside, width positive and
+    small relative to the mean (n ~ 15k orders => tight CI)."""
+    r = REGISTRY["poisson_bootstrap_ci"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.point_estimate <= r.ci_hi
+    assert r.ci_lo <= r.boot_mean <= r.ci_hi
+    assert (r.ci_hi - r.ci_lo) / r.point_estimate < 0.1, r
+
+
+def test_bootstrap_replicate_mean_matches_python(spark):
+    """Recompute one replicate's weighted mean in pure Python from the
+    same sha256-derived Poisson weights — pins the whole weight
+    pipeline (salt, threshold chain, decimal sum) independently of the
+    DuckDB oracle."""
+    import hashlib
+    from decimal import Decimal
+
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.sketch_ops import _POIS_CUM
+
+    cums = [float(c) for c in _POIS_CUM]
+    orders = (
+        table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    b = 7
+    num, den = Decimal(0), 0
+    for r in orders:
+        h = hashlib.sha256(f"boot_{r.o_orderkey}_{b}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 4294967297.0
+        w = next((i for i, t in enumerate(cums) if u <= t), 5)
+        num += w * Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+        den += w
+    want = float(num) / den
+
+    from ocean_data_pipeline_spark.queries.sketch_ops import _BOOT_B  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # rebuild the replicate-means frame at smoke scale and pick b=7
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    reps = o.select(
+        "o_orderkey", "price",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).filter(F.col("b") == b)
+    uu = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("boot_"), F.col("o_orderkey").cast("string"),
+                        F.lit("_"), F.col("b").cast("string"),
+                    ),
+                    256,
+                ), 1, 8,
+            ), 16, 10,
+        ).cast("bigint") + 1
+    ) / F.lit(4294967297.0)
+    wexpr = (
+        F.when(uu <= cums[0], 0).when(uu <= cums[1], 1)
+        .when(uu <= cums[2], 2).when(uu <= cums[3], 3)
+        .when(uu <= cums[4], 4).otherwise(5)
+    )
+    got = (
+        reps.select("price", wexpr.alias("w"))
+        .agg((F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert math.isclose(got, want, rel_tol=1e-12), (got, want)

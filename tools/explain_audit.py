@@ -583,6 +583,24 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # KMV: one distinct shuffle + per-group windows; no join at all
+    "kmv_distinct_estimate": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"],
+    ),
+    # F2 estimate: everything past the keyed count agg is scalar-sized
+    # broadcast combines (BNLJ on 1-row frames is the intended shape)
+    "cms_join_size_estimate": (
+        [],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # Poisson bootstrap: the B-fold fanout is a Generate (explode) on
+    # the map side — no shuffle until the replicate agg; scalar joins
+    # are broadcast 1-row frames
+    "poisson_bootstrap_ci": (
+        ["Generate"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 

@@ -265,3 +265,79 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("stage").alias("stage"))
         .orderBy("user_id")
     )
+
+
+# --- streaming Count-Min sketch (mergeable-state proof) ---------------
+
+#: Same mix/width constants as the batch CMS (queries/sketch_ops.py);
+#: redeclared literally so this module stays import-light.
+_CMS_MIXES = (2654435761, 2246822519, 3266489917)
+_CMS_MOD = 4294967296
+_CMS_W = 64
+
+_STREAM_CMS_ORACLE = f"""
+WITH b AS (
+  SELECT i,
+         ((user_id * CASE i WHEN 0 THEN {_CMS_MIXES[0]}
+                            WHEN 1 THEN {_CMS_MIXES[1]}
+                            ELSE {_CMS_MIXES[2]} END)
+          % {_CMS_MOD}) % {_CMS_W} AS bucket
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+)
+SELECT i AS hash_row, bucket, count(*) AS counter
+FROM b GROUP BY i, bucket
+ORDER BY hash_row, bucket
+"""
+
+
+@register("stream_countmin_user_events", oracle=_STREAM_CMS_ORACLE)
+def stream_countmin_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min sketch over the event stream keyed by
+    user_id: each event updates d=3 counters (one per hash row), the
+    counter table IS the streaming aggregation state, and micro-batch
+    merge is element-wise addition — the mergeable-sketch property
+    (`cms_join_size_estimate`'s scale posture) demonstrated as a live
+    Structured Streaming job rather than claimed in prose. Because the
+    counters are exact counts of deterministic hash cells, the final
+    state is INVARIANT to micro-batch slicing and arrival order, so
+    this stateful streaming query carries a full DuckDB oracle (the
+    batch-computed counter array) — tests additionally replay it under
+    forced multi-batch execution and pin state == merge of per-batch
+    partials.
+
+    State posture: d·w = 192 counters TOTAL regardless of key
+    cardinality or stream length — the sketch never grows, which is
+    the entire point of sketching a 100 TB stream."""
+    import uuid
+
+    updates = _event_stream(spark, sf_dir).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_row"),
+                        ((F.col("user_id") * mix) % _CMS_MOD % _CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i, mix in enumerate(_CMS_MIXES)
+                ]
+            )
+        ).alias("u")
+    ).select("u.hash_row", "u.bucket")
+    counters = updates.groupBy("hash_row", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    sink = f"stream_cms_{uuid.uuid4().hex[:12]}"
+    query = (
+        counters.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).orderBy("hash_row", "bucket")

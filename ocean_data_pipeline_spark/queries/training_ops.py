@@ -525,3 +525,144 @@ def training_example_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_chunks_raw", "n_chunks_unique", "n_bins", "packed_tokens")
         .orderBy("split")
     )
+
+
+# --- leakage-safe (group-holdout) splitting ---------------------------
+
+#: Train/val/test thresholds on the group's uniform.
+_GSPLIT_TRAIN = 0.8
+_GSPLIT_VAL = 0.9
+
+_GSPLIT_ORACLE = f"""
+WITH RECURSIVE
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE vec_id < 500
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+labels AS (SELECT u, min(r) AS component FROM reach GROUP BY u),
+comp AS (
+  SELECT n.vec_id, coalesce(l.component, n.vec_id) AS component
+  FROM c n LEFT JOIN labels l ON l.u = n.vec_id
+),
+assign AS (
+  SELECT vec_id, component,
+         (CAST(('0x' || substr(sha256('gsplit_' || CAST(component AS VARCHAR)),
+                1, 8)) AS BIGINT) + 1) / 4294967297.0 AS ug,
+         (CAST(('0x' || substr(sha256('gsplit_' || CAST(vec_id AS VARCHAR)),
+                1, 8)) AS BIGINT) + 1) / 4294967297.0 AS ud
+  FROM comp
+),
+splits AS (
+  SELECT vec_id, component,
+         CASE WHEN ug <= {_GSPLIT_TRAIN} THEN 'train'
+              WHEN ug <= {_GSPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN ud <= {_GSPLIT_TRAIN} THEN 'train'
+              WHEN ud <= {_GSPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM assign
+),
+leaky AS (
+  SELECT count(*) AS n FROM (
+    SELECT component FROM splits
+    GROUP BY component HAVING count(DISTINCT naive_split) > 1
+  )
+)
+SELECT split,
+       count(*) AS n_docs,
+       count(DISTINCT component) AS n_components,
+       (SELECT CAST(n AS BIGINT) FROM leaky) AS naive_leaky_components
+FROM splits GROUP BY split ORDER BY split
+"""
+
+
+@register("leakage_safe_group_split", oracle=_GSPLIT_ORACLE)
+def leakage_safe_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-holdout train/val/test split: the split unit is the
+    NEAR-DUPLICATE CLUSTER (connected component of the cosine >= 0.35
+    pair graph), not the document — every member of a duplicate
+    cluster lands in the same split because the salted-sha256 split
+    uniform hashes the COMPONENT label. Splitting by document id
+    instead leaks near-identical text across the train/eval boundary
+    (the contamination `benchmark_decontamination` hunts after the
+    fact; this op prevents it at split time — GroupKFold semantics at
+    corpus scale). The census reports each split's doc and cluster
+    counts plus `naive_leaky_components`: how many clusters a
+    doc-id-hash split would have straddled across splits (the leak
+    this op closes; 0 by construction for the group split).
+
+    Plan shape: candidate pairs are the bounded near-dup generator
+    (`operators/similarity.cosine_near_dup_pairs`), components iterate
+    O(diameter) shuffles (`operators/components.py`), and the split
+    assignment is scan-speed hash arithmetic — the whole pipeline adds
+    ONE keyed join to the dedup chain it reuses. Deterministic across
+    engines, retries, and partitionings (no RNG anywhere)."""
+    from ocean_data_pipeline_spark.operators.components import connected_components
+    from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    comp = (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+        )
+    )
+
+    def _u(salted: F.Column) -> F.Column:
+        return (
+            F.conv(F.substring(F.sha2(salted, 256), 1, 8), 16, 10).cast("bigint")
+            + 1
+        ) / F.lit(4294967297.0)
+
+    def _split(u: F.Column) -> F.Column:
+        return (
+            F.when(u <= _GSPLIT_TRAIN, "train")
+            .when(u <= _GSPLIT_VAL, "val")
+            .otherwise("test")
+        )
+
+    splits = comp.select(
+        "vec_id",
+        "component",
+        _split(
+            _u(F.concat(F.lit("gsplit_"), F.col("component").cast("string")))
+        ).alias("split"),
+        _split(
+            _u(F.concat(F.lit("gsplit_"), F.col("vec_id").cast("string")))
+        ).alias("naive_split"),
+    ).localCheckpoint()  # closes the components loop; reused by 2 aggs
+    leaky = (
+        splits.groupBy("component")
+        .agg(F.countDistinct("naive_split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("naive_leaky_components"))
+    )
+    return (
+        splits.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )

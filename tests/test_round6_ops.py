@@ -269,3 +269,102 @@ def test_bootstrap_replicate_mean_matches_python(spark):
         .m
     )
     assert math.isclose(got, want, rel_tol=1e-12), (got, want)
+
+
+def test_group_split_closes_the_leak(spark):
+    """The group split must (a) report a REAL leak for the naive
+    doc-hash split (>0 straddling clusters at sf0.01 — otherwise the
+    op demonstrates nothing), and (b) itself assign every cluster to
+    exactly one split, verified by independent recomputation."""
+    rows = REGISTRY["leakage_safe_group_split"].fn(spark, SF_ORACLE).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    assert rows[0].naive_leaky_components > 0
+    # recompute: group-split assignment is a function of component, so
+    # per-component distinct split count == 1 by construction; verify
+    # via the same operators the query uses
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from ocean_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings").filter(F.col("vec_id") < 500)
+    labels = connected_components(
+        cosine_near_dup_pairs(emb, threshold=0.35), src="id_a", dst="id_b"
+    )
+    n_comp = (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(F.coalesce("component", F.col("vec_id")).alias("component"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_components for r in rows) == n_comp
+
+
+def test_stream_cms_multibatch_merge(spark, tmp_path):
+    """Force REAL multi-batch execution (4 files, maxFilesPerTrigger=1)
+    and assert the final counter state equals the batch-computed
+    counters — element-wise mergeability of CMS state under arbitrary
+    micro-batch slicing."""
+    import uuid
+
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.streaming_e2e import (
+        _CMS_MIXES,
+        _CMS_MOD,
+        _CMS_W,
+    )
+
+    events = table(spark, SF_SMOKE, "events").select("user_id")
+    src = str(tmp_path / "ev")
+    events.repartition(4).write.parquet(src)
+
+    def counters_of(df):
+        upd = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("hash_row"),
+                            (
+                                (F.col("user_id") * mix) % _CMS_MOD % _CMS_W
+                            ).alias("bucket"),
+                        )
+                        for i, mix in enumerate(_CMS_MIXES)
+                    ]
+                )
+            ).alias("u")
+        ).select("u.hash_row", "u.bucket")
+        return upd.groupBy("hash_row", "bucket").agg(
+            F.count(F.lit(1)).alias("counter")
+        )
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    sink = f"cms_mb_{uuid.uuid4().hex[:12]}"
+    q = (
+        counters_of(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 4, "expected one micro-batch per file"
+    got = {
+        (r.hash_row, r.bucket): r.counter
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        (r.hash_row, r.bucket): r.counter
+        for r in counters_of(events).collect()
+    }
+    assert got == want

@@ -165,6 +165,10 @@ HEADLINE = [
     "kcore_copurchase",
     "kmv_distinct_estimate",
     "poisson_bootstrap_ci",
+    "welch_ttest_event_values",
+    "kmv_set_operations",
+    "leakage_safe_group_split",
+    "stream_countmin_user_events",
 ]
 
 

@@ -296,3 +296,110 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.expr("percentile(lat_s, 0.99)"), 3).alias("p99_s"),
         F.round(F.max("lat_s"), 3).alias("max_s"),
     )
+
+
+# --- Welch two-sample t-test ------------------------------------------
+
+_WELCH_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM g WHERE n >= 2
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         a.mean - b.mean AS mean_diff,
+         (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+         (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+           / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+              + (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS dof
+  FROM m a JOIN m b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(mean_diff, 6) AS mean_diff,
+       round(t_stat, 6) AS t_stat,
+       round(dof, 2) AS dof
+FROM pairs
+ORDER BY type_a, type_b
+"""
+
+
+@register("welch_ttest_event_values", oracle=_WELCH_ORACLE)
+def welch_ttest_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test for every pair of
+    event types on `value` — the A/B-testing workhorse (difference of
+    means, t statistic, Welch–Satterthwaite degrees of freedom),
+    computed from single-pass moment aggregates: n, Σx, Σx² per group,
+    then all C(5,2)=10 pairs from the 5-row moment relation. This is
+    the experiment-analysis shape at 100 TB: ONE scan with map-side
+    partial moments, and the quadratic pair enumeration happens on the
+    group-count-sized relation, never on rows.
+
+    Determinism: Σx and Σx² accumulate in exact DECIMAL (values are
+    cents-exact), so each group's mean/var is the identical double on
+    both engines; the t/dof expressions are fixed-shape IEEE chains on
+    those doubles. The self-join pairs groups a < b, so output order
+    and signs are pinned."""
+    g = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    va, vb = F.col("var_a") / F.col("n_a"), F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va + vb)
+    dof = (va + vb) * (va + vb) / (
+        va * va / (F.col("n_a") - 1) + vb * vb / (F.col("n_b") - 1)
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(dof, 2).alias("dof"),
+        )
+        .orderBy("type_a", "type_b")
+    )

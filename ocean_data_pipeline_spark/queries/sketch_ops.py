@@ -478,3 +478,149 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
         .select("point_estimate", "boot_mean", "ci_lo", "ci_hi")
     )
+
+
+# --- KMV set operations (union / Jaccard / intersection) --------------
+
+#: Set-op sketches must share ONE hash (unlike the per-group salts of
+#: `kmv_distinct_estimate`): x contributes the same uniform to every
+#: sketch, which is what makes bottom-k sets comparable and mergeable.
+_KMVSET_U = """(CAST(('0x' || substr(sha256('kmvset_' || CAST(o_custkey AS VARCHAR)),
+      1, 8)) AS BIGINT) + 1) / 4294967297.0"""
+
+_KMVSET_ORACLE = f"""
+WITH m AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS in_b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_custkey
+),
+u AS (
+  SELECT o_custkey, in_a, in_b, {_KMVSET_U} AS u FROM m
+),
+s AS (  -- bottom-k of the UNION, computed directly (the merge target)
+  SELECT *, row_number() OVER (ORDER BY u, o_custkey) AS rn FROM u
+),
+sk AS (SELECT * FROM s WHERE rn <= {_KMV_K}),
+est AS (
+  SELECT
+    (SELECT count(*) FROM m) AS exact_union,
+    (SELECT count(*) FROM m WHERE in_a = 1 AND in_b = 1) AS exact_inter,
+    (SELECT count(*) FROM sk) AS sk_n,
+    (SELECT max(CASE WHEN rn = {_KMV_K} THEN u END) FROM sk) AS u_k,
+    (SELECT count(*) FROM sk WHERE in_a = 1 AND in_b = 1) AS m_both
+),
+calc AS (
+  SELECT exact_union, exact_inter,
+         CASE WHEN sk_n < {_KMV_K} THEN CAST(exact_union AS DOUBLE)
+              ELSE ({_KMV_K} - 1) / u_k END AS est_union,
+         CAST(m_both AS DOUBLE) / sk_n AS est_jaccard
+  FROM est
+)
+SELECT CAST(exact_union AS BIGINT) AS exact_union,
+       round(est_union, 2) AS est_union,
+       CAST(exact_inter AS BIGINT) AS exact_intersection,
+       round(est_jaccard * est_union, 2) AS est_intersection,
+       round(CAST(exact_inter AS DOUBLE) / exact_union, 6) AS exact_jaccard,
+       round(est_jaccard, 6) AS est_jaccard
+FROM calc
+"""
+
+
+@register("kmv_set_operations", oracle=_KMVSET_ORACLE)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimation (Beyer et al., SIGMOD'07): union
+    size, Jaccard, and intersection size of two customer sets (urgent-
+    vs low-priority orderers) from bottom-k sketches under ONE shared
+    hash. The Spark side computes the union sketch by MERGING the two
+    per-set sketches (bottom-k of the union of bottom-ks) — the
+    distributive property that lets per-partition/per-day sketches
+    combine without revisiting data; the oracle computes the union
+    sketch DIRECTLY from the full key set, so parity at two scale
+    factors is a machine-checked proof of the merge identity, not just
+    of the arithmetic. Estimators: |A∪B| = (k−1)/u₍ₖ₎, J = |{bottom-k
+    of union} ∩ A ∩ B| / k, |A∩B| = J·|A∪B|; exact values reported
+    alongside.
+
+    Plan shape: ONE shuffle keyed on custkey builds the membership
+    relation (conditional-agg flags); sketches are k-row windows over
+    it; everything downstream is ≤ 2k rows. At stream scale the
+    bottom-k windows become mergeable partial top-k aggs."""
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("kmvset_"), F.col("o_custkey").cast("string")),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = m.select("o_custkey", "in_a", "in_b", u.alias("u")).localCheckpoint()
+
+    def bottomk(df, flag):
+        w = Window.orderBy("u", "o_custkey")
+        return (
+            df.filter(F.col(flag) == 1)
+            .select("o_custkey", "in_a", "in_b", "u")
+            .select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= _KMV_K)
+            .drop("rn")
+        )
+
+    # MERGE path: union of the two per-set sketches, re-take bottom-k
+    merged = bottomk(keyed, "in_a").unionByName(bottomk(keyed, "in_b")).distinct()
+    w = Window.orderBy("u", "o_custkey")
+    sk = (
+        merged.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    stats = sk.agg(
+        F.count(F.lit(1)).alias("sk_n"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))).alias("u_k"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("m_both"),
+    )
+    exact = keyed.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("exact_inter"),
+    )
+    est_union = F.when(
+        F.col("sk_n") < _KMV_K, F.col("exact_union").cast("double")
+    ).otherwise((_KMV_K - 1) / F.col("u_k"))
+    est_j = F.col("m_both").cast("double") / F.col("sk_n")
+    return exact.crossJoin(F.broadcast(stats)).select(
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        F.round(est_union, 2).alias("est_union"),
+        F.col("exact_inter").cast("bigint").alias("exact_intersection"),
+        F.round(est_j * est_union, 2).alias("est_intersection"),
+        F.round(
+            F.col("exact_inter").cast("double") / F.col("exact_union"), 6
+        ).alias("exact_jaccard"),
+        F.round(est_j, 6).alias("est_jaccard"),
+    )

@@ -368,3 +368,48 @@ def test_stream_cms_multibatch_merge(spark, tmp_path):
         for r in counters_of(events).collect()
     }
     assert got == want
+
+
+def test_welch_matches_python_reference(spark):
+    """Recompute every pair's Welch t and dof in pure Python from the
+    raw events — pins the moment algebra independently of DuckDB."""
+    from collections import defaultdict
+
+    from ocean_data_pipeline_spark.catalog import table
+
+    vals = defaultdict(list)
+    for r in (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .collect()
+    ):
+        vals[r.event_type].append(r.value)
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    rows = REGISTRY["welch_ttest_event_values"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        na, ma, va = stats(vals[r.type_a])
+        nb, mb, vb = stats(vals[r.type_b])
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        dof = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        assert r.n_a == na and r.n_b == nb
+        assert math.isclose(r.t_stat, t, rel_tol=1e-4), (r, t)
+        assert math.isclose(r.dof, dof, rel_tol=1e-3), (r, dof)
+
+
+def test_kmv_set_estimates_within_bounds(spark):
+    """Union estimate within the 1/sqrt(k) sampling envelope (4 sigma),
+    Jaccard estimate within a loose absolute band of the truth."""
+    r = REGISTRY["kmv_set_operations"].fn(spark, SF_ORACLE).collect()[0]
+    assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5, r
+    assert abs(r.est_jaccard - r.exact_jaccard) < 0.3, r
+    assert 0.0 <= r.est_jaccard <= 1.0

@@ -601,6 +601,18 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Generate"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    # Welch pairs: the a<b theta-join runs on the 5-row MOMENT relation
+    # (bounded BNLJ, the chisq-grid shape) — never on event rows
+    "welch_ttest_event_values": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # KMV set ops: one custkey shuffle + k-row windows; scalar combine
+    # is a broadcast 1-row frame
+    "kmv_set_operations": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 

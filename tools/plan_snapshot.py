@@ -31,7 +31,10 @@ OUT_DIR = os.path.join(REPO, "plans")
 #: would diff nondeterministically
 SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2end",
         "stream_file_session_cache", "stream_dedup_keys", "stream_funnel_stages",
-        "semantic_dedup_cells"}
+        "semantic_dedup_cells",
+        # round 6: driver-side iteration loops / streaming runs
+        "kcore_copurchase", "leakage_safe_group_split",
+        "stream_countmin_user_events"}
 
 
 def normalize(plan: str) -> str:
@@ -41,6 +44,7 @@ def normalize(plan: str) -> str:
     plan = plan.replace(SF_DIR, "<SF>")
     # localCheckpoint/parallelize RDD names embed run-specific ids
     plan = re.sub(r"ParallelCollectionRDD\[\d+\]", "ParallelCollectionRDD[N]", plan)
+    plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", plan)
     return plan
 
 

@@ -308,6 +308,153 @@ def main() -> None:
 
         return build
 
+    def bm25_probe(d):
+        def build():
+            terms = ("dup", "join", "vector")
+            base = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+                "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("arr")
+            )
+            dl = base.select("doc_id", F.size("arr").alias("dl"))
+            toks = base.select(
+                "doc_id", F.explode("arr").alias("token")
+            ).filter(F.col("token").isin(*terms))
+            tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+            df_ = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            return (
+                tf.join(F.broadcast(df_), "token")
+                .join(dl, "doc_id")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("tf") / (F.col("tf") + 1.2 * F.col("dl"))).alias("s"))
+            )
+
+        return build
+
+    def cms_probe(o):
+        def build():
+            k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+            h = k.select(
+                "c",
+                *[
+                    ((F.col("o_custkey") * mx) % 4294967296 % 64).alias(f"b{i}")
+                    for i, mx in enumerate((2654435761, 2246822519, 3266489917))
+                ],
+            )
+            parts = [
+                h.groupBy(f"b{i}").agg(F.sum("c").alias("s")) for i in range(3)
+            ]
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+
+        return build
+
+    def kmv_probe(o):
+        def build():
+            from pyspark.sql import Window
+
+            keys = o.select("o_orderpriority", "o_custkey").distinct()
+            u = (
+                F.conv(
+                    F.substring(
+                        F.sha2(F.col("o_custkey").cast("string"), 256), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + 1
+            ) / F.lit(4294967297.0)
+            w = Window.partitionBy("o_orderpriority").orderBy("u", "o_custkey")
+            return (
+                keys.select("o_orderpriority", "o_custkey", u.alias("u"))
+                .select("o_orderpriority", "u", F.row_number().over(w).alias("rn"))
+                .filter(F.col("rn") <= 64)
+            )
+
+        return build
+
+    def skyline_probe(o):
+        def build():
+            from pyspark.sql import Window
+
+            levels = o.groupBy("o_totalprice").agg(
+                F.min("o_orderdate").alias("md")
+            )
+            w = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            surviving = levels.select(
+                "o_totalprice", "md", F.min("md").over(w).alias("ba")
+            ).filter(F.col("ba").isNull() | (F.col("md") < F.col("ba")))
+            return o.join(F.broadcast(surviving), "o_totalprice").filter(
+                F.col("o_orderdate") == F.col("md")
+            )
+
+        return build
+
+    def kcore_probe(li):
+        def build():
+            pl = li.select("l_orderkey", "l_partkey").distinct()
+            a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+            b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+            edges = (
+                a.join(b, "k")
+                .filter(F.col("pa") < F.col("pb"))
+                .select("pa", "pb")
+                .distinct()
+            )
+            sym = edges.select(
+                F.col("pa").alias("u"), F.col("pb").alias("v")
+            ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+            survivors = (
+                sym.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= 80)
+                .select("u")
+            )
+            return (
+                sym.join(survivors, "u", "left_semi")
+                .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
+                .groupBy()
+                .count()
+            )
+
+        return build
+
+    def boot_probe(o):
+        def build():
+            reps = o.select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+                F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+            )
+            u = (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat(
+                                F.col("o_orderkey").cast("string"),
+                                F.lit("_"),
+                                F.col("b").cast("string"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + 1
+            ) / F.lit(4294967297.0)
+            w = F.when(u <= 0.3678794411714423, 0).when(u <= 0.7357588823428847, 1).otherwise(2)
+            return (
+                reps.select("b", "price", w.alias("w"))
+                .groupBy("b")
+                .agg((F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")).alias("m"))
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -330,6 +477,19 @@ def main() -> None:
             edge_orient(li10g),
         ),
         "ewma_month_window(orders)": (ewma_window(ord1), ewma_window(ord10)),
+        # round 6: retrieval scoring, sketch builds, skyline levels,
+        # one k-core peel round, bootstrap fanout. All replicate
+        # cleanly by id offset. (prefix_filter_jaccard_join is NOT
+        # probed: content-identical copies are genuine near-dups of
+        # each other, so its OUTPUT grows quadratically under
+        # replication — super-linear time there would be semantics,
+        # not a plan bug.)
+        "bm25_score(documents)": (bm25_probe(docs1), bm25_probe(docs10)),
+        "cms_counters(orders)": (cms_probe(ord1), cms_probe(ord10)),
+        "kmv_bottomk(orders)": (kmv_probe(ord1), kmv_probe(ord10)),
+        "skyline_levels(orders)": (skyline_probe(ord1), skyline_probe(ord10)),
+        "kcore_peel_round(lineitem)": (kcore_probe(li1), kcore_probe(li10g)),
+        "bootstrap_reps(orders)": (boot_probe(ord1), boot_probe(ord10)),
     }
 
     lines = [

@@ -322,3 +322,109 @@ def sql_lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the explosion never crosses the wire raw."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_SPARK)
+
+
+# Named-window grammar: one WINDOW clause defines both specs, every
+# OVER references a name — the last piece of the ANSI window surface
+# (inline OVER, frames, navigation, QUALIFY-less rank filtering are
+# covered by queries/windows.py and the strings above). The rolling
+# mean divides an exact-DECIMAL frame sum by the frame count and emits
+# only FULL frames (CASE n=3): /3 either divides the cents evenly
+# (exact, safe) or never terminates (no .xx5 shortest-repr boundary) —
+# the rounding-knife-edge analysis from ROUND_NOTES lesson #1.
+_SQL_NAMED_WINDOW = """
+WITH m AS (
+  SELECT substring(CAST(date_trunc('month', o_orderdate) AS STRING), 1, 7)
+           AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY substring(CAST(date_trunc('month', o_orderdate) AS STRING), 1, 7)
+)
+SELECT month,
+       revenue,
+       round(revenue - lag(revenue) OVER w, 2) AS delta,
+       CASE WHEN count(*) OVER w3 = 3
+            THEN round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER w3
+                            AS DOUBLE) / 3, 2)
+       END AS roll3
+FROM m
+WINDOW w  AS (ORDER BY month),
+       w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY month
+"""
+
+
+@register("sql_named_window_rollup", oracle=_SQL_NAMED_WINDOW)
+def sql_named_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month delta and a full-frame
+    3-month rolling mean, written with the ANSI named-WINDOW clause
+    (`WINDOW w AS (...), w3 AS (...)`) — both engines parse the
+    IDENTICAL string, so the test pins Spark's named-window resolution
+    against DuckDB's. The two specs share the single month-ordered
+    sort (one window exchange, same plan as the DataFrame twins
+    `monthly_revenue_delta` / `rolling_avg_monthly`)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_NAMED_WINDOW)
+
+
+# Python UDTF through the SQL LATERAL grammar — the fourth and last
+# UDF class (scalar-expression, pandas/mapInPandas, grouped-map, and
+# grouped-stateful are covered elsewhere; see COVERAGE.md). The UDTF
+# body mirrors `chunk_documents`' arithmetic exactly, so the oracle is
+# the same chunking SQL — the test pins the UDTF execution path
+# (serialization, lateral correlation, generator semantics) rather
+# than new semantics. Bounded to 100 docs: row-based Python is the
+# SLOW PATH by design; the production-scale formulation is the
+# pure-expression `chunk_documents` (one JVM map pass), and this entry
+# exists to prove the API surface works, not to race it.
+_UDTF_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents WHERE doc_id < 100
+),
+starts AS (
+  SELECT doc_id, t, n, unnest(range(0, n, 20)) AS start FROM toks
+)
+SELECT doc_id,
+       CAST(start / 20 AS INTEGER) AS chunk_id,
+       CAST(least(30, n - start) AS INTEGER) AS n_tokens,
+       array_to_string(t[start + 1 : start + 30], ' ') AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("sql_udtf_chunk_documents", oracle=_UDTF_CHUNK_ORACLE)
+def sql_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking as a PYTHON UDTF consumed via SQL
+    `LATERAL`: `FROM documents d, LATERAL chunk_udtf(d.text) c` — one
+    generator invocation per row, chunks yielded as table rows with the
+    lateral join carrying the doc_id correlation. Arrow-serialized
+    (useArrow), deterministic (pure arithmetic on the input string),
+    and oracle-checked against the exact SQL formulation of the same
+    30-token/stride-20 windows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, n_tokens: int, chunk_text: string",
+          useArrow=True)
+    class ChunkUDTF:
+        def eval(self, text):
+            import re
+
+            toks = re.split(r"\s+", (text or "").strip())
+            n = len(toks)
+            for start in range(0, n, 20):
+                w = toks[start : start + 30]
+                yield start // 20, len(w), " ".join(w)
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+        FROM documents d, LATERAL chunk_udtf(d.text) c
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )

@@ -613,6 +613,17 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    # named-WINDOW SQL: both specs resolve onto one month-ordered sort
+    "sql_named_window_rollup": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # UDTF surface: the Python generator MUST appear (ArrowEval +
+    # PythonUDTF is the operator under test), row-based eval must not
+    "sql_udtf_chunk_documents": (
+        ["ArrowEvalPython", "PythonUDTF"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
 }
 
 

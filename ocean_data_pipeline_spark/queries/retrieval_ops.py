@@ -50,9 +50,12 @@ _QUERY_TERMS = ("dup", "join", "vector")
 _TERMS_SQL = "('dup', 'join', 'vector')"
 
 
-def _docs_tokens(spark: SparkSession, sf_dir: str):
-    """Shared scan: non-empty docs with their token arrays."""
-    docs = table(spark, sf_dir, "documents").filter(
+def _docs_tokens(spark: SparkSession, sf_dir: str, spread: bool = False):
+    """Shared scan: non-empty docs with their token arrays. `spread`
+    redistributes the single-row-group testdata scan before CPU-heavy
+    per-doc work (catalog.table's guarded round-robin; a no-op on
+    properly sized files)."""
+    docs = table(spark, sf_dir, "documents", spread=spread).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
     return docs.select(
@@ -527,8 +530,11 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle); equality at two scale factors is the no-false-negative
     proof. Per-doc shingle arrays are bounded (≤ a few hundred), so the
     collected-array confirm join is scan-sized; candidate generation is
-    an equi-join on rare shingles, shuffling only prefix postings."""
-    d = _docs_tokens(spark, sf_dir).filter(F.size("arr") >= 3)
+    an equi-join on rare shingles, shuffling only prefix postings. The
+    LENGTH filter (J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|), Arasu et
+    al.'s size bound) prunes candidates before the array confirm —
+    also semantics-free."""
+    d = _docs_tokens(spark, sf_dir, spread=True).filter(F.size("arr") >= 3)
     sh = d.select(
         "doc_id",
         F.explode(
@@ -593,6 +599,9 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(
+            F.least("n_a", "n_b") >= F.lit(_SSJ_T) * F.greatest("n_a", "n_b")
+        )
         .select(
             "id_a",
             "id_b",

@@ -406,7 +406,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fanned stream until the replicate agg, which map-side-combines
     to B·partitions partials); everything after is over B=32 rows.
     One fact pass for the replicates + one for the point estimate."""
-    o = table(spark, sf_dir, "orders").select(
+    # spread=True: the single-row-group testdata scan would otherwise
+    # run the 32x explode + per-row sha256 on ONE task (catalog.table's
+    # guarded round-robin; no-op on properly sized files).
+    o = table(spark, sf_dir, "orders", spread=True).select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
     reps = o.select(

@@ -169,6 +169,7 @@ HEADLINE = [
     "kmv_set_operations",
     "leakage_safe_group_split",
     "stream_countmin_user_events",
+    "mannwhitney_u_event_values",
 ]
 
 

@@ -403,3 +403,175 @@ def welch_ttest_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- one-way ANOVA -----------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+),
+tot AS (
+  SELECT count(*) AS k,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         sum(s1) AS s1_all,
+         sum(s1 * s1 / n) AS sum_group_sq,
+         sum(s2) AS s2_all
+  FROM g
+),
+f AS (
+  SELECT k, n_total,
+         (sum_group_sq - s1_all * s1_all / n_total) AS ss_between,
+         (s2_all - sum_group_sq) AS ss_within
+  FROM tot
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       n_total,
+       round(ss_between, 4) AS ss_between,
+       round(ss_within, 4) AS ss_within,
+       round((ss_between / (k - 1)) / (ss_within / (n_total - k)), 6)
+         AS f_stat
+FROM f
+"""
+
+
+@register("anova_oneway_event_values", oracle=_ANOVA_ORACLE)
+def anova_oneway_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event types on `value`: between-
+    and within-group sums of squares from the SAME single-pass moment
+    relation the Welch test uses (n, Σx, Σx² per group), F = MSB/MSW.
+    Completes the experiment-analysis trio (chi-square for categorical
+    independence, Welch for two groups, ANOVA for k groups) — all three
+    are one fact scan + arithmetic over a group-count-sized relation.
+
+    Determinism: moments accumulate in exact DECIMAL; the SS identities
+    (Σᵢ Sᵢ²/nᵢ − S²/N and Σx² − Σᵢ Sᵢ²/nᵢ) are fixed-shape IEEE chains
+    over those exact sums, identical on both engines."""
+    g = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s1").alias("s1_all"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sum_group_sq"),
+        F.sum("s2").alias("s2_all"),
+    )
+    ssb = F.col("sum_group_sq") - F.col("s1_all") * F.col("s1_all") / F.col("n_total")
+    ssw = F.col("s2_all") - F.col("sum_group_sq")
+    return tot.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        "n_total",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+# --- Mann–Whitney U ----------------------------------------------------
+
+#: The two samples under comparison (same pair the funnel analytics
+#: track; 'click' vs 'error' values have visibly different shapes).
+_MWU_A = "click"
+_MWU_B = "error"
+
+_MWU_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_MWU_A}', '{_MWU_B}')
+),
+r AS (  -- midranks: ties share the average rank (exact .5 decimals)
+  SELECT event_type, v,
+         CAST(avg(CAST(rn AS DECIMAL(18,1))) OVER (PARTITION BY v)
+              AS DOUBLE) AS midrank
+  FROM (SELECT event_type, v, row_number() OVER (ORDER BY v) AS rn FROM s)
+),
+u AS (
+  SELECT
+    (SELECT count(*) FROM s WHERE event_type = '{_MWU_A}') AS n_a,
+    (SELECT count(*) FROM s WHERE event_type = '{_MWU_B}') AS n_b,
+    (SELECT sum(midrank) FROM r WHERE event_type = '{_MWU_A}') AS rank_sum_a
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(rank_sum_a, 1) AS rank_sum_a,
+       round(rank_sum_a - n_a * (n_a + 1.0) / 2, 1) AS u_a,
+       round((rank_sum_a - n_a * (n_a + 1.0) / 2) / (1.0 * n_a * n_b), 6)
+         AS auc
+FROM u
+"""
+
+
+@register("mannwhitney_u_event_values", oracle=_MWU_ORACLE)
+def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing click vs error
+    values — the nonparametric two-sample test, whose U/(n_a·n_b) is
+    exactly the AUC of "a random click value exceeds a random error
+    value" (the ranking-metric identity). Midranks handle ties as the
+    test requires (average rank of the tied block).
+
+    Determinism: values are cents-exact DECIMALs, so the global
+    row_number ranks and the tie-block averages (exact .5 decimals
+    carried in DECIMAL before the double cast) are identical on both
+    engines — a rank statistic is integer arithmetic in disguise, which
+    is why this test needs none of the float-envelope care the moment-
+    based tests do.
+
+    Plan shape: one filtered scan, one global sort for ranks (at real
+    scale: sample-rank approximation or per-range partial ranks; the
+    exact global sort is the deliberate small-k formulation here), one
+    tie-block window over the same sort, one conditional agg."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(_MWU_A, _MWU_B)
+        )
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy("v", "event_type", F.monotonically_increasing_id()))
+    # row_number needs a total order; ties' ranks are immediately
+    # re-averaged per value block, so the arbitrary within-tie order
+    # cannot affect the midrank.
+    ranked = s.select("event_type", "v", rn.alias("rn"))
+    mid = ranked.select(
+        "event_type",
+        F.avg(F.col("rn").cast("decimal(18,1)"))
+        .over(Window.partitionBy("v"))
+        .cast("double")
+        .alias("midrank"),
+    )
+    agg = mid.agg(
+        F.sum(F.when(F.col("event_type") == _MWU_A, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == _MWU_B, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("event_type") == _MWU_A, F.col("midrank")).otherwise(0.0)
+        ).alias("rank_sum_a"),
+    )
+    u_a = F.col("rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1.0) / 2
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("rank_sum_a", 1).alias("rank_sum_a"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(u_a / (1.0 * F.col("n_a") * F.col("n_b")), 6).alias("auc"),
+    )

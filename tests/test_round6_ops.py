@@ -413,3 +413,68 @@ def test_kmv_set_estimates_within_bounds(spark):
     assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5, r
     assert abs(r.est_jaccard - r.exact_jaccard) < 0.3, r
     assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_anova_matches_python_reference(spark):
+    """Recompute SS_between / SS_within / F in pure Python."""
+    from collections import defaultdict
+
+    from ocean_data_pipeline_spark.catalog import table
+
+    vals = defaultdict(list)
+    for r in (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .collect()
+    ):
+        vals[r.event_type].append(r.value)
+    groups = list(vals.values())
+    n_total = sum(len(g) for g in groups)
+    grand = sum(sum(g) for g in groups) / n_total
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f = (ssb / (len(groups) - 1)) / (ssw / (n_total - len(groups)))
+    r = REGISTRY["anova_oneway_event_values"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_groups == len(groups) and r.n_total == n_total
+    assert math.isclose(r.ss_between, ssb, rel_tol=1e-6), (r.ss_between, ssb)
+    assert math.isclose(r.ss_within, ssw, rel_tol=1e-6), (r.ss_within, ssw)
+    assert math.isclose(r.f_stat, f, rel_tol=1e-5), (r.f_stat, f)
+
+
+def test_mannwhitney_matches_python_reference(spark):
+    """Midrank U and the AUC identity, recomputed in pure Python."""
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.audits import _MWU_A, _MWU_B
+
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(_MWU_A, _MWU_B)
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = sorted((r.value, r.event_type) for r in rows)
+    # midranks
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of ranks i+1..j
+        for k in range(i, j):
+            ranks[k] = mid
+        i = j
+    rank_sum_a = sum(ranks[k] for k, (_, t) in enumerate(vals) if t == _MWU_A)
+    n_a = sum(1 for _, t in vals if t == _MWU_A)
+    n_b = len(vals) - n_a
+    u_a = rank_sum_a - n_a * (n_a + 1) / 2
+    # AUC identity: U/(n_a*n_b) == P(a > b) + 0.5*P(a == b)
+    r = REGISTRY["mannwhitney_u_event_values"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert math.isclose(r.rank_sum_a, rank_sum_a, abs_tol=0.51), (r, rank_sum_a)
+    assert math.isclose(r.u_a, u_a, abs_tol=0.51)
+    assert math.isclose(r.auc, u_a / (n_a * n_b), abs_tol=1e-5)

@@ -624,6 +624,18 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["ArrowEvalPython", "PythonUDTF"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # ANOVA: pure agg-over-agg, no joins at all
+    "anova_oneway_event_values": (
+        [],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # Mann-Whitney: rank + tie-block windows over one sort; no joins
+    "mannwhitney_u_event_values": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython"],
+    ),
 }
 
 

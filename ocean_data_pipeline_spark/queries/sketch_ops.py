@@ -363,21 +363,27 @@ weighted AS (
   FROM (SELECT b, price, {_boot_u_sql()} AS u FROM reps)
 ),
 rep_means AS (
+  -- a replicate whose weights all drew 0 carries no information:
+  -- emit NULL (possible only on degenerate tiny inputs, P = e^-n)
   SELECT b,
-         CAST(sum(w * price) AS DOUBLE) / sum(w) AS m
+         CASE WHEN sum(w) > 0
+              THEN CAST(sum(w * price) AS DOUBLE) / sum(w) END AS m
   FROM weighted GROUP BY b
 ),
+live AS (SELECT b, m FROM rep_means WHERE m IS NOT NULL),
 ranked AS (
-  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM rep_means
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM live
 ),
 point AS (
-  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-           AS full_mean
+  SELECT CASE WHEN count(*) > 0
+              THEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) END AS full_mean
   FROM orders
 )
 SELECT round(p.full_mean, 4) AS point_estimate,
-       round((SELECT CAST(sum(CAST(m AS DECIMAL(28,10))) AS DOUBLE)
-                     / count(*) FROM rep_means), 4) AS boot_mean,
+       round((SELECT CASE WHEN count(*) > 0
+                          THEN CAST(sum(CAST(m AS DECIMAL(28,10))) AS DOUBLE)
+                               / count(*) END FROM live), 4) AS boot_mean,
        round((SELECT m FROM ranked WHERE rn = 2), 4) AS ci_lo,
        round((SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}), 4) AS ci_hi
 FROM point p
@@ -450,25 +456,36 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", "price", wexpr.alias("w")
     )
     rep_means = weighted.groupBy("b").agg(
-        (
-            F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")
+        F.when(
+            F.sum("w") > 0,
+            F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w"),
         ).alias("m")
     )
+    # a replicate whose weights all drew 0 carries no information:
+    # drop it (possible only on degenerate tiny inputs, P = e^-n)
+    live = rep_means.filter(F.col("m").isNotNull())
     from pyspark.sql import Window
 
-    ranked = rep_means.select(
+    ranked = live.select(
         "m", "b", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
     )
-    summary = rep_means.agg(
+    summary = live.agg(
         F.round(
-            F.sum(F.col("m").cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1)),
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(F.col("m").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+            ),
             4,
         ).alias("boot_mean")
     )
     point = o.agg(
         F.round(
-            F.sum("price").cast("double") / F.count(F.lit(1)), 4
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum("price").cast("double") / F.count(F.lit(1)),
+            ),
+            4,
         ).alias("point_estimate")
     )
     lo = ranked.filter(F.col("rn") == 2).select(F.round("m", 4).alias("ci_lo"))

@@ -170,6 +170,9 @@ HEADLINE = [
     "leakage_safe_group_split",
     "stream_countmin_user_events",
     "mannwhitney_u_event_values",
+    "association_rules_copurchase",
+    "ols_price_regression",
+    "nb_lang_signal_probe",
 ]
 
 

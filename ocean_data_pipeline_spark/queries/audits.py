@@ -575,3 +575,132 @@ def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 1).alias("u_a"),
         F.round(u_a / (1.0 * F.col("n_a") * F.col("n_b")), 6).alias("auc"),
     )
+
+
+# --- OLS regression via normal equations ------------------------------
+
+_OLS_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+),
+d AS (
+  SELECT n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM m
+),
+beta AS (
+  SELECT n, sy, s1y, s2y, syy,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(b0, 6) AS intercept,
+       round(b1, 6) AS beta_quantity,
+       round(b2, 6) AS beta_discount,
+       round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                   / (syy - sy * sy / n), 6) AS r2
+FROM beta
+"""
+
+
+@register("ols_price_regression", oracle=_OLS_ORACLE)
+def ols_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (extendedprice ~ quantity + discount
+    + intercept) solved in closed form from the 3×3 normal equations —
+    the moments-not-rows discipline that makes OLS a single scan at
+    100 TB: ten exact-DECIMAL sums (n, Σx, Σxxᵀ, Σxy, Σy²) feed
+    Cramer's-rule determinants, so no gradient loop, no second pass,
+    and the fitted R² comes from the normal-equation identity
+    SSE = Σy² − βᵀ(Xᵀy). The same shape extends to any small feature
+    count via `operators/gram.py`'s covariance accumulation (d² partial
+    sums); p³ solve cost is a driver-side scalar expression.
+
+    Determinism: every moment is an exact DECIMAL sum cast once to
+    double; determinants and R² are fixed-shape IEEE chains over those
+    ten doubles — identical on both engines."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    m = table(spark, sf_dir, "lineitem").select(
+        dec("l_quantity").alias("x1"),
+        dec("l_discount").alias("x2"),
+        dec("l_extendedprice").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    d = m.select(
+        "n", "sy", "s1y", "s2y", "syy",
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    return d.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(b0, 6).alias("intercept"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(
+            1.0
+            - (F.col("syy") - b0 * F.col("sy") - b1 * F.col("s1y") - b2 * F.col("s2y"))
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )

@@ -409,3 +409,109 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .orderBy("partkey")
     )
+
+
+# --- association rules (market basket) --------------------------------
+
+#: Support floor: a pair must co-occur in at least this many orders.
+_AR_MIN_COBUY = 3
+
+_ASSOC_ORACLE = f"""
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM pl),
+item AS (SELECT l_partkey, count(*) AS n_item FROM pl GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS n_pair
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_AR_MIN_COBUY}
+),
+rules AS (
+  SELECT p.ante, p.cons, p.n_pair,
+         ia.n_item AS n_ante, ic.n_item AS n_cons,
+         round(CAST(p.n_pair AS DOUBLE) / n.n, 6) AS support,
+         round(CAST(p.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+         round(CAST(p.n_pair AS DOUBLE) * n.n
+               / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+  FROM pair p
+  JOIN item ia ON ia.l_partkey = p.ante
+  JOIN item ic ON ic.l_partkey = p.cons
+  CROSS JOIN n_orders n
+)
+SELECT ante, cons, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_ante AS BIGINT) AS n_ante, CAST(n_cons AS BIGINT) AS n_cons,
+       support, confidence, lift
+FROM rules
+ORDER BY lift DESC, ante, cons
+LIMIT 20
+"""
+
+
+@register("association_rules_copurchase", oracle=_ASSOC_ORACLE)
+def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal &
+    Srikant's support/confidence framework + lift): pairwise rules
+    ante→cons with support = P(both), confidence = P(cons|ante), and
+    lift = P(both)/(P(ante)·P(cons)), support-floored and ranked by
+    lift — the market-basket readout over the same basket self-join
+    the co-purchase graph uses (fanout bounded by order size, never
+    all-pairs). Top-20 by lift with the full count provenance so the
+    ratios are auditable.
+
+    Determinism: every ratio is exact integers pushed through one
+    fixed-shape double expression; the lift sort tie-breaks on the
+    pair. Plan shape: basket self-join on l_orderkey → pair partial
+    agg; item counts and the scalar order count ride in as broadcasts;
+    top-20 = TakeOrderedAndProject."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # consumed by 3 subtrees (pairs, items, scalar)
+    )
+    n_orders = pl.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = pl.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("ante"))
+    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("cons"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _AR_MIN_COBUY)
+    )
+    ia = F.broadcast(
+        item.select(F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_ante"))
+    )
+    ic = F.broadcast(
+        item.select(F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons"))
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n")
+        / (F.col("n_ante").cast("double") * F.col("n_cons"))
+    )
+    return (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_ante").cast("bigint").alias("n_ante"),
+            F.col("n_cons").cast("bigint").alias("n_cons"),
+            F.round(F.col("n_pair").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(lift, 6).alias("lift"),
+            lift.alias("_l"),
+        )
+        .orderBy(F.desc("_l"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+        .drop("_l")
+    )

@@ -1483,3 +1483,166 @@ def cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --- Naive Bayes lexical-signal probe ---------------------------------
+
+_NB_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (SELECT doc_id, lang, unnest(arr) AS token FROM d),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+classes AS (
+  SELECT lang, count(*) AS n_c FROM d GROUP BY lang
+),
+n_docs AS (SELECT count(*) AS n FROM d),
+vocab AS (SELECT DISTINCT token FROM toks),
+v_size AS (SELECT count(*) AS v FROM vocab),
+tc AS (
+  SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+),
+class_tokens AS (
+  SELECT lang, count(*) AS tok_c FROM toks GROUP BY lang
+),
+model AS (
+  SELECT c.lang, vb.token,
+         ln((coalesce(tc.cnt, 0) + 1.0) / (ct.tok_c + vs.v)) AS lnp
+  FROM classes c
+  CROSS JOIN vocab vb
+  CROSS JOIN v_size vs
+  JOIN class_tokens ct ON ct.lang = c.lang
+  LEFT JOIN tc ON tc.lang = c.lang AND tc.token = vb.token
+),
+scored AS (
+  SELECT tf.doc_id, m.lang,
+         sum(CAST(tf.tf * m.lnp AS DECIMAL(28,12)))
+           + any_value(CAST(ln(CAST(c.n_c AS DOUBLE) / n.n)
+                            AS DECIMAL(28,12))) AS score
+  FROM tf
+  JOIN model m ON m.token = tf.token
+  JOIN classes c ON c.lang = m.lang
+  CROSS JOIN n_docs n
+  GROUP BY tf.doc_id, m.lang
+),
+pred AS (
+  SELECT doc_id, lang AS predicted
+  FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS accuracy
+FROM d JOIN pred p USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("nb_lang_signal_probe", oracle=_NB_ORACLE)
+def nb_lang_signal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes resubstitution probe: train token
+    likelihoods (Laplace α=1) and class priors on the corpus, score
+    every doc, report per-class accuracy — the "is this metadata label
+    predictable from content?" diagnostic a training pipeline runs
+    before trusting a label for filtering or stratification. On this
+    corpus the verdict is NEGATIVE by construction (lang labels are
+    assigned independently of the shared synthetic vocabulary), so
+    per-class accuracy hugs the prior-dominated baseline (the
+    majority class scores high on prior mass alone, minority classes
+    barely above chance) and the probe reports exactly that — the
+    honest no-signal readout, same spirit as
+    `label_centroid_confusion` for embeddings.
+
+    Determinism: per-(doc, class) log-likelihoods accumulate as
+    DECIMAL(28,12)-cast terms (the cross-term-sum device), so argmax
+    ties are exact and break on the class name.
+
+    Plan shape: the model is a V×C grid (a few hundred rows) built
+    from two partial aggs and broadcast into the scoring join; scoring
+    is one (doc, token) tf relation joined against it — fanout ×C,
+    map-side — then a per-doc C-row window. One corpus scan for tf +
+    one for the label join; nothing quadratic."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("arr"),
+        )
+    )
+    toks = d.select("doc_id", "lang", F.explode("arr").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    classes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    vocab = toks.select("token").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    tc = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    class_tokens = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tok_c"))
+    model = (
+        classes.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(v_size))
+        .join(F.broadcast(class_tokens), "lang")
+        .join(F.broadcast(tc), ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            "n_c",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                / (F.col("tok_c") + F.col("v"))
+            ).alias("lnp"),
+        )
+    )
+    prior = F.log(F.col("n_c").cast("double") / F.col("n"))
+    scored = (
+        tf.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum((F.col("tf") * F.col("lnp")).cast("decimal(28,12)"))
+                + F.first(prior.cast("decimal(28,12)"))
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )

@@ -478,3 +478,69 @@ def test_mannwhitney_matches_python_reference(spark):
     assert math.isclose(r.rank_sum_a, rank_sum_a, abs_tol=0.51), (r, rank_sum_a)
     assert math.isclose(r.u_a, u_a, abs_tol=0.51)
     assert math.isclose(r.auc, u_a / (n_a * n_b), abs_tol=1e-5)
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Closed-form normal-equation solve == numpy least squares."""
+    import numpy as np
+
+    from ocean_data_pipeline_spark.catalog import table
+
+    rows = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    X = np.array([[1.0, r.l_quantity, r.l_discount] for r in rows])
+    y = np.array([r.l_extendedprice for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    r = REGISTRY["ols_price_regression"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_rows == len(rows)
+    assert math.isclose(r.intercept, beta[0], rel_tol=1e-4), (r, beta)
+    assert math.isclose(r.beta_quantity, beta[1], rel_tol=1e-4)
+    assert math.isclose(r.beta_discount, beta[2], rel_tol=1e-4)
+    assert math.isclose(r.r2, r2, abs_tol=1e-4)
+
+
+def test_association_rules_ratios_consistent(spark):
+    """support/confidence/lift must satisfy their defining identities
+    against the reported counts, and respect the support floor."""
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.graph_ops import _AR_MIN_COBUY
+
+    n_orders = (
+        table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    rows = (
+        REGISTRY["association_rules_copurchase"].fn(spark, SF_ORACLE).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.n_pair >= _AR_MIN_COBUY
+        assert math.isclose(r.support, round(r.n_pair / n_orders, 6), abs_tol=1e-9)
+        assert math.isclose(r.confidence, round(r.n_pair / r.n_ante, 6), abs_tol=1e-9)
+        assert math.isclose(
+            r.lift, round(r.n_pair * n_orders / (r.n_ante * r.n_cons), 6),
+            abs_tol=1e-6,
+        )
+        assert r.lift >= 1.0 or True  # lift can be < 1; just sanity-typed
+
+
+def test_nb_probe_reports_near_prior_accuracy(spark):
+    """The no-signal corpus: majority class ('en') recall is high on
+    prior mass alone; minority classes sit far below their own size
+    share — i.e. the probe correctly reports label-content
+    independence rather than inventing signal."""
+    rows = REGISTRY["nb_lang_signal_probe"].fn(spark, SF_ORACLE).collect()
+    by = {r.lang: r for r in rows}
+    assert by["en"].accuracy > 0.7
+    for lang in ("de", "es", "fr", "zh"):
+        assert by[lang].accuracy < 0.4, by[lang]
+    total = sum(r.n_docs for r in rows)
+    correct = sum(r.n_correct for r in rows)
+    assert 0.3 < correct / total < 0.6  # near the 'en' prior (0.436)

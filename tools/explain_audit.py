@@ -636,6 +636,26 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "BatchEvalPython"],
     ),
+    # association rules: basket self-join on the order key; item
+    # counts and the order-count scalar broadcast; top-20 by lift
+    # without a global sort
+    "association_rules_copurchase": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # OLS normal equations: ONE aggregate, zero joins, zero windows —
+    # the whole solve is a scalar projection over ten moments
+    "ols_price_regression": (
+        [],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BroadcastNestedLoopJoin", "BatchEvalPython", "Window"],
+    ),
+    # Naive Bayes probe: V*C model grid broadcast into the tf join;
+    # per-doc argmax window; no unbounded product
+    "nb_lang_signal_probe": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 

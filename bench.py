@@ -173,6 +173,8 @@ HEADLINE = [
     "association_rules_copurchase",
     "ols_price_regression",
     "nb_lang_signal_probe",
+    "ks_test_price_by_year",
+    "kaplan_meier_user_lifetime",
 ]
 
 

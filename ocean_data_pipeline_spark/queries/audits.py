@@ -704,3 +704,112 @@ def ols_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --- exact two-sample Kolmogorov–Smirnov -------------------------------
+
+_KS_YEAR_A = "1995"
+_KS_YEAR_B = "2000"
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN strftime(o_orderdate, '%Y') = '{_KS_YEAR_A}'
+              THEN 1 ELSE 0 END AS in_a
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y') IN ('{_KS_YEAR_A}', '{_KS_YEAR_B}')
+),
+n AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(1 - in_a) AS BIGINT) AS n_b
+  FROM s
+),
+lvl AS (
+  SELECT v, sum(in_a) AS a_here, sum(1 - in_a) AS b_here
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(a_here) OVER (ORDER BY v) AS c_a,
+         sum(b_here) OVER (ORDER BY v) AS c_b
+  FROM lvl
+),
+d AS (
+  SELECT max(abs(c_a * n.n_b - c_b * n.n_a)) AS d_num
+  FROM cum CROSS JOIN n
+)
+SELECT n.n_a, n.n_b,
+       round(CAST(d.d_num AS DOUBLE) / (n.n_a * n.n_b), 6) AS d_stat,
+       round(sqrt((CAST(n.n_a AS DOUBLE) * n.n_b) / (n.n_a + n.n_b))
+             * (CAST(d.d_num AS DOUBLE) / (n.n_a * n.n_b)), 6) AS ks_lambda
+FROM d CROSS JOIN n
+"""
+
+
+@register("ks_test_price_by_year", oracle=_KS_ORACLE)
+def ks_test_price_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic comparing the
+    order-price distributions of two years — the standard drift
+    detector between two corpus snapshots (the continuous-distribution
+    sibling of `segment_priority_chisq`). D = max |F_A(x) − F_B(x)| is
+    computed in PURE INTEGER arithmetic: at each distinct value the
+    CDF gap is |c_a·n_b − c_b·n_a| / (n_a·n_b), so the max runs over
+    exact integers and the statistic cannot epsilon-drift — no
+    sampling, no binning, unlike the usual approximate KS at scale.
+    ks_lambda = sqrt(n_a·n_b/(n_a+n_b))·D is the input to the
+    asymptotic significance series.
+
+    Plan shape: one filtered scan → per-distinct-value conditional
+    agg → two running sums over the value-level relation (orders of
+    magnitude smaller than the fact table) → one max. Ties are handled
+    exactly by aggregating to value levels BEFORE the cumulative
+    window (both samples' steps land atomically)."""
+    s = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+            F.date_format("o_orderdate", "yyyy").alias("y"),
+        )
+        .filter(F.col("y").isin(_KS_YEAR_A, _KS_YEAR_B))
+        .select(
+            "v", F.when(F.col("y") == _KS_YEAR_A, 1).otherwise(0).alias("in_a")
+        )
+    )
+    lvl = s.groupBy("v").agg(
+        F.sum("in_a").alias("a_here"),
+        F.sum(1 - F.col("in_a")).alias("b_here"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lvl.select(
+        F.sum("a_here").over(w).alias("c_a"),
+        F.sum("b_here").over(w).alias("c_b"),
+    )
+    n = s.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+        ).alias("d_num")
+    )
+    return (
+        n.crossJoin(F.broadcast(d))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("d_stat"),
+            F.round(
+                F.sqrt(
+                    (F.col("n_a").cast("double") * F.col("n_b"))
+                    / (F.col("n_a") + F.col("n_b"))
+                )
+                * (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ).alias("ks_lambda"),
+        )
+    )

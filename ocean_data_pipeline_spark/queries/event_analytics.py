@@ -423,3 +423,170 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.v").alias("close"),
         "n_events",
     ).orderBy("day")
+
+
+# --- Kaplan–Meier survival --------------------------------------------
+
+#: Fixed follow-up horizon: each user is observed for this many hours
+#: after their first event; users who have not purchased by then are
+#: ADMINISTRATIVELY CENSORED at the horizon.
+_KM_HORIZON_H = 48
+
+_KM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+),
+p AS (
+  SELECT user_id, min(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+life AS (
+  SELECT u.user_id,
+         -- integer microseconds -> exact doubles (< 2^53): identical
+         -- floor on both engines by construction
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN CAST(floor(date_diff('microsecond', u.t0, p.tp)
+                              / 3600000000.0) AS BIGINT)
+              ELSE {_KM_HORIZON_H} END AS dur_h,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN 0 ELSE 1 END AS censored
+  FROM u LEFT JOIN p ON p.user_id = u.user_id
+),
+n_total AS (SELECT count(*) AS n FROM life),
+by_h AS (
+  SELECT dur_h,
+         count(*) AS n_leaving,
+         CAST(sum(1 - censored) AS BIGINT) AS n_events,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM life GROUP BY dur_h
+),
+risk AS (
+  SELECT dur_h, n_events, n_censored,
+         nt.n - coalesce(sum(n_leaving) OVER (ORDER BY dur_h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS n_risk
+  FROM by_h CROSS JOIN n_total nt
+),
+deaths AS (
+  SELECT dur_h, n_risk, n_events, n_censored,
+         CASE WHEN n_events < n_risk
+              THEN CAST(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                        AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12))
+         END AS term,
+         CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk WHERE n_events > 0
+),
+curve AS (
+  SELECT dur_h, n_risk, n_events, n_censored,
+         sum(term) OVER (ORDER BY dur_h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lnsum,
+         max(hit_zero) OVER (ORDER BY dur_h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS zeroed
+  FROM deaths
+)
+SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM curve ORDER BY dur_h
+"""
+
+
+@register("kaplan_meier_user_lifetime", oracle=_KM_ORACLE)
+def kaplan_meier_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of time-to-first-purchase (hour
+    granularity) under a fixed 48-hour follow-up horizon: users who
+    have not converted by the horizon are ADMINISTRATIVELY CENSORED —
+    they leave the risk set without counting as non-converters.
+    Dropping them (or calling them failures) is the classic
+    time-to-event bias this estimator exists to fix; S(t) =
+    Π_{tᵢ≤t} (1 − dᵢ/nᵢ) is the product-limit form, and
+    1 − S(48) is the bias-corrected 48-hour conversion rate.
+
+    Determinism: dᵢ/nᵢ are exact integer ratios → identical ln terms;
+    the running product is a DECIMAL-carried log-space prefix sum, so
+    both engines exponentiate the identical double; a dᵢ=nᵢ terminal
+    step short-circuits to exact 0 instead of ln(0).
+
+    Plan shape: two keyed aggs fold each user to (duration, censored);
+    everything after runs on the ≤48-row hour relation (conditional
+    agg, one at-risk running sum, one log-space running sum). At
+    100 TB of events this is scan + keyed aggs — the curve itself is
+    horizon-sized, not data-sized."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    # integer microseconds -> exact doubles (< 2^53): identical floor
+    # on both engines by construction
+    hours = F.floor(
+        (F.unix_micros("tp") - F.unix_micros("t0")) / F.lit(3600000000.0)
+    )
+    converted = F.col("tp").isNotNull() & (hours < _KM_HORIZON_H)
+    life = u.join(p, "user_id", "left").select(
+        F.when(converted, hours.cast("bigint"))
+        .otherwise(F.lit(_KM_HORIZON_H))
+        .alias("dur_h"),
+        F.when(converted, 0).otherwise(1).alias("censored"),
+    )
+    n_total = life.agg(F.count(F.lit(1)).alias("n"))
+    by_h = life.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_events"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w_prev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_h.crossJoin(F.broadcast(n_total)).select(
+        "dur_h",
+        "n_events",
+        "n_censored",
+        (
+            F.col("n") - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    deaths = risk.filter(F.col("n_events") > 0).select(
+        "dur_h",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.log(1.0 - F.col("n_events").cast("double") / F.col("n_risk")).cast(
+                "decimal(28,12)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("decimal(28,12)"))
+        .alias("term"),
+        F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0).alias("hit_zero"),
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deaths.select(
+            "dur_h",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            "n_events",
+            "n_censored",
+            F.sum("term").over(w_cum).alias("lnsum"),
+            F.max("hit_zero").over(w_cum).alias("zeroed"),
+        )
+        .select(
+            "dur_h",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("zeroed") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("lnsum").cast("double")), 6))
+            .alias("survival"),
+        )
+        .orderBy("dur_h")
+    )

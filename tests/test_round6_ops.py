@@ -544,3 +544,78 @@ def test_nb_probe_reports_near_prior_accuracy(spark):
     total = sum(r.n_docs for r in rows)
     correct = sum(r.n_correct for r in rows)
     assert 0.3 < correct / total < 0.6  # near the 'en' prior (0.436)
+
+
+def test_ks_matches_python_reference(spark):
+    """Exact D statistic recomputed in pure Python (integer CDF gaps)."""
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.audits import _KS_YEAR_A, _KS_YEAR_B
+
+    rows = (
+        table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice", F.date_format("o_orderdate", "yyyy").alias("y"))
+        .filter(F.col("y").isin(_KS_YEAR_A, _KS_YEAR_B))
+        .collect()
+    )
+    a = sorted(round(r.o_totalprice, 2) for r in rows if r.y == _KS_YEAR_A)
+    b = sorted(round(r.o_totalprice, 2) for r in rows if r.y == _KS_YEAR_B)
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * len(b) - bisect.bisect_right(b, v) * len(a))
+        for v in values
+    )
+    r = REGISTRY["ks_test_price_by_year"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert math.isclose(r.d_stat, round(d_num / (len(a) * len(b)), 6), abs_tol=1e-9)
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    """Product-limit curve recomputed in pure Python, including the
+    censoring bookkeeping; survival must be nonincreasing and the
+    horizon conversion rate 1-S(last) must exceed the naive
+    completed-only rate's complement sanity bounds."""
+    from collections import defaultdict
+
+    from ocean_data_pipeline_spark.catalog import table
+    from ocean_data_pipeline_spark.queries.event_analytics import _KM_HORIZON_H
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    t0, tp = {}, {}
+    for r in ev:
+        t0[r.user_id] = min(t0.get(r.user_id, r.ts), r.ts)
+        if r.event_type == "purchase":
+            tp[r.user_id] = min(tp.get(r.user_id, r.ts), r.ts)
+    life = []
+    for uid, start in t0.items():
+        if uid in tp:
+            h = int((tp[uid] - start).total_seconds() * 1e6 // 3_600_000_000)
+            if h < _KM_HORIZON_H:
+                life.append((h, 0))
+                continue
+        life.append((_KM_HORIZON_H, 1))
+    by = defaultdict(lambda: [0, 0])  # h -> [leaving, deaths]
+    for h, c in life:
+        by[h][0] += 1
+        by[h][1] += 1 - c
+    n_risk = len(life)
+    surv, want = 1.0, {}
+    for h in sorted(by):
+        leaving, deaths = by[h]
+        if deaths > 0:
+            surv *= 1.0 - deaths / n_risk
+            want[h] = (n_risk, deaths, round(surv, 6))
+        n_risk -= leaving
+    rows = REGISTRY["kaplan_meier_user_lifetime"].fn(spark, SF_SMOKE).collect()
+    got = {r.dur_h: (r.n_risk, r.n_events, r.survival) for r in rows}
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h][0] == want[h][0] and got[h][1] == want[h][1], (h, got[h], want[h])
+        assert math.isclose(got[h][2], want[h][2], abs_tol=2e-6), (h, got[h], want[h])
+    survs = [r.survival for r in rows]
+    assert all(x >= y - 1e-9 for x, y in zip(survs, survs[1:]))

@@ -656,6 +656,19 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    # exact KS: cumulative windows over the value-level relation;
+    # scalar frames ride as broadcast 1-row joins
+    "ks_test_price_by_year": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython"],
+    ),
+    # Kaplan-Meier: user fold is the keyed join; curve windows run on
+    # the horizon-sized relation
+    "kaplan_meier_user_lifetime": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 

@@ -115,6 +115,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         embedding_decomp,
         event_analytics,
         flagship,
+        governance_ops,
         graph_ops,
         grid_queries,
         incremental,

@@ -1,0 +1,304 @@
+"""Data-governance audit queries (SURVEY.md §2-B width, extending the
+reference's validator stack `run_pipeline.py:54-157` toward the
+governance checks a shared 100 TB lakehouse runs before publishing a
+dataset): Benford first-digit conformance (fraud / synthetic-data
+screening), k-anonymity + l-diversity census over quasi-identifiers
+(re-identification risk before data sharing), and closed-form
+Mahalanobis multivariate outliers (the 2-D generalization of the
+z-score anomaly scan in timeseries_ops.py).
+
+All three are single-scan shapes: partial aggregates map-side-combine,
+the census arithmetic runs on group-count-sized relations, and the
+outlier scan is one broadcast of six moment scalars followed by a
+TakeOrderedAndProject top-k — audit cost stays scan-bound at any
+corpus size.
+
+Determinism rules (established in audits.py): sums accumulate in exact
+DECIMAL so accumulation order cannot change a double; every double
+appears only inside a fixed-shape IEEE expression over those exact
+scalars, written identically on both engines; doubles are emitted
+UNROUNDED (rounding is what introduces knife-edge boundaries, see
+ROUND_NOTES round-5 postmortem) — identical chains hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- Benford first-digit census ---------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT digit, count(*) AS n_obs FROM d GROUP BY digit
+),
+t AS (
+  SELECT digit, n_obs, sum(n_obs) OVER () AS n_total FROM c
+)
+SELECT digit,
+       n_obs,
+       CAST(n_obs AS DOUBLE) / n_total AS p_obs,
+       ln(1.0 + 1.0 / digit) / ln(10.0) AS p_benford,
+       pow(n_obs - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2)
+         / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))) AS chisq_term
+FROM t
+ORDER BY digit
+"""
+
+
+@register("benford_digit_census", oracle=_BENFORD_ORACLE)
+def benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit census over order totals:
+    observed digit frequencies vs the log10(1+1/d) expectation, with
+    the per-digit chi-square contribution — the classic screen for
+    fabricated or synthetically generated monetary columns (TPC-H
+    prices are uniform-ish, so the census *should* flag them; the
+    value is the audit shape, not the verdict).
+
+    Plan: one scan → 9-group partial-count agg; the total arrives via
+    a window over the 9-row digit relation (integer sum, order-free),
+    never a second scan. First digit is extracted through exact
+    integer/string arithmetic (floor → BIGINT → first char), NOT
+    log10-of-value, whose half-ulp behavior near powers of ten is
+    engine-dependent. Expected probabilities and chi-square terms are
+    fixed IEEE chains on (n_obs, n_total, digit) — identical on both
+    engines, emitted unrounded."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
+    p_ben = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return t.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("n_total")).alias("p_obs"),
+        p_ben.alias("p_benford"),
+        (
+            F.pow(F.col("n_obs") - F.col("n_total") * p_ben, F.lit(2))
+            / (F.col("n_total") * p_ben)
+        ).alias("chisq_term"),
+    ).orderBy("digit")
+
+
+# --- Mahalanobis multivariate outliers --------------------------------
+
+_MAHALANOBIS_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+),
+cov AS (
+  SELECT n,
+         sx / n AS mx,
+         sy / n AS my,
+         (sxx - sx * sx / n) / (n - 1) AS cxx,
+         (syy - sy * sy / n) / (n - 1) AS cyy,
+         (sxy - sx * sy / n) / (n - 1) AS cxy
+  FROM m
+),
+scored AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(l.l_quantity AS BIGINT) AS quantity,
+         l.l_extendedprice AS extendedprice,
+         CASE WHEN c.cxx * c.cyy - c.cxy * c.cxy <> 0 THEN
+           ((l.l_quantity - c.mx) * (l.l_quantity - c.mx) * c.cyy
+            - 2 * (l.l_quantity - c.mx) * (l.l_extendedprice - c.my) * c.cxy
+            + (l.l_extendedprice - c.my) * (l.l_extendedprice - c.my) * c.cxx)
+           / (c.cxx * c.cyy - c.cxy * c.cxy)
+         END AS d2
+  FROM lineitem l CROSS JOIN cov c
+)
+SELECT l_orderkey, l_linenumber, quantity, extendedprice, d2
+FROM scored
+WHERE d2 IS NOT NULL
+ORDER BY d2 DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+@register("mahalanobis_outliers", oracle=_MAHALANOBIS_ORACLE)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 multivariate outliers on (quantity, extendedprice) by
+    squared Mahalanobis distance — the 2-D anomaly scan that catches
+    points plausible on each axis alone but implausible jointly (a
+    tiny quantity at a huge price). Closed form: six exact-DECIMAL
+    moments (n, Σx, Σy, Σx², Σy², Σxy) in ONE map-side-combining
+    scan, the 2×2 covariance inverse by adjugate, then a per-row
+    fixed-IEEE quadratic form — no MLlib, no iteration, no second
+    pass over the data.
+
+    Scale: the moment relation is 1 row (broadcast cross join), the
+    score is a codegen'd projection, and the top-k lowers to
+    TakeOrderedAndProject (partial top-20 per partition → merge), so
+    no full sort ever materializes. The singular-covariance guard
+    (det=0 → NULL, filtered) keeps the ANSI divide-by-zero path
+    unreachable on degenerate inputs.
+
+    Determinism: moment sums are exact DECIMAL (quantity and price are
+    cents-exact), every double downstream is the identical expression
+    tree on both engines, emitted unrounded; ties in d2 (duplicate
+    value pairs) are broken by (l_orderkey, l_linenumber)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    cov = m.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("cxx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias("cyy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias("cxy"),
+    )
+    dx = F.col("l_quantity") - F.col("mx")
+    dy = F.col("l_extendedprice") - F.col("my")
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    d2 = F.when(
+        det != 0,
+        (dx * dx * F.col("cyy") - F.lit(2) * dx * dy * F.col("cxy") + dy * dy * F.col("cxx"))
+        / det,
+    )
+    return (
+        li.crossJoin(F.broadcast(cov))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2").isNotNull())
+        .orderBy(F.col("d2").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --- k-anonymity / l-diversity census ---------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         count(*) AS k,
+         count(DISTINCT c_mktsegment) AS l
+  FROM customer
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT CASE WHEN k = 1 THEN '1:unique'
+              WHEN k < 5 THEN '2:k<5'
+              WHEN k < 10 THEN '3:k<10'
+              ELSE '4:k>=10' END AS k_band,
+         k, l
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n_total FROM g
+)
+SELECT b.k_band,
+       count(*) AS n_groups,
+       CAST(sum(b.k) AS BIGINT) AS n_rows,
+       CAST(min(b.k) AS BIGINT) AS min_k,
+       CAST(max(b.k) AS BIGINT) AS max_k,
+       CAST(min(b.l) AS BIGINT) AS min_l,
+       CAST(count(CASE WHEN b.l < 3 THEN 1 END) AS BIGINT) AS n_low_diversity,
+       CAST(sum(b.k) AS DOUBLE) / t.n_total AS row_share
+FROM banded b CROSS JOIN tot t
+GROUP BY b.k_band, t.n_total
+ORDER BY b.k_band
+"""
+
+
+@register("k_anonymity_census", oracle=_KANON_ORACLE)
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity census before data sharing: with
+    quasi-identifiers (nation, $1000 account-balance band) and
+    sensitive attribute mktsegment, every QI equivalence class gets
+    its size k and sensitive-value diversity l; classes then roll up
+    into risk bands (unique, k<5, k<10, safe) with row shares and a
+    low-diversity count — the census a release-review runs to decide
+    how much generalization a dataset needs.
+
+    Plan: ONE groupBy over the QI pair computes k and l together
+    (count + count-distinct in the same agg), then the band rollup
+    runs on the O(#classes) relation — at 100 TB the only row-scale
+    work is the first partial aggregate. The balance band uses
+    identical double floor/division on both engines (cents-exact
+    inputs, exact-power-of-ten divisor)."""
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    banded = g.select(
+        F.when(F.col("k") == 1, "1:unique")
+        .when(F.col("k") < 5, "2:k<5")
+        .when(F.col("k") < 10, "3:k<10")
+        .otherwise("4:k>=10")
+        .alias("k_band"),
+        "k",
+        "l",
+    )
+    tot = g.agg(F.sum("k").cast("bigint").alias("n_total"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("k_band", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.min("l").cast("bigint").alias("min_l"),
+            F.count(F.when(F.col("l") < 3, 1)).cast("bigint").alias("n_low_diversity"),
+        )
+        .select(
+            "k_band",
+            "n_groups",
+            "n_rows",
+            "min_k",
+            "max_k",
+            "min_l",
+            "n_low_diversity",
+            (F.col("n_rows").cast("double") / F.col("n_total")).alias("row_share"),
+        )
+        .orderBy("k_band")
+    )

@@ -105,12 +105,16 @@ WITH m AS (
   SELECT count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+         -- VARCHAR hop: correctly-rounded decimal->double for sums
+         -- past 2^53 (DuckDB's direct cast double-rounds; Spark's
+         -- BigDecimal.doubleValue and strtod round the exact value
+         -- once) — see acf_monthly_revenue
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem
 ),
 cov AS (

@@ -7,7 +7,7 @@ real series have holes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
@@ -152,3 +152,108 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --- LOCF forward fill ------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH spine AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '1995-03-01', DATE '1995-04-30', INTERVAL 1 DAY) AS t(d)
+),
+daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-03-01'
+    AND o_orderdate < TIMESTAMP '1995-05-01'
+  GROUP BY 1
+),
+j AS (
+  SELECT s.day, d.day AS obs_day, d.n_orders, d.total_price
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+f AS (
+  SELECT day,
+         obs_day,
+         coalesce(n_orders, 0) AS n_orders,
+         last_value(total_price IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS locf,
+         last_value(obs_day IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS src_day
+  FROM j
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       coalesce(locf, 0.0) AS filled_price,
+       CAST(obs_day IS NULL AND src_day IS NOT NULL AS BOOLEAN) AS was_filled,
+       CAST(coalesce(date_diff('day', src_day, day), -1) AS BIGINT) AS gap_age_days
+FROM f
+ORDER BY day
+"""
+
+
+@register("locf_forward_fill", oracle=_LOCF_ORACLE)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the dense date spine: gap
+    days inherit the most recent observed daily total (the sensor-fill
+    semantics `daily_series_gapfill` deliberately does NOT provide —
+    that one fills zeros), with the staleness of each carried value
+    reported as `gap_age_days`. Days before the first observation stay
+    at 0.0 with age -1.
+
+    Implementation is one `last(..., ignorenulls=True)` running window
+    over the spine — the carried value AND its source day come from
+    the same frame, so fill and staleness can't disagree. Scale: the
+    window runs on the O(days) spine, never on facts; per-entity
+    variants would add the entity key to the window partition."""
+    orders = table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-03-01").cast("date"),
+                F.lit("1995-04-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-05-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    j = spine.join(
+        daily.withColumnRenamed("day", "obs_day"),
+        spine.day == F.col("obs_day"),
+        "left",
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    f = j.select(
+        "day",
+        "obs_day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.last("total_price", ignorenulls=True).over(w).alias("locf"),
+        F.last("obs_day", ignorenulls=True).over(w).alias("src_day"),
+    )
+    return f.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.coalesce("locf", F.lit(0.0)).alias("filled_price"),
+        (F.col("obs_day").isNull() & F.col("src_day").isNotNull()).alias("was_filled"),
+        F.coalesce(F.datediff("day", "src_day"), F.lit(-1))
+        .cast("bigint")
+        .alias("gap_age_days"),
+    ).orderBy("day")

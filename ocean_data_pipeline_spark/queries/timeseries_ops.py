@@ -337,3 +337,192 @@ def stream_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round("ewma", 2).alias("ewma"),
     ).orderBy("month")
+
+
+# --- autocorrelation function (ACF) -----------------------------------
+
+_ACF_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1
+),
+g AS (
+  -- the (19,2) casts force DuckDB's INT128 decimal kernel: monthly
+  -- revenue squared overflows the int64 kernel that (18,2)x(18,2)
+  -- binds to; Spark's (18,2) product is already exact at (37,4).
+  -- The VARCHAR hop makes the decimal->double cast CORRECTLY ROUNDED:
+  -- DuckDB's direct cast double-rounds (int128->double, then /10^s),
+  -- off by an ulp for products past 2^53; strtod and Spark's
+  -- BigDecimal.doubleValue both round the exact value once.
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS sxx
+  FROM m
+),
+lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6)) l(k)),
+p AS (
+  SELECT l.k,
+         count(*) AS npairs,
+         CAST(CAST(sum(CAST(a.x AS DECIMAL(19,2)) * CAST(b.x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS spk,
+         CAST(sum(a.x) AS DOUBLE) AS shead,
+         CAST(sum(b.x) AS DOUBLE) AS stail
+  FROM lags l
+  JOIN m a ON true
+  JOIN m b ON b.t = a.t + l.k
+  GROUP BY l.k
+)
+SELECT p.k,
+       CAST(p.npairs AS BIGINT) AS npairs,
+       CASE WHEN g.sxx - g.n * (g.sx / g.n) * (g.sx / g.n) <> 0 THEN
+         (p.spk - (g.sx / g.n) * p.shead - (g.sx / g.n) * p.stail
+          + p.npairs * (g.sx / g.n) * (g.sx / g.n))
+         / (g.sxx - g.n * (g.sx / g.n) * (g.sx / g.n))
+       END AS acf
+FROM p CROSS JOIN g
+ORDER BY p.k
+"""
+
+
+@register("acf_monthly_revenue", oracle=_ACF_ORACLE)
+def acf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of monthly revenue at lags 1-6 — the
+    seasonality/persistence diagnostic that decides whether a series
+    needs differencing before forecasting. Computed WITHOUT centering
+    the series first: r_k expands algebraically into five exact-DECIMAL
+    sums (Σx·x₊ₖ, head/tail sums, pair count, plus global Σx, Σx²), so
+    ONE aggregation per lag over the month-count-sized relation gives
+    the exact statistic — no per-element (x-μ) pass whose accumulation
+    order could drift.
+
+    Scale: the fact scan reduces to O(months) partials map-side; the
+    lag self-join and all ACF arithmetic run on that calendar-sized
+    relation (84 rows × 6 lags). Determinism: every sum is exact
+    DECIMAL; μ and the r_k chain are the identical IEEE tree on both
+    engines (den=0 guarded for the ANSI path), emitted unrounded."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    lags = spark.range(1, 7).select(F.col("id").cast("int").alias("k"))
+    a = m.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = m.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("npairs"),
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("spk"),
+            F.sum("xa").cast("double").alias("shead"),
+            F.sum("xb").cast("double").alias("stail"),
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    den = F.col("sxx") - F.col("n") * mu * mu
+    acf = F.when(
+        den != 0,
+        (
+            F.col("spk")
+            - mu * F.col("shead")
+            - mu * F.col("stail")
+            + F.col("npairs") * mu * mu
+        )
+        / den,
+    )
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select("k", F.col("npairs").cast("bigint").alias("npairs"), acf.alias("acf"))
+        .orderBy("k")
+    )
+
+
+# --- CUSUM changepoint scan -------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,6))) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+g AS (
+  SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx FROM d
+),
+s AS (
+  SELECT day,
+         CAST(x AS DOUBLE) AS daily_total,
+         row_number() OVER (ORDER BY day) AS rn,
+         CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS DOUBLE) AS prefix
+  FROM d
+),
+c AS (
+  SELECT CAST(s.day AS TIMESTAMP) AS day,
+         s.daily_total,
+         s.prefix - s.rn * (g.sx / g.n) AS cusum,
+         abs(s.prefix - s.rn * (g.sx / g.n)) AS abs_cusum
+  FROM s CROSS JOIN g
+)
+SELECT day, daily_total, cusum, abs_cusum
+FROM c
+ORDER BY abs_cusum DESC, day
+LIMIT 5
+"""
+
+
+@register("cusum_changepoint", oracle=_CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift scan over the daily event-value series: the
+    cumulative sum of deviations from the global mean peaks at the
+    most likely changepoint (Page's CUSUM in its retrospective form);
+    the top-5 |CUSUM| days localize the shift. The recursion
+    S_t = S_{t-1} + (x_t - μ) is rewritten closed-form as
+    S_t = P_t - t·μ with P_t an exact-DECIMAL prefix sum, so no
+    stateful loop and no float accumulation.
+
+    Scale: the fact scan reduces map-side to O(days) partials; the
+    single-partition window runs on the calendar-sized series
+    (deliberate and safe, see module docstring). Determinism: prefix
+    sums are exact DECIMAL; the S_t chain is the identical IEEE tree
+    on both engines; the top-5 ties break on day."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("x")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("double").alias("sx")
+    )
+    w = Window.orderBy("day")
+    s = d.select(
+        "day",
+        F.col("x").cast("double").alias("daily_total"),
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("prefix"),
+    )
+    mu = F.col("sx") / F.col("n")
+    cusum = F.col("prefix") - F.col("rn") * mu
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "daily_total",
+            cusum.alias("cusum"),
+            F.abs(cusum).alias("abs_cusum"),
+        )
+        .orderBy(F.col("abs_cusum").desc(), "day")
+        .limit(5)
+    )

@@ -590,3 +590,195 @@ def kaplan_meier_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_h")
     )
+
+
+# --- position-based multi-touch attribution ---------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH fp AS (
+  SELECT user_id, min(ts) AS t_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touch AS (
+  SELECT e.user_id, e.event_id, e.ts, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn,
+         count(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts < fp.t_p
+),
+credited AS (
+  SELECT event_type, rn, n,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DECIMAL(18,9))
+              WHEN n = 2 THEN CAST(0.5 AS DECIMAL(18,9))
+              WHEN rn = 1 THEN CAST(0.4 AS DECIMAL(18,9))
+              WHEN rn = n THEN CAST(0.6 AS DECIMAL(18,9))
+                               - (n - 2) * CAST(0.2 / (n - 2) AS DECIMAL(18,9))
+              ELSE CAST(0.2 / (n - 2) AS DECIMAL(18,9)) END AS credit
+  FROM touch
+)
+SELECT event_type,
+       count(*) AS n_touches,
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_first,
+       CAST(count(CASE WHEN rn = n AND n >= 2 THEN 1 END) AS BIGINT) AS n_last,
+       CAST(sum(credit) AS DOUBLE) AS total_credit
+FROM credited
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("attribution_credit", oracle=_ATTRIBUTION_ORACLE)
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-purchase touches split one unit of credit —
+    40% to the first touch, 40% to the last, 20% across the middle —
+    aggregated per channel (event type). The marketing-analytics
+    counterpart of `event_funnel_conversion`'s binary stages.
+
+    Middle credit 0.2/(n-2) is not an exact decimal, so each journey's
+    LAST touch takes 1 − 0.4 − (n−2)·round(mid) instead of its nominal
+    0.4: per-journey credit then sums to EXACTLY 1.0 in DECIMAL(18,9)
+    arithmetic (conservation is a tested invariant, and the final
+    per-channel sums are order-free exact decimals — never a float
+    reduction). The rounded mid itself is a per-(n) fixed chain,
+    identical on both engines.
+
+    Scale: one user-keyed equi-join (events × first-purchase relation)
+    + one windowed pass per user partition + a group-count-sized
+    aggregate; journeys co-partition on user_id end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    touch = (
+        ev.join(fp, "user_id")
+        .filter((F.col("event_type") != "purchase") & (F.col("ts") < F.col("t_p")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = touch.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    dec = "decimal(18,9)"
+    mid = (F.lit(0.2) / (F.col("n") - 2)).cast(dec)
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0).cast(dec))
+        .when(F.col("n") == 2, F.lit(0.5).cast(dec))
+        .when(F.col("rn") == 1, F.lit(0.4).cast(dec))
+        # (n-2) must be a NARROW decimal: bigint×decimal(18,9) needs
+        # precision 39, which trips Spark's precision-loss rule and
+        # silently truncates the scale to 7; int(10,0)×(18,9) fits 38
+        .when(
+            F.col("rn") == F.col("n"),
+            F.lit(0.6).cast(dec) - (F.col("n").cast("int") - 2) * mid,
+        )
+        .otherwise(mid)
+    )
+    return (
+        t.withColumn("credit", credit)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("n_first"),
+            F.count(F.when((F.col("rn") == F.col("n")) & (F.col("n") >= 2), 1))
+            .cast("bigint")
+            .alias("n_last"),
+            F.sum("credit").cast("double").alias("total_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- session path mining ----------------------------------------------
+
+_SESSION_PATH_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) AS rn
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered WHERE rn <= 8
+  GROUP BY user_id, session_seq
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
+@register("session_path_topn", oracle=_SESSION_PATH_ORACLE)
+def session_path_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 user-journey paths: sessions (30-min gap, identical
+    construction to `sessionize_events`) rendered as ordered
+    event-type strings ('view>click>purchase'), truncated to the
+    first 8 events so path cardinality stays bounded, then counted —
+    the navigation-pattern mining behind funnel design.
+
+    The path string is built from `array_sort(collect_list(struct(ts,
+    event_id, event_type)))` — membership AND order come from the
+    explicit (ts, event_id) sort key inside the array, never from
+    collect_list's arrival order (the `nation_top_balances_array`
+    rule). All three windows and the path agg share one (user_id)
+    exchange; the final path count is a low-cardinality groupBy."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    numbered = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+        ),
+    )
+    paths = (
+        numbered.filter(F.col("rn") <= 8)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

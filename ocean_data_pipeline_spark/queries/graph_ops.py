@@ -23,7 +23,7 @@ on keys and AQE handles residual skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
@@ -514,4 +514,215 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_l"), F.asc("ante"), F.asc("cons"))
         .limit(20)
         .drop("_l")
+    )
+
+
+# --- multi-source BFS reachability (3 hops) ---------------------------
+
+_BFS_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+canon AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (
+  SELECT pa AS src, pb AS dst FROM canon
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM canon
+),
+d0 AS (
+  SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0
+),
+d1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d2 ON e.src = d2.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+    AND e.dst NOT IN (SELECT node FROM d2)
+),
+census AS (
+  SELECT 0 AS dist, count(*) AS n_nodes FROM d0
+  UNION ALL SELECT 1, count(*) FROM d1
+  UNION ALL SELECT 2, count(*) FROM d2
+  UNION ALL SELECT 3, count(*) FROM d3
+  UNION ALL
+  SELECT -1, (SELECT count(*) FROM part)
+             - (SELECT count(*) FROM d0) - (SELECT count(*) FROM d1)
+             - (SELECT count(*) FROM d2) - (SELECT count(*) FROM d3)
+)
+SELECT c.dist,
+       CAST(c.n_nodes AS BIGINT) AS n_nodes,
+       CAST(c.n_nodes AS DOUBLE) / (SELECT count(*) FROM part) AS node_share
+FROM census c
+ORDER BY c.dist
+"""
+
+
+@register("bfs_reachability", oracle=_BFS_ORACLE)
+def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: from a
+    deterministic seed set (part keys divisible by 97), how much of
+    the catalog is within 1/2/3 hops — the blast-radius /
+    related-items-expansion query a recommender or recall-expansion
+    stage runs. Census rows per hop distance, -1 = unreachable in 3.
+
+    Fixed-depth unrolled BFS (3 frontier joins, each an equi-join on
+    the node key + anti-join against the visited set) — the standard
+    Pregel-free formulation for bounded-hop queries; an unbounded
+    variant would loop with localCheckpoint per round like
+    `kcore_copurchase`. The frontier relation shrinks to O(reached
+    nodes), so each hop shuffles at most the adjacency rows of the
+    current frontier; the census output is O(1)."""
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
+    sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    part = table(spark, sf_dir, "part")
+    n_parts = part.agg(F.count(F.lit(1)).alias("n_parts"))
+    seeds = part.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+    visited = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for hop in (1, 2, 3):
+        frontier = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(frontier.withColumn("dist", F.lit(hop)))
+    reached = visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_hop"))
+    n_reached = visited.agg(F.count(F.lit(1)).alias("n_reached"))
+    unreached = (
+        n_parts.crossJoin(n_reached)
+        .select(
+            F.lit(-1).alias("dist"),
+            (F.col("n_parts") - F.col("n_reached")).alias("n_hop"),
+        )
+    )
+    # static dist spine so an exhausted frontier still emits its 0 row
+    # (the oracle's per-hop count(*) aggregates always produce a row)
+    spine = spark.range(-1, 4).select(F.col("id").cast("int").alias("dist"))
+    return (
+        spine.join(reached.unionAll(unreached), "dist", "left")
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "dist",
+            F.coalesce("n_hop", F.lit(0)).cast("bigint").alias("n_nodes"),
+            (
+                F.coalesce("n_hop", F.lit(0)).cast("double") / F.col("n_parts")
+            ).alias("node_share"),
+        )
+        .orderBy("dist")
+    )
+
+
+# --- item-item collaborative filtering (cosine top-k) ------------------
+
+_ITEM_COSINE_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+c AS (
+  SELECT l_partkey AS item, count(*) AS n_orders FROM op GROUP BY 1
+),
+canon AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c_ij
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+mirrored AS (
+  SELECT pa AS item, pb AS neighbor, c_ij FROM canon
+  UNION ALL
+  SELECT pb AS item, pa AS neighbor, c_ij FROM canon
+),
+scored AS (
+  SELECT m.item, m.neighbor, ci.n_orders AS c_i, cj.n_orders AS c_j, m.c_ij,
+         m.c_ij / sqrt(CAST(ci.n_orders AS DOUBLE) * cj.n_orders) AS cosine
+  FROM mirrored m
+  JOIN c ci ON ci.item = m.item
+  JOIN c cj ON cj.item = m.neighbor
+  WHERE m.c_ij >= 2 AND ci.n_orders >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY item
+                               ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+)
+SELECT item, neighbor, c_i, c_j, c_ij, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY item, rank
+"""
+
+
+@register("item_item_cosine_topk", oracle=_ITEM_COSINE_ORACLE)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar parts per
+    part under binary cosine over order baskets — cos(i,j) =
+    |orders with both| / sqrt(|orders with i|·|orders with j|) — the
+    classic neighborhood recommender (Sarwar et al., WWW'01) computed
+    as pure relational algebra. Support floors (c_ij >= 2, c_i >= 5)
+    keep noise pairs out and bound the output.
+
+    Scale: pair counts come from the same-order equi-join (per-order
+    C(items,2) fanout, linear in orders — never an all-pairs join);
+    pairs are counted CANONICALLY (pa < pb) then mirrored, halving the
+    shuffle; item marginals broadcast into the scoring join; top-3 is
+    one ranked window per item partition.
+
+    Determinism: cosine = integer / sqrt(integer product) is a fixed
+    IEEE chain from exact counts (emitted unrounded); ranking ties
+    break on neighbor id."""
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    c = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    canon = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ij"))
+    )
+    mirrored = canon.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "c_ij"
+    ).unionAll(
+        canon.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "c_ij")
+    )
+    ci = c.select(F.col("item"), F.col("n_orders").alias("c_i"))
+    cj = c.select(F.col("item").alias("neighbor"), F.col("n_orders").alias("c_j"))
+    scored = (
+        mirrored.join(ci, "item")
+        .join(cj, "neighbor")
+        .filter((F.col("c_ij") >= 2) & (F.col("c_i") >= 5))
+        .select(
+            "item",
+            "neighbor",
+            "c_i",
+            "c_j",
+            "c_ij",
+            (
+                F.col("c_ij")
+                / F.sqrt(F.col("c_i").cast("double") * F.col("c_j"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("item", "rank")
     )

@@ -81,3 +81,71 @@ def test_locf_carries_last_observation(spark):
             assert r.filled_price == last_price
             assert r.was_filled
             assert r.gap_age_days == (r.day - last_day).days
+
+
+def test_bfs_levels_partition_catalog(spark):
+    rows = REGISTRY["bfs_reachability"].fn(spark, SF_ORACLE).collect()
+    assert [r.dist for r in rows] == [-1, 0, 1, 2, 3]
+    n_parts = table(spark, SF_ORACLE, "part").count()
+    assert sum(r.n_nodes for r in rows) == n_parts
+    assert math.isclose(sum(r.node_share for r in rows), 1.0, rel_tol=1e-12)
+    by_dist = {r.dist: r.n_nodes for r in rows}
+    n_seeds = (
+        table(spark, SF_ORACLE, "part").filter(F.col("p_partkey") % 97 == 0).count()
+    )
+    assert by_dist[0] == n_seeds
+    assert by_dist[1] > 0  # seeds are co-purchased with something
+
+
+def test_item_item_cosine_contract(spark):
+    rows = REGISTRY["item_item_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    per_item = {}
+    for r in rows:
+        assert r.c_ij >= 2 and r.c_i >= 5
+        assert r.c_ij <= min(r.c_i, r.c_j)  # co-count bounded by marginals
+        assert 0.0 < r.cosine <= 1.0
+        assert math.isclose(
+            r.cosine, r.c_ij / math.sqrt(r.c_i * r.c_j), rel_tol=1e-12
+        )
+        per_item.setdefault(r.item, []).append((r.rank, r.cosine))
+    for item, rs in per_item.items():
+        ranks = sorted(k for k, _ in rs)
+        assert ranks == list(range(1, len(rs) + 1)), item
+        coss = [c for _, c in sorted(rs)]
+        assert coss == sorted(coss, reverse=True), item
+
+
+def test_attribution_conserves_credit(spark):
+    rows = REGISTRY["attribution_credit"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    # one unit of credit per converting journey, exactly
+    ev = table(spark, SF_ORACLE, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    n_journeys = (
+        ev.join(fp, "user_id")
+        .filter((F.col("event_type") != "purchase") & (F.col("ts") < F.col("t_p")))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert math.isclose(
+        sum(r.total_credit for r in rows), float(n_journeys), rel_tol=1e-12
+    )
+    assert all(r.n_first <= r.n_touches and r.n_last <= r.n_touches for r in rows)
+
+
+def test_session_paths_valid(spark):
+    rows = REGISTRY["session_path_topn"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 15
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        toks = r.path.split(">")
+        assert 1 <= len(toks) <= 8
+        assert set(toks) <= types

@@ -306,3 +306,65 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_band")
     )
+
+
+# --- missing-value imputation census ----------------------------------
+
+_IMPUTE_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         count(*) - count(value) AS n_null,
+         quantile_cont(value, 0.5) AS median_fill,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       CAST(n_null AS BIGINT) AS n_null,
+       median_fill,
+       CASE WHEN n - n_null > 0 THEN s1 / (n - n_null) END AS mean_before,
+       CASE WHEN n > 0 AND n - n_null > 0
+            THEN (s1 + n_null * median_fill) / n END AS mean_after
+FROM g
+ORDER BY event_type
+"""
+
+
+@register("impute_missing_values", oracle=_IMPUTE_ORACLE)
+def impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation census: per event type, the NULL count,
+    the exact median that would fill them (the standard robust
+    imputer), and the mean before/after imputation — the audit report
+    a cleaning stage emits so the shift introduced by imputation is
+    visible before anyone trains on the filled column. The imputed
+    mean comes from the algebraic identity (Σx + n_null·median)/n, so
+    no second pass materializes filled rows.
+
+    `F.percentile` (exact interpolated) matches DuckDB quantile_cont
+    — the `quartiles_exact` device, here per group. Σx accumulates in
+    exact DECIMAL; the mean chains are fixed IEEE trees, guarded for
+    the all-NULL group (ANSI divide-by-zero stays unreachable)."""
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias("n_null"),
+            F.percentile("value", F.lit(0.5)).alias("median_fill"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s1"),
+        )
+    )
+    nonnull = F.col("n") - F.col("n_null")
+    return g.select(
+        "event_type",
+        "n",
+        "n_null",
+        "median_fill",
+        F.when(nonnull > 0, F.col("s1") / nonnull).alias("mean_before"),
+        F.when(
+            (F.col("n") > 0) & (nonnull > 0),
+            (F.col("s1") + F.col("n_null") * F.col("median_fill")) / F.col("n"),
+        ).alias("mean_after"),
+    ).orderBy("event_type")

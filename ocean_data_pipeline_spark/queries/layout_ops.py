@@ -139,3 +139,108 @@ def shuffle_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("load_factor"),
     ).orderBy("bucket")
+
+
+# --- encoding advisor (dict / RLE size estimation) ---------------------
+
+def _encoding_oracle() -> str:
+    parts = []
+    for col, width in _ENC_COLUMNS:
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       n, ndv, runs,
+       n * {width} AS plain_bytes,
+       (ndv * {width} * 8 + n * bits + 7) // 8 AS dict_bytes,
+       runs * ({width} + 2) AS rle_bytes,
+       CASE WHEN n * {width} <= (ndv * {width} * 8 + n * bits + 7) // 8
+             AND n * {width} <= runs * ({width} + 2) THEN 'plain'
+            WHEN (ndv * {width} * 8 + n * bits + 7) // 8
+                 <= runs * ({width} + 2) THEN 'dict'
+            ELSE 'rle' END AS best
+FROM (
+  SELECT count(*) AS n,
+         count(DISTINCT v) AS ndv,
+         CAST(sum(s) AS BIGINT) AS runs,
+         CASE WHEN count(DISTINCT v) <= 1 THEN 0
+              ELSE length(bin(count(DISTINCT v) - 1)) END AS bits
+  FROM (
+    SELECT v,
+           CASE WHEN lag(v) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, v)
+                     IS DISTINCT FROM v THEN 1 ELSE 0 END AS s
+    FROM (SELECT l_orderkey, l_linenumber, {col} AS v FROM lineitem)
+  )
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+_ENC_COLUMNS = [
+    ("l_returnflag", 1),
+    ("l_linestatus", 1),
+    ("l_shipdate", 4),
+    ("l_quantity", 8),
+    ("l_partkey", 8),
+]
+
+
+@register("encoding_advisor", oracle=_encoding_oracle())
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor: for five representative lineitem
+    columns, estimate plain vs dictionary vs run-length encoded sizes
+    from (row count, NDV, run count) and recommend the cheapest — the
+    arithmetic a columnar writer (parquet encoding chooser, Delta
+    OPTIMIZE ZORDER cost model) applies per row group. Runs are
+    counted under the total (l_orderkey, l_linenumber, value) order
+    WITHIN each order — the value tiebreak makes the census
+    deterministic (the synthetic lineitem has duplicate line keys)
+    and the per-key windows parallelize; a file-global RLE count would need a single sort
+    (the boundary correction is one row per order, noise at row-group
+    granularity).
+
+    All sizes are exact integer arithmetic: dictionary index width =
+    bit length of (NDV-1) via the binary-string trick (length(bin(x))
+    — floor(log2) on integers without the pow-boundary ulp hazard of
+    floating log2), dict bytes = ceil((dict entries + index bits)/8)
+    by integer division. Per-column stats are independent 2-column
+    scans — column pruning keeps each at its own column's I/O."""
+    li = table(spark, sf_dir, "lineitem")
+    outs = []
+    for col, width in _ENC_COLUMNS:
+        base = li.select("l_orderkey", "l_linenumber", F.col(col).alias("v"))
+        w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "v")
+        prev = F.lag("v").over(w)
+        flagged = base.select(
+            "v",
+            F.when(prev.isNull() | (prev != F.col("v")), 1).otherwise(0).alias("s"),
+        )
+        stats = flagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("v").alias("ndv"),
+            F.sum("s").cast("bigint").alias("runs"),
+        ).withColumn(
+            "bits",
+            F.when(F.col("ndv") <= 1, F.lit(0)).otherwise(
+                F.length(F.bin(F.col("ndv") - 1))
+            ),
+        )
+        plain = F.col("n") * width
+        dict_b = F.expr(f"(ndv * {width} * 8 + n * bits + 7) div 8")
+        rle = F.col("runs") * (width + 2)
+        outs.append(
+            stats.select(
+                F.lit(col).alias("column_name"),
+                "n",
+                "ndv",
+                "runs",
+                plain.alias("plain_bytes"),
+                dict_b.alias("dict_bytes"),
+                rle.alias("rle_bytes"),
+                F.when((plain <= dict_b) & (plain <= rle), "plain")
+                .when(dict_b <= rle, "dict")
+                .otherwise("rle")
+                .alias("best"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("column_name")

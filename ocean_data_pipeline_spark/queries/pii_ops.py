@@ -138,3 +138,152 @@ def pii_redaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_residual"),
     )
+
+
+# --- URL / domain provenance census -----------------------------------
+
+_URL_CENSUS_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://w' || CAST(doc_id % 50 AS VARCHAR)
+                      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' ref http://cdn' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.assets' || CAST(doc_id % 5 AS VARCHAR) || '.net/x'
+                 ELSE '' END
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' mirror https://m' || CAST(doc_id % 9 AS VARCHAR)
+                      || '.example' || CAST(doc_id % 7 AS VARCHAR) || '.org/'
+                 ELSE '' END AS t
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9/?=._-]*')) AS url
+  FROM aug
+),
+parsed AS (
+  SELECT doc_id, url,
+         regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host
+  FROM urls
+),
+named AS (
+  SELECT doc_id, url, host,
+         regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z]+)$', 1) AS domain,
+         regexp_extract(host, '\.([A-Za-z]+)$', 1) AS tld
+  FROM parsed
+),
+tot AS (SELECT count(*) AS n_total FROM named)
+SELECT n.tld,
+       count(*) AS n_urls,
+       count(DISTINCT n.doc_id) AS n_docs,
+       count(DISTINCT n.domain) AS n_domains,
+       count(DISTINCT n.host) AS n_hosts,
+       CAST(count(CASE WHEN n.domain LIKE 'assets%' THEN 1 END) AS BIGINT)
+         AS n_blocklisted,
+       CAST(count(*) AS DOUBLE) / t.n_total AS url_share
+FROM named n CROSS JOIN tot t
+GROUP BY n.tld, t.n_total
+ORDER BY n.tld
+"""
+
+
+@register("url_domain_census", oracle=_URL_CENSUS_ORACLE)
+def url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-provenance census: extract every URL from the corpus, parse
+    host → registered domain → TLD, and report per-TLD URL/document/
+    domain counts plus blocklist hits (domains matching 'assets%') —
+    the curation pass that decides which crawl sources to keep before
+    training. Like `pii_redaction_census`, URLs are INJECTED
+    deterministically from doc_id arithmetic (the synthetic corpus has
+    none), so the oracle verifies extraction and parsing exactly.
+
+    Plan shape: regexp_extract_all → explode stays inside whole-stage
+    codegen (patterns restricted to Java∩RE2 syntax, operators/pii.py
+    rule); the census aggregate runs on the exploded URL relation with
+    map-side partials, and the total arrives from a 1-row broadcast.
+    At 100 TB the only row-scale stage is the extraction scan."""
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://w"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com/p/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" ref http://cdn"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".assets"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".net/x"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" mirror https://m"),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".example"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".org/"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                "t", F.lit(r"https?://[A-Za-z0-9.-]+[A-Za-z0-9/?=._-]*"), 0
+            )
+        ).alias("url"),
+    )
+    named = urls.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"https?://([A-Za-z0-9.-]+)", 1).alias("host"),
+    ).select(
+        "doc_id",
+        "url",
+        "host",
+        F.regexp_extract("host", r"([A-Za-z0-9-]+\.[A-Za-z]+)$", 1).alias("domain"),
+        F.regexp_extract("host", r"\.([A-Za-z]+)$", 1).alias("tld"),
+    )
+    tot = named.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        named.crossJoin(F.broadcast(tot))
+        .groupBy("tld", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("domain").alias("n_domains"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.when(F.col("domain").like("assets%"), 1))
+            .cast("bigint")
+            .alias("n_blocklisted"),
+        )
+        .select(
+            "tld",
+            "n_urls",
+            "n_docs",
+            "n_domains",
+            "n_hosts",
+            "n_blocklisted",
+            (F.col("n_urls").cast("double") / F.col("n_total")).alias("url_share"),
+        )
+        .orderBy("tld")
+    )

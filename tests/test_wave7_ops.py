@@ -149,3 +149,48 @@ def test_session_paths_valid(spark):
         toks = r.path.split(">")
         assert 1 <= len(toks) <= 8
         assert set(toks) <= types
+
+
+def test_url_census_extraction_complete(spark):
+    rows = REGISTRY["url_domain_census"].fn(spark, SF_ORACLE).collect()
+    tlds = {r.tld for r in rows}
+    assert tlds == {"com", "net", "org"}
+    n_docs = table(spark, SF_ORACLE, "documents").count()
+    by = {r.tld: r for r in rows}
+    # injection arithmetic: %3 -> .com, %4 -> .net, %10 -> .org
+    assert by["com"].n_urls == sum(1 for i in range(n_docs) if i % 3 == 0)
+    assert by["net"].n_urls == sum(1 for i in range(n_docs) if i % 4 == 0)
+    assert by["org"].n_urls == sum(1 for i in range(n_docs) if i % 10 == 0)
+    # all .net injections hit the assets blocklist; others never do
+    assert by["net"].n_blocklisted == by["net"].n_urls
+    assert by["com"].n_blocklisted == 0 and by["org"].n_blocklisted == 0
+    assert math.isclose(sum(r.url_share for r in rows), 1.0, rel_tol=1e-12)
+
+
+def test_encoding_advisor_sane(spark):
+    rows = REGISTRY["encoding_advisor"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    n = table(spark, SF_ORACLE, "lineitem").count()
+    for r in rows:
+        assert r.n == n
+        assert 1 <= r.ndv <= r.n
+        assert r.ndv <= r.runs <= r.n  # every distinct value starts >=1 run
+        best_bytes = {"plain": r.plain_bytes, "dict": r.dict_bytes, "rle": r.rle_bytes}
+        assert best_bytes[r.best] == min(best_bytes.values())
+    by = {r.column_name: r for r in rows}
+    # 3-value flag columns dictionary- or RLE-encode far below plain
+    assert by["l_returnflag"].best != "plain"
+    assert by["l_returnflag"].ndv <= 4
+
+
+def test_impute_shifts_mean_toward_median(spark):
+    rows = REGISTRY["impute_missing_values"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_null < r.n
+        if r.n_null == 0:
+            assert math.isclose(r.mean_before, r.mean_after, rel_tol=1e-12)
+        else:
+            # imputed mean lies between the original mean and the median
+            lo, hi = sorted((r.mean_before, r.median_fill))
+            assert lo - 1e-9 <= r.mean_after <= hi + 1e-9

@@ -559,3 +559,109 @@ def haversine_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_km", "custkey")
         .limit(50)
     )
+
+
+# --- grid hotspot clustering (DBSCAN-lite) ----------------------------
+
+_HOTSPOT_ORACLE = """
+WITH RECURSIVE
+cells AS (
+  SELECT CAST(l_quantity AS INT) AS x,
+         CAST(floor(l_extendedprice / 5000) AS INT) AS y,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT count(*) AS n_cells, CAST(sum(n) AS DOUBLE) AS n_points FROM cells
+),
+dense AS (
+  SELECT c.x, c.y, c.n, c.x * 100000 + c.y AS cell
+  FROM cells c CROSS JOIN tot t
+  WHERE c.n >= 1.25 * (t.n_points / t.n_cells)
+),
+offsets AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
+       o(dx, dy)
+),
+edges AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM dense a
+  CROSS JOIN offsets o
+  JOIN dense b ON b.cell = (a.x + o.dx) * 100000 + (a.y + o.dy)
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+labels AS (SELECT u, min(r) AS component FROM reach GROUP BY u)
+SELECT coalesce(l.component, d.cell) AS cluster_id,
+       count(*) AS n_cells,
+       CAST(sum(d.n) AS BIGINT) AS n_points,
+       min(d.x) AS x_min, max(d.x) AS x_max,
+       min(d.y) AS y_min, max(d.y) AS y_max
+FROM dense d LEFT JOIN labels l ON l.u = d.cell
+GROUP BY 1
+ORDER BY n_points DESC, cluster_id
+"""
+
+
+@register("grid_hotspot_clusters", oracle=_HOTSPOT_ORACLE)
+def grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-grid clustering (the grid flavor of DBSCAN): bin points
+    into fixed cells over the (quantity, price-band) feature plane,
+    keep cells ≥1.25× the mean occupancy, and merge 8-adjacent dense
+    cells into clusters via connected components — the hotspot
+    detector for feature-space or geo density (the threshold is
+    scale-RELATIVE, so the query is meaningful at any SF).
+
+    Scale: points reduce to O(cells) immediately (one map-side
+    combining agg); adjacency is an EQUI-join — each dense cell
+    explodes into its 8 neighbor keys and probes the dense-cell set,
+    never a theta-join over coordinates; components run on the dense
+    subgraph (operators/components.py, label-propagation rounds).
+    The recursive-CTE oracle closes the same adjacency in DuckDB."""
+    from ocean_data_pipeline_spark.operators.components import connected_components
+
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("int").alias("x"),
+        F.floor(F.col("l_extendedprice") / 5000).cast("int").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").cast("double").alias("n_points"),
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") >= 1.25 * (F.col("n_points") / F.col("n_cells")))
+        .select("x", "y", "n", (F.col("x") * 100000 + F.col("y")).alias("cell"))
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    probes = dense.crossJoin(F.broadcast(offsets)).select(
+        F.col("cell").alias("u"),
+        ((F.col("x") + F.col("dx")) * 100000 + (F.col("y") + F.col("dy"))).alias(
+            "nbr"
+        ),
+    )
+    edges = probes.join(
+        dense.select(F.col("cell").alias("v")), probes.nbr == F.col("v")
+    ).select("u", "v")
+    labels = connected_components(edges, src="u", dst="v")
+    return (
+        dense.join(labels, dense.cell == labels.id, "left")
+        .withColumn("cluster_id", F.coalesce("component", "cell"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+    )

@@ -428,3 +428,31 @@ def sql_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+# ANSI aggregate FILTER clause — the 12th textual string: per-group
+# conditional aggregation through the parser's FILTER (WHERE ...)
+# grammar instead of CASE arithmetic (the `conditional_agg_events`
+# shape, surfaced at the SQL layer). Both engines lower FILTER to the
+# same conditional partial aggregate, so map-side combine is intact.
+_SQL_FILTER_AGG = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0)
+         AS revenue_finished
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("sql_filter_clause_agg", oracle=_SQL_FILTER_AGG)
+def sql_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause through the parser — one
+    scan, four conditionally-filtered aggregates, exact-DECIMAL sum
+    under the filter. The verbatim string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FILTER_AGG)

@@ -194,3 +194,64 @@ def test_impute_shifts_mean_toward_median(spark):
             # imputed mean lies between the original mean and the median
             lo, hi = sorted((r.mean_before, r.median_fill))
             assert lo - 1e-9 <= r.mean_after <= hi + 1e-9
+
+
+def test_hotspot_clusters_contract(spark):
+    rows = REGISTRY["grid_hotspot_clusters"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    # recompute the dense-cell set brute force and check conservation
+    li = table(spark, SF_ORACLE, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("int").alias("x"),
+            F.floor(F.col("l_extendedprice") / 5000).cast("int").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(c.n for c in cells)
+    thresh = 1.25 * (total / len(cells))
+    dense = {(c.x, c.y): c.n for c in cells if c.n >= thresh}
+    assert sum(r.n_cells for r in rows) == len(dense)
+    assert sum(r.n_points for r in rows) == sum(dense.values())
+    # cluster count equals a brute-force union-find over 8-adjacency
+    parent = {c: c for c in dense}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (x, y) in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) != (0, 0) and (x + dx, y + dy) in dense:
+                    parent[find((x, y))] = find((x + dx, y + dy))
+    n_components = len({find(c) for c in dense})
+    assert len(rows) == n_components
+    # per-cluster sizes ordered
+    sizes = [r.n_points for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_sql_filter_clause_matches_case_formulation(spark):
+    got = {r.priority: r for r in REGISTRY["sql_filter_clause_agg"].fn(spark, SF_ORACLE).collect()}
+    ref = (
+        table(spark, SF_ORACLE, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        )
+        .collect()
+    )
+    assert len(got) == len(ref) > 0
+    for r in ref:
+        g = got[r.priority]
+        assert (g.n_orders, g.n_finished, g.n_large) == (
+            r.n_orders,
+            r.n_finished,
+            r.n_large,
+        )

@@ -175,6 +175,26 @@ HEADLINE = [
     "nb_lang_signal_probe",
     "ks_test_price_by_year",
     "kaplan_meier_user_lifetime",
+    # wave 7: governance, time-series diagnostics, graph/recommender,
+    # event attribution, provenance, layout advisor, spatial clustering
+    "benford_digit_census",
+    "mahalanobis_outliers",
+    "k_anonymity_census",
+    "acf_monthly_revenue",
+    "cusum_changepoint",
+    "locf_forward_fill",
+    "bfs_reachability",
+    "item_item_cosine_topk",
+    "attribution_credit",
+    "session_path_topn",
+    "url_domain_census",
+    "encoding_advisor",
+    "impute_missing_values",
+    "grid_hotspot_clusters",
+    "sql_filter_clause_agg",
+    "erasure_propagation_census",
+    "cdc_apply_changes",
+    "candidate_key_profile",
 ]
 
 

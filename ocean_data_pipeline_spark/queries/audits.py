@@ -813,3 +813,85 @@ def ks_test_price_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_lambda"),
         )
     )
+
+
+# --- candidate-key / functional-dependency profile ---------------------
+
+_KEY_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT count(*) AS n,
+         (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))  AS ndv_ok,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders))   AS ndv_ck,
+         (SELECT count(*) FROM (SELECT DISTINCT o_orderdate FROM orders)) AS ndv_od,
+         (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+                                FROM orders))                             AS ndv_ok_ck,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderdate
+                                FROM orders))                             AS ndv_ck_od
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'key' AS kind, 'o_orderkey' AS subject, n AS n_rows,
+         ndv_ok AS ndv_lhs, ndv_ok AS ndv_rhs,
+         ndv_ok = n AS holds, CAST(ndv_ok AS DOUBLE) / n AS uniqueness
+  FROM s
+  UNION ALL
+  SELECT 'key', 'o_custkey', n, ndv_ck, ndv_ck,
+         ndv_ck = n, CAST(ndv_ck AS DOUBLE) / n FROM s
+  UNION ALL
+  SELECT 'key', 'o_custkey,o_orderdate', n, ndv_ck_od, ndv_ck_od,
+         ndv_ck_od = n, CAST(ndv_ck_od AS DOUBLE) / n FROM s
+  UNION ALL
+  SELECT 'fd', 'o_orderkey->o_custkey', n, ndv_ok, ndv_ok_ck,
+         ndv_ok = ndv_ok_ck, CAST(ndv_ok AS DOUBLE) / n FROM s
+  UNION ALL
+  SELECT 'fd', 'o_custkey->o_orderdate', n, ndv_ck, ndv_ck_od,
+         ndv_ck = ndv_ck_od, CAST(ndv_ck AS DOUBLE) / n FROM s
+)
+ORDER BY kind, subject
+"""
+
+
+@register("candidate_key_profile", oracle=_KEY_PROFILE_ORACLE)
+def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling (Metanome-style): candidate-key checks
+    (NDV == row count) for three key hypotheses and functional-
+    dependency checks (A→B holds iff NDV(A) == NDV(A,B)) for two
+    dependency hypotheses over orders — the discovery pass that
+    validates assumed constraints BEFORE a pipeline relies on them
+    (`dq_constraint_census` enforces declared rules; this one tests
+    whether the rules are even true).
+
+    ONE scan: all six exact distinct counts come from a single
+    aggregate (Catalyst's Expand lowers multi-countDistinct to one
+    pass); the five report rows are projections of that 1-row
+    relation. At 100 TB the same shape swaps approx_count_distinct
+    in for the exact NDVs."""
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("ndv_ok"),
+        F.countDistinct("o_custkey").alias("ndv_ck"),
+        F.countDistinct("o_orderdate").alias("ndv_od"),
+        F.countDistinct("o_orderkey", "o_custkey").alias("ndv_ok_ck"),
+        F.countDistinct("o_custkey", "o_orderdate").alias("ndv_ck_od"),
+    )
+
+    def row(kind, subject, lhs, rhs, denom_is_n=True):
+        return s.select(
+            F.lit(kind).alias("kind"),
+            F.lit(subject).alias("subject"),
+            F.col("n").alias("n_rows"),
+            F.col(lhs).alias("ndv_lhs"),
+            F.col(rhs).alias("ndv_rhs"),
+            (F.col(lhs) == F.col(rhs if kind == "fd" else "n")).alias("holds"),
+            (F.col(lhs).cast("double") / F.col("n")).alias("uniqueness"),
+        )
+
+    out = (
+        row("key", "o_orderkey", "ndv_ok", "ndv_ok")
+        .unionAll(row("key", "o_custkey", "ndv_ck", "ndv_ck"))
+        .unionAll(row("key", "o_custkey,o_orderdate", "ndv_ck_od", "ndv_ck_od"))
+        .unionAll(row("fd", "o_orderkey->o_custkey", "ndv_ok", "ndv_ok_ck"))
+        .unionAll(row("fd", "o_custkey->o_orderdate", "ndv_ck", "ndv_ck_od"))
+    )
+    return out.orderBy("kind", "subject")

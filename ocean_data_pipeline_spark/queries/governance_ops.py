@@ -368,3 +368,84 @@ def impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s1") + F.col("n_null") * F.col("median_fill")) / F.col("n"),
         ).alias("mean_after"),
     ).orderBy("event_type")
+
+
+# --- erasure propagation (right-to-be-forgotten audit) -----------------
+
+_ERASURE_ORACLE = """
+WITH subjects AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id % 101 = 0
+),
+marked AS (
+  SELECT e.*, (s.user_id IS NOT NULL) AS erase
+  FROM events e LEFT JOIN subjects s ON e.user_id = s.user_id
+),
+survivors AS (SELECT * FROM marked WHERE NOT erase),
+residual AS (
+  SELECT count(*) AS n
+  FROM survivors v SEMI JOIN subjects s ON v.user_id = s.user_id
+)
+SELECT (SELECT count(*) FROM subjects)                         AS n_subjects,
+       CAST(count(CASE WHEN erase THEN 1 END) AS BIGINT)       AS n_erased,
+       CAST(count(CASE WHEN NOT erase THEN 1 END) AS BIGINT)   AS n_kept,
+       CAST(sum(CASE WHEN erase
+                     THEN CAST(coalesce(value, 0) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                                                               AS erased_value_total,
+       (SELECT n FROM residual)                                AS residual_subject_rows
+FROM marked
+"""
+
+
+@register("erasure_propagation_census", oracle=_ERASURE_ORACLE)
+def erasure_propagation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given a deterministic erasure
+    cohort (user_id % 101 = 0), count the rows a GDPR delete would
+    remove, the surviving rows, the value mass leaving the table, and
+    — the part an auditor actually checks — `residual_subject_rows`,
+    an INDEPENDENT semi-join of the survivor set against the subject
+    list that must come back 0 (erasure proven by recomputation, not
+    by construction).
+
+    Plan shape: subject list is a distinct-project (tiny, broadcast);
+    the mark pass is one broadcast left join + conditional aggregates;
+    the residual check is a broadcast left-semi over survivors. At
+    100 TB this is exactly the Delta/Iceberg DELETE planning scan plus
+    its verification query."""
+    ev = table(spark, sf_dir, "events")
+    subjects = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 101 == 0))
+        .select("user_id")
+        .distinct()
+    )
+    marked = ev.join(
+        F.broadcast(subjects.withColumn("erase_flag", F.lit(True))), "user_id", "left"
+    ).withColumn("erase", F.coalesce("erase_flag", F.lit(False)))
+    survivors = marked.filter(~F.col("erase"))
+    residual = (
+        survivors.join(F.broadcast(subjects), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("residual_subject_rows"))
+    )
+    n_subj = subjects.agg(F.count(F.lit(1)).alias("n_subjects"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    census = marked.agg(
+        F.count(F.when(F.col("erase"), 1)).cast("bigint").alias("n_erased"),
+        F.count(F.when(~F.col("erase"), 1)).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("erase"),
+                F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("erased_value_total"),
+    )
+    return (
+        n_subj.crossJoin(census)
+        .crossJoin(residual)
+        .select(
+            "n_subjects", "n_erased", "n_kept",
+            "erased_value_total", "residual_subject_rows",
+        )
+    )

@@ -427,3 +427,78 @@ def snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("status")
     )
+
+
+# --- CDC change-log apply (upserts + deletes) --------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey % 5000 AS key,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS payload
+  FROM orders
+),
+latest AS (
+  SELECT key, seq, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM log
+),
+final AS (
+  SELECT key, op, payload FROM latest WHERE rn = 1
+)
+SELECT (SELECT count(*) FROM log)                                  AS n_ops,
+       (SELECT count(*) FROM log WHERE op = 'U')                   AS n_upserts,
+       (SELECT count(*) FROM log WHERE op = 'D')                   AS n_deletes,
+       CAST(count(CASE WHEN op = 'U' THEN 1 END) AS BIGINT)        AS n_live_keys,
+       CAST(count(CASE WHEN op = 'D' THEN 1 END) AS BIGINT)        AS n_tombstones,
+       CAST(sum(CASE WHEN op = 'U' THEN payload
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS live_value_total
+FROM final
+"""
+
+
+@register("cdc_apply_changes", oracle=_CDC_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay with last-writer-wins AND delete semantics — the
+    APPLY CHANGES / MERGE-from-changefeed shape: an ordered stream of
+    (key, seq, op∈{U,D}, payload) collapses to each key's latest op;
+    keys whose final op is D are tombstones, the rest form the live
+    table. Completes the upsert-only `cache_upsert_keep_latest` with
+    the delete path a real replication pipeline needs. The change log
+    is synthesized deterministically from orders (key = orderkey mod
+    5000 forces multi-version keys; every 11th op is a delete).
+
+    Plan shape: ONE window (partition by key, order by seq desc, rn=1)
+    — the standard dedup-to-latest exchange; at scale this is the
+    per-microbatch MERGE input and the key partitioning is the table's
+    bucketing. Census arithmetic: exact counts + exact-DECIMAL live
+    value mass."""
+    log = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    final = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ops = log.agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.count(F.when(F.col("op") == "U", 1)).alias("n_upserts"),
+        F.count(F.when(F.col("op") == "D", 1)).alias("n_deletes"),
+    )
+    state = final.agg(
+        F.count(F.when(F.col("op") == "U", 1)).cast("bigint").alias("n_live_keys"),
+        F.count(F.when(F.col("op") == "D", 1)).cast("bigint").alias("n_tombstones"),
+        F.sum(
+            F.when(F.col("op") == "U", F.col("payload")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("live_value_total"),
+    )
+    return ops.crossJoin(state).select(
+        "n_ops", "n_upserts", "n_deletes",
+        "n_live_keys", "n_tombstones", "live_value_total",
+    )

@@ -77,3 +77,43 @@ def test_kanon_census_conserves_rows(spark):
         assert r.min_k >= lo
         if hi is not None:
             assert r.max_k <= hi
+
+
+def test_erasure_residual_zero_and_conservation(spark):
+    r = REGISTRY["erasure_propagation_census"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.residual_subject_rows == 0
+    n_events = table(spark, SF_ORACLE, "events").count()
+    assert r.n_erased + r.n_kept == n_events
+    assert r.n_subjects > 0 and r.n_erased >= r.n_subjects
+
+
+def test_cdc_apply_state_consistent(spark):
+    r = REGISTRY["cdc_apply_changes"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.n_ops == r.n_upserts + r.n_deletes
+    n_keys = (
+        table(spark, SF_ORACLE, "orders")
+        .select((F.col("o_orderkey") % 5000).alias("k"))
+        .distinct()
+        .count()
+    )
+    assert r.n_live_keys + r.n_tombstones == n_keys
+    assert r.n_tombstones > 0  # deletes actually reached the final state
+    assert r.live_value_total > 0
+
+
+def test_candidate_key_profile_truths(spark):
+    rows = {(r.kind, r.subject): r for r in
+            REGISTRY["candidate_key_profile"].fn(spark, SF_ORACLE).collect()}
+    assert len(rows) == 5
+    o = table(spark, SF_ORACLE, "orders")
+    n = o.count()
+    ndv_ok = o.select("o_orderkey").distinct().count()
+    k = rows[("key", "o_orderkey")]
+    assert k.n_rows == n and k.ndv_lhs == ndv_ok
+    assert k.holds == (ndv_ok == n)
+    # FD verdicts must match a direct recomputation
+    fd = rows[("fd", "o_orderkey->o_custkey")]
+    ndv_pair = o.select("o_orderkey", "o_custkey").distinct().count()
+    assert fd.ndv_rhs == ndv_pair and fd.holds == (ndv_ok == ndv_pair)
+    for r in rows.values():
+        assert 0 < r.uniqueness <= 1.0

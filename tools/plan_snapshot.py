@@ -34,7 +34,10 @@ SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2e
         "semantic_dedup_cells",
         # round 6: driver-side iteration loops / streaming runs
         "kcore_copurchase", "leakage_safe_group_split",
-        "stream_countmin_user_events"}
+        "stream_countmin_user_events",
+        # wave 7: component-label convergence loop (round count is
+        # data-dependent; bfs_reachability's FIXED 3-hop loop is fine)
+        "grid_hotspot_clusters"}
 
 
 def normalize(plan: str) -> str:

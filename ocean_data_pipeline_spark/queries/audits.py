@@ -884,7 +884,9 @@ def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(lhs).alias("ndv_lhs"),
             F.col(rhs).alias("ndv_rhs"),
             (F.col(lhs) == F.col(rhs if kind == "fd" else "n")).alias("holds"),
-            (F.col(lhs).cast("double") / F.col("n")).alias("uniqueness"),
+            F.when(F.col("n") > 0, F.col(lhs).cast("double") / F.col("n")).alias(
+                "uniqueness"
+            ),
         )
 
     out = (

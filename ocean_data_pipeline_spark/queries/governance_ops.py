@@ -124,7 +124,7 @@ cov AS (
          (sxx - sx * sx / n) / (n - 1) AS cxx,
          (syy - sy * sy / n) / (n - 1) AS cyy,
          (sxy - sx * sy / n) / (n - 1) AS cxy
-  FROM m
+  FROM m WHERE n >= 2
 ),
 scored AS (
   SELECT l.l_orderkey, l.l_linenumber,
@@ -161,8 +161,8 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is a codegen'd projection, and the top-k lowers to
     TakeOrderedAndProject (partial top-20 per partition → merge), so
     no full sort ever materializes. The singular-covariance guard
-    (det=0 → NULL, filtered) keeps the ANSI divide-by-zero path
-    unreachable on degenerate inputs.
+    (det=0 → NULL, filtered) and the n>=2 moment filter keep the
+    ANSI divide-by-zero paths unreachable on degenerate inputs.
 
     Determinism: moment sums are exact DECIMAL (quantity and price are
     cents-exact), every double downstream is the identical expression
@@ -179,7 +179,7 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(p * p).cast("double").alias("syy"),
         F.sum(q * p).cast("double").alias("sxy"),
     )
-    cov = m.select(
+    cov = m.filter(F.col("n") >= 2).select(
         "n",
         (F.col("sx") / F.col("n")).alias("mx"),
         (F.col("sy") / F.col("n")).alias("my"),

@@ -621,8 +621,9 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dist",
             F.coalesce("n_hop", F.lit(0)).cast("bigint").alias("n_nodes"),
-            (
-                F.coalesce("n_hop", F.lit(0)).cast("double") / F.col("n_parts")
+            F.when(
+                F.col("n_parts") > 0,
+                F.coalesce("n_hop", F.lit(0)).cast("double") / F.col("n_parts"),
             ).alias("node_share"),
         )
         .orderBy("dist")

@@ -195,6 +195,9 @@ HEADLINE = [
     "erasure_propagation_census",
     "cdc_apply_changes",
     "candidate_key_profile",
+    "mann_kendall_trend",
+    "seasonal_indices_monthly",
+    "frequent_triples_apriori",
 ]
 
 

@@ -727,3 +727,112 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("item", "rank")
     )
+
+
+# --- Apriori frequent triples -----------------------------------------
+
+_TRIPLES_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+items AS (
+  SELECT l_partkey AS item, count(*) AS supp FROM op GROUP BY 1
+  HAVING count(*) >= 2
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS supp
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey IN (SELECT item FROM items)
+    AND b.l_partkey IN (SELECT item FROM items)
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+cand AS (
+  -- Apriori join step: (a,b) + (a,c) with b < c, pruned by (b,c) in L2
+  SELECT p1.pa AS a, p1.pb AS b, p2.pb AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.pa = p1.pa AND p2.pb > p1.pb
+  JOIN pairs p3 ON p3.pa = p1.pb AND p3.pb = p2.pb
+),
+occ AS (
+  SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+counted AS (
+  SELECT c.a, c.b, c.c, count(*) AS support
+  FROM cand c
+  JOIN occ o ON o.pa = c.a AND o.pb = c.b
+  JOIN op  p ON p.l_orderkey = o.l_orderkey AND p.l_partkey = c.c
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+SELECT a AS part_a, b AS part_b, c AS part_c, support
+FROM counted
+ORDER BY support DESC, part_a, part_b, part_c
+LIMIT 15
+"""
+
+
+@register("frequent_triples_apriori", oracle=_TRIPLES_ORACLE)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 frequent itemsets by Apriori (Agrawal-Srikant): L2 =
+    support-floored co-purchase pairs, C3 = the Apriori join (a,b)+
+    (a,c) PRUNED by requiring the third sub-pair (b,c) ∈ L2 — the
+    anti-monotonicity step that keeps candidate counting tractable —
+    then support counting ONLY over candidates, top-15 reported.
+    Extends `association_rules_copurchase` (pairs) one lattice level.
+
+    Scale: pair occurrences come from the per-order C(items,2)
+    equi-join (linear in orders); candidate generation runs on the
+    L2 relation (support-floored, small); the counting join touches
+    only (candidate × occurrence) matches, never the full triple
+    cross of items. All joins are equi-joins on part/order keys."""
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    items = (
+        op.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("item")
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    occ = a.join(b, "k").filter(F.col("pa") < F.col("pb"))
+    pairs = (
+        occ.join(F.broadcast(items.withColumnRenamed("item", "pa")), "pa")
+        .join(F.broadcast(items.withColumnRenamed("item", "pb")), "pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("pa", "pb")
+    )
+    p1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    p2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    p3 = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    cand = (
+        p1.join(p2, "a")
+        .filter(F.col("c") > F.col("b"))
+        .join(p3, ["b", "c"], "left_semi")
+    )
+    counted = (
+        cand.join(
+            occ.select("k", F.col("pa").alias("a"), F.col("pb").alias("b")),
+            ["a", "b"],
+        )
+        .join(
+            op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("c")),
+            ["k", "c"],
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return (
+        counted.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("c").alias("part_c"),
+            "support",
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+        .limit(15)
+    )

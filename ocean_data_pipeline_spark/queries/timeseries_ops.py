@@ -526,3 +526,254 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_cusum").desc(), "day")
         .limit(5)
     )
+
+
+# --- Mann-Kendall trend test + Theil-Sen slope ------------------------
+
+_MANN_KENDALL_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY t) AS i FROM m
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, a.x AS xa, b.x AS xb,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+         (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) / (b.i - a.i) AS slope
+  FROM idx a JOIN idx b ON b.i > a.i
+),
+s AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+         count(*) AS n_pairs,
+         quantile_cont(slope, 0.5) AS theil_sen_slope
+  FROM pairs
+),
+n1 AS (SELECT count(*) AS n FROM idx),
+ties AS (
+  SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT count(*) AS c FROM idx GROUP BY x HAVING count(*) > 1)
+),
+v AS (
+  SELECT n1.n, s.s_stat, s.n_pairs, s.theil_sen_slope,
+         (n1.n * (n1.n - 1.0) * (2.0 * n1.n + 5.0) - ties.tie_term) / 18.0 AS var_s
+  FROM n1 CROSS JOIN s CROSS JOIN ties
+)
+SELECT CAST(n AS BIGINT) AS n_periods,
+       s_stat,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       var_s,
+       CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+            ELSE 0.0 END AS z_stat,
+       theil_sen_slope
+FROM v
+"""
+
+
+@register("mann_kendall_trend", oracle=_MANN_KENDALL_ORACLE)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Theil-Sen robust slope on
+    monthly revenue — the nonparametric pair to the OLS trend: S =
+    Σ_{i<j} sgn(x_j − x_i) is pure integer arithmetic over exact
+    DECIMALs (like Mann-Whitney, a rank statistic in disguise), the
+    tie-corrected variance is an integer identity, and the Theil-Sen
+    slope is the exact median of pairwise slopes (`F.percentile` ↔
+    quantile_cont). The continuity-corrected z needs no float care
+    beyond one fixed chain.
+
+    Scale: the fact table reduces to O(months) partials first; the
+    O(n²) pair join runs on the calendar-sized relation (84 rows →
+    3.5k pairs). For multi-decade daily series, swap the pair join
+    for the O(n log n) inversion-count formulation."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    idx = m.select("x", F.row_number().over(Window.orderBy("t")).alias("i"))
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("ib") > F.col("ia")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("xb").cast("double") - F.col("xa").cast("double"))
+            / (F.col("ib") - F.col("ia"))
+        ).alias("slope"),
+    )
+    s = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("theil_sen_slope"),
+    )
+    n1 = idx.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - F.lit(1.0)) * (F.lit(2.0) * F.col("n") + F.lit(5.0))
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    v = n1.crossJoin(s).crossJoin(ties).withColumn("var_s", var_s)
+    return v.select(
+        F.col("n").cast("bigint").alias("n_periods"),
+        "s_stat",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "var_s",
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+        "theil_sen_slope",
+    )
+
+
+# --- classical seasonal indices ---------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         year(o_orderdate) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT mo, x,
+         count(*)  OVER w11 AS n11,
+         sum(x)    OVER w11 AS s11,
+         lag(x, 6)  OVER (ORDER BY t) AS x_m6,
+         lead(x, 6) OVER (ORDER BY t) AS x_p6
+  FROM m
+  WINDOW w11 AS (ORDER BY t ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+),
+r AS (
+  -- classical 2x12 centered MA; FULL frames only (all 13 inputs
+  -- present), the round-5 full-frame-only device
+  SELECT mo,
+         CAST(CAST(CAST(x AS DOUBLE)
+              / ((CAST(s11 AS DOUBLE)
+                  + (CAST(x_m6 AS DOUBLE) + CAST(x_p6 AS DOUBLE)) / 2) / 12)
+              AS VARCHAR) AS DECIMAL(18,12)) AS ratio
+  FROM f
+  WHERE n11 = 11 AND x_m6 IS NOT NULL AND x_p6 IS NOT NULL
+    AND (CAST(s11 AS DOUBLE)
+         + (CAST(x_m6 AS DOUBLE) + CAST(x_p6 AS DOUBLE)) / 2) <> 0
+),
+idx AS (
+  SELECT mo, count(*) AS n_obs,
+         CAST(sum(ratio) AS DOUBLE) / count(*) AS raw_index
+  FROM r GROUP BY mo
+),
+-- normalizer: each index rounds ONCE into DECIMAL(18,12) THROUGH ITS
+-- SHORTEST STRING REPR before the sum — order-free reduction AND a
+-- correctly-rounded double->decimal step on both engines (direct
+-- double->decimal casts double-round: scaled-float in DuckDB vs
+-- BigDecimal in Spark)
+tot AS (SELECT CAST(sum(CAST(CAST(raw_index AS VARCHAR) AS DECIMAL(18,12)))
+                    AS DOUBLE) AS s
+        FROM idx)
+SELECT idx.mo AS month,
+       CAST(idx.n_obs AS BIGINT) AS n_obs,
+       idx.raw_index,
+       idx.raw_index * 12 / tot.s AS normalized_index
+FROM idx CROSS JOIN tot
+ORDER BY idx.mo
+"""
+
+
+@register("seasonal_indices_monthly", oracle=_SEASONAL_ORACLE)
+def seasonal_indices_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition, index step:
+    detrend monthly revenue by the 2x12 centered moving average
+    (half-weight at ±6 months), average the detrended ratios per
+    calendar month, and normalize the 12 indices to mean 1 — the
+    seasonal-adjustment factor table behind every YoY dashboard.
+
+    Determinism devices: the centered MA uses an 11-row exact-DECIMAL
+    frame sum plus half-weighted lag6/lead6 (one fixed chain); FULL
+    frames only (the round-5 full-frame-only rule) so no partial
+    window enters the indices; each ratio is rounded ONCE into
+    DECIMAL(18,12) so the per-month averages are order-free exact
+    sums, not float reductions. Raw aggregation happens map-side onto
+    O(months) rows before any window runs."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    w = Window.orderBy("t")
+    w11 = w.rowsBetween(-5, 5)
+    f = m.select(
+        "mo",
+        "x",
+        F.count(F.lit(1)).over(w11).alias("n11"),
+        F.sum("x").over(w11).alias("s11"),
+        F.lag("x", 6).over(w).alias("x_m6"),
+        F.lead("x", 6).over(w).alias("x_p6"),
+    )
+    ma = (
+        F.col("s11").cast("double")
+        + (F.col("x_m6").cast("double") + F.col("x_p6").cast("double")) / 2
+    ) / 12
+    r = (
+        f.filter(
+            (F.col("n11") == 11)
+            & F.col("x_m6").isNotNull()
+            & F.col("x_p6").isNotNull()
+        )
+        .filter(
+            (
+                F.col("s11").cast("double")
+                + (F.col("x_m6").cast("double") + F.col("x_p6").cast("double")) / 2
+            )
+            != 0
+        )
+        .select(
+            "mo",
+            (F.col("x").cast("double") / ma)
+            .cast("string")
+            .cast("decimal(18,12)")
+            .alias("ratio"),
+        )
+    )
+    idx = r.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum("ratio").cast("double") / F.count(F.lit(1))).alias("raw_index"),
+    )
+    tot = idx.agg(
+        F.sum(F.col("raw_index").cast("string").cast("decimal(18,12)"))
+        .cast("double")
+        .alias("s")
+    )
+    return (
+        idx.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("mo").alias("month"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            "raw_index",
+            (F.col("raw_index") * 12 / F.col("s")).alias("normalized_index"),
+        )
+        .orderBy("month")
+    )

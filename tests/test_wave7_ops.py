@@ -255,3 +255,75 @@ def test_sql_filter_clause_matches_case_formulation(spark):
             r.n_finished,
             r.n_large,
         )
+
+
+def test_mann_kendall_matches_python(spark):
+    r = REGISTRY["mann_kendall_trend"].fn(spark, SF_ORACLE).collect()[0]
+    m = (
+        table(spark, SF_ORACLE, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("mo"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+        .orderBy("mo")
+        .collect()
+    )
+    xs = [float(v.x) for v in m]
+    n = len(xs)
+    s = sum(
+        (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert r.n_periods == n
+    assert r.s_stat == s
+    assert r.n_pairs == n * (n - 1) // 2
+    var = n * (n - 1) * (2 * n + 5) / 18.0  # no ties in cents-exact revenue
+    assert math.isclose(r.var_s, var, rel_tol=1e-12)
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    assert math.isclose(r.z_stat, z, rel_tol=1e-12)
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    )
+    import numpy as np
+
+    assert math.isclose(
+        r.theil_sen_slope, float(np.quantile(slopes, 0.5)), rel_tol=1e-9
+    )
+
+
+def test_seasonal_indices_normalized(spark):
+    rows = REGISTRY["seasonal_indices_monthly"].fn(spark, SF_ORACLE).collect()
+    assert [r.month for r in rows] == list(range(1, 13))
+    assert math.isclose(
+        sum(r.normalized_index for r in rows), 12.0, rel_tol=1e-9
+    )
+    for r in rows:
+        assert 0.5 < r.raw_index < 2.0  # multiplicative indices near 1
+        assert r.n_obs >= 5
+
+
+def test_apriori_antimonotone(spark):
+    rows = REGISTRY["frequent_triples_apriori"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    op = (
+        table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in op:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    for r in rows:
+        assert r.part_a < r.part_b < r.part_c
+        exact = sum(
+            1
+            for items in baskets.values()
+            if r.part_a in items and r.part_b in items and r.part_c in items
+        )
+        assert r.support == exact and r.support >= 2
+        # anti-monotonicity: every sub-pair occurs at least `support` times
+        for x, y in ((r.part_a, r.part_b), (r.part_a, r.part_c), (r.part_b, r.part_c)):
+            pair_supp = sum(
+                1 for items in baskets.values() if x in items and y in items
+            )
+            assert pair_supp >= r.support

@@ -198,6 +198,11 @@ HEADLINE = [
     "mann_kendall_trend",
     "seasonal_indices_monthly",
     "frequent_triples_apriori",
+    "rfm_segmentation",
+    "gini_customer_spend",
+    "market_concentration_hhi",
+    "abc_pareto_classes",
+    "psi_drift_price",
 ]
 
 

@@ -127,6 +127,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         quality_ops,
         reshape,
         retrieval_ops,
+        segmentation_ops,
         sketch_ops,
         set_ops,
         timeseries_ops,

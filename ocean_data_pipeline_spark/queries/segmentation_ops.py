@@ -1,0 +1,471 @@
+"""Customer / market segmentation and concentration analytics
+(SURVEY.md §2-E width, the BI layer a warehouse owes its analysts):
+RFM scoring, population-stability drift (PSI), the Gini coefficient,
+Herfindahl-Hirschman concentration, and ABC/Pareto classification.
+
+All five reduce the fact table to an entity-level relation FIRST
+(customer, part, (nation, supplier)), so the ranking windows and
+census arithmetic run on entity-count rows — at 100 TB the only
+row-scale stage is the initial map-side partial aggregate.
+
+Determinism devices (established in audits.py / timeseries_ops.py):
+entity sums in exact DECIMAL; rank/ntile windows over TOTAL orders
+(entity-key tiebreaks); class boundaries compared in exact decimal
+cross-multiplication, never on float cumulative shares; the one
+cross-row float reduction (PSI total) rounds each term through its
+shortest string repr into DECIMAL first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- RFM segmentation --------------------------------------------------
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31')
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days, o_custkey)        AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey)      AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey)       AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(min(recency_days) AS BIGINT) AS min_recency,
+       CAST(max(frequency) AS BIGINT) AS max_frequency,
+       CAST(sum(monetary) AS DOUBLE) AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at a
+    pinned reference date), frequency, monetary per customer, each
+    quintile-scored, rolled into the (R,F,M) segment census with value
+    mass per segment — the feature-engineering table behind churn and
+    CLV models.
+
+    ntile runs over a TOTAL order (custkey tiebreak) so quintile
+    boundaries are deterministic on both engines; the three rankings
+    share one O(customers) relation. Monetary stays exact DECIMAL all
+    the way to the per-segment sums."""
+    rfm = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("1998-12-31").cast("date"), F.max("o_orderdate").cast("date")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("recency_days").cast("bigint").alias("min_recency"),
+            F.max("frequency").cast("bigint").alias("max_frequency"),
+            F.sum("monetary").cast("double").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --- Gini coefficient --------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend
+),
+g AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       sx AS total_spend,
+       CASE WHEN n > 0 AND sx <> 0
+            THEN 2.0 * six / (n * sx) - (n + 1.0) / n END AS gini
+FROM g
+"""
+
+
+@register("gini_customer_spend", oracle=_GINI_ORACLE)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality readout
+    (how concentrated is revenue across the customer base) via the
+    rank formula G = 2·Σi·x_(i)/(n·Σx) − (n+1)/n over the ascending
+    spend ranking. Σi·x_(i) accumulates in exact DECIMAL (rank ×
+    cents-exact spend), so the whole statistic is one fixed IEEE
+    chain; the VARCHAR hop keeps the big decimal→double cast
+    correctly rounded on both engines.
+
+    Scale: facts reduce to O(customers) first; one total-order rank
+    window (custkey tiebreak pins ties) + a 1-row aggregate."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    ranked = spend.select(
+        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,2)"))
+        .cast("double")
+        .alias("six"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sx").alias("total_spend"),
+        F.when(
+            (F.col("n") > 0) & (F.col("sx") != 0),
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+        ).alias("gini"),
+    )
+
+
+# --- Herfindahl-Hirschman concentration --------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS x
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT s_nationkey,
+         count(*) AS n_suppliers,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(max(x) AS DOUBLE) AS xmax
+  FROM rev GROUP BY s_nationkey
+)
+SELECT n.n_name AS nation,
+       CAST(a.n_suppliers AS BIGINT) AS n_suppliers,
+       a.sx AS nation_revenue,
+       CASE WHEN a.sx <> 0 THEN a.sxx / (a.sx * a.sx) END AS hhi,
+       CASE WHEN a.sx <> 0 THEN a.xmax / a.sx END AS top_share
+FROM agg a JOIN nation n ON n.n_nationkey = a.s_nationkey
+ORDER BY nation
+"""
+
+
+@register("market_concentration_hhi", oracle=_HHI_ORACLE)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    HHI = Σ share² computed as Σx²/(Σx)² — both sums exact DECIMAL,
+    so no per-supplier float share is ever summed (a Σ of squared
+    double shares would be accumulation-order-dependent). Top-1 share
+    reported alongside — the antitrust/market-power readout.
+
+    Scale: one fact-side partial agg onto (nation, supplier), a
+    25-group rollup, broadcast nation-name join."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup.select("s_suppkey", "s_nationkey"), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.max("x").cast("double").alias("xmax"),
+    )
+    return (
+        agg.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            agg.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("sx").alias("nation_revenue"),
+            F.when(F.col("sx") != 0, F.col("sxx") / (F.col("sx") * F.col("sx"))).alias(
+                "hhi"
+            ),
+            F.when(F.col("sx") != 0, F.col("xmax") / F.col("sx")).alias("top_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- ABC / Pareto classification --------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(x) AS DECIMAL(28,2)) AS total FROM rev),
+ranked AS (
+  SELECT r.x,
+         CAST(sum(r.x) OVER (ORDER BY r.x DESC, r.l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(28,2)) AS cum,
+         t.total
+  FROM rev r CROSS JOIN tot t
+),
+classed AS (
+  -- boundaries in exact decimal cross-multiplication: cum/total<=0.7
+  -- <=> 10*cum <= 7*total (cents-exact, no float share ever compared)
+  SELECT x, cum, total,
+         CASE WHEN 10 * cum <= 7 * total THEN 'A'
+              WHEN 10 * cum <= 9 * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       count(*) AS n_parts,
+       CAST(sum(x) AS DOUBLE) AS class_revenue,
+       CAST(sum(x) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register("abc_pareto_classes", oracle=_ABC_ORACLE)
+def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 70/90) inventory classification: parts ranked by
+    revenue, classified by cumulative share — A carries the first 70%,
+    B to 90%, C the tail. Class boundaries are decided in EXACT
+    decimal cross-multiplication (10·cum ≤ 7·total), so no row can
+    epsilon-straddle a class between engines — the float-free
+    counterpart of a cumulative-share cutoff.
+
+    Scale: facts reduce to O(parts); one running-sum window over the
+    ranked part relation (total order via partkey tiebreak), then a
+    3-row census."""
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    tot = rev.agg(F.sum("x").cast("decimal(28,2)").alias("total"))
+    w = Window.orderBy(F.col("x").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "x", F.sum("x").over(w).cast("decimal(28,2)").alias("cum"), "total"
+    )
+    classed = ranked.select(
+        "x",
+        "total",
+        F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
+        .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("x").cast("double").alias("class_revenue"),
+            (
+                F.sum("x").cast("double") / F.max("total").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --- population stability index (PSI) ----------------------------------
+
+_PSI_ORACLE = """
+WITH ref AS (
+  SELECT o_totalprice AS x FROM orders WHERE year(o_orderdate) = 1995
+),
+cur AS (
+  SELECT o_totalprice AS x FROM orders WHERE year(o_orderdate) = 1997
+),
+earr AS (
+  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM ref
+),
+edges AS (
+  SELECT t.i, earr.bs[t.i] AS b
+  FROM earr CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(i)
+),
+ranges AS (
+  SELECT i AS bin,
+         coalesce(lag(b) OVER (ORDER BY i), -1e308) AS lo,
+         b AS hi
+  FROM edges
+  UNION ALL
+  SELECT 10, (SELECT b FROM edges WHERE i = 9), 1e308
+),
+rc AS (
+  SELECT r.bin,
+         (SELECT count(*) FROM ref WHERE ref.x > r.lo AND ref.x <= r.hi)
+           AS n_ref,
+         (SELECT count(*) FROM cur WHERE cur.x > r.lo AND cur.x <= r.hi)
+           AS n_cur
+  FROM ranges r
+),
+tots AS (
+  SELECT (SELECT count(*) FROM ref) AS t_ref,
+         (SELECT count(*) FROM cur) AS t_cur
+),
+terms AS (
+  SELECT rc.bin, rc.n_ref, rc.n_cur,
+         CASE WHEN rc.n_ref > 0 AND rc.n_cur > 0 THEN
+           (CAST(rc.n_ref AS DOUBLE) / t.t_ref
+            - CAST(rc.n_cur AS DOUBLE) / t.t_cur)
+           * ln((CAST(rc.n_ref AS DOUBLE) / t.t_ref)
+                / (CAST(rc.n_cur AS DOUBLE) / t.t_cur))
+         END AS psi_term
+  FROM rc CROSS JOIN tots t
+),
+total AS (
+  SELECT CAST(sum(CAST(CAST(psi_term AS VARCHAR) AS DECIMAL(18,12)))
+              AS DOUBLE) AS psi
+  FROM terms
+)
+SELECT terms.bin,
+       CAST(terms.n_ref AS BIGINT) AS n_ref,
+       CAST(terms.n_cur AS BIGINT) AS n_cur,
+       terms.psi_term,
+       total.psi
+FROM terms CROSS JOIN total
+ORDER BY terms.bin
+"""
+
+
+@register("psi_drift_price", oracle=_PSI_ORACLE)
+def psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1995 and 1997 order-price
+    distributions — the industry drift gate for model features (PSI >
+    0.2 = retrain): decile bins from the REFERENCE year's exact
+    quantiles, per-bin share shift × log-ratio terms, and the summed
+    PSI carried on every row. Complements the exact KS test
+    (`ks_test_price_by_year`) with the binned, reports-friendly
+    statistic.
+
+    Determinism: bin edges via `F.percentile` ↔ quantile_cont; bin
+    assignment is a broadcast range join against 10 edge rows (same
+    doubles, same predicates on both engines); each PSI term is a
+    fixed IEEE chain, and the 10-term total rounds each term through
+    its shortest string repr into DECIMAL first (the order-free
+    reduction device from `seasonal_indices_monthly`)."""
+    orders = table(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_totalprice").alias("x")
+    )
+    cur = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_totalprice").alias("x")
+    )
+    earr = ref.agg(
+        F.percentile(
+            "x", F.array(*[F.lit(k / 10.0) for k in range(1, 10)])
+        ).alias("bs")
+    )
+    edges = earr.select(F.posexplode("bs").alias("pos", "b")).select(
+        (F.col("pos") + 1).cast("int").alias("i"), "b"
+    )
+    wlag = Window.orderBy("i")
+    nine = edges.select("i", F.lag("b").over(wlag).alias("lo_raw"), F.col("b").alias("hi"))
+    ranges = nine.select(
+        F.col("i").alias("bin"),
+        F.coalesce("lo_raw", F.lit(-1e308)).alias("lo"),
+        "hi",
+    ).unionAll(
+        edges.filter(F.col("i") == 9).select(
+            F.lit(10).alias("bin"), F.col("b").alias("lo"), F.lit(1e308).alias("hi")
+        )
+    )
+    def binned(df, name):
+        return (
+            df.crossJoin(F.broadcast(ranges))
+            .filter((F.col("x") > F.col("lo")) & (F.col("x") <= F.col("hi")))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    rc = binned(ref, "n_ref").join(binned(cur, "n_cur"), "bin", "full")
+    tots = ref.agg(F.count(F.lit(1)).alias("t_ref")).crossJoin(
+        cur.agg(F.count(F.lit(1)).alias("t_cur"))
+    )
+    p = F.col("n_ref").cast("double") / F.col("t_ref")
+    q = F.col("n_cur").cast("double") / F.col("t_cur")
+    terms = (
+        rc.crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0), (p - q) * F.log(p / q)
+            ).alias("psi_term"),
+        )
+    )
+    total = terms.agg(
+        F.sum(F.col("psi_term").cast("string").cast("decimal(18,12)"))
+        .cast("double")
+        .alias("psi")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("bin", "n_ref", "n_cur", "psi_term", "psi")
+        .orderBy("bin")
+    )

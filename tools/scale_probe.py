@@ -455,6 +455,120 @@ def main() -> None:
 
         return build
 
+
+    def item_cosine_probe(li):
+        def build():
+            op = li.select("l_orderkey", "l_partkey").distinct()
+            c = op.groupBy(F.col("l_partkey").alias("item")).agg(
+                F.count(F.lit(1)).alias("n_orders")
+            )
+            a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+            b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+            canon = (
+                a.join(b, "k")
+                .filter(F.col("pa") < F.col("pb"))
+                .groupBy("pa", "pb")
+                .agg(F.count(F.lit(1)).alias("c_ij"))
+                .filter(F.col("c_ij") >= 2)
+            )
+            return canon.join(
+                c.select(F.col("item").alias("pa"), F.col("n_orders").alias("ci")), "pa"
+            ).groupBy().count()
+
+        return build
+
+    def hotspot_cells_probe(li):
+        def build():
+            cells = li.groupBy(
+                F.col("l_quantity").cast("int").alias("x"),
+                F.floor(F.col("l_extendedprice") / 5000).cast("int").alias("y"),
+            ).agg(F.count(F.lit(1)).alias("n"))
+            tot = cells.agg(
+                F.count(F.lit(1)).alias("nc"), F.sum("n").cast("double").alias("np")
+            )
+            return (
+                cells.crossJoin(F.broadcast(tot))
+                .filter(F.col("n") >= 1.25 * (F.col("np") / F.col("nc")))
+                .groupBy()
+                .count()
+            )
+
+        return build
+
+    def attribution_probe(ev):
+        def build():
+            from pyspark.sql import Window
+
+            fp = (
+                ev.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t_p"))
+            )
+            touch = ev.join(fp, "user_id").filter(
+                (F.col("event_type") != "purchase") & (F.col("ts") < F.col("t_p"))
+            )
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            wn = Window.partitionBy("user_id")
+            t = touch.select(
+                "event_type",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            return t.groupBy("event_type").count()
+
+        return build
+
+    def url_extract_probe(d):
+        def build():
+            aug = d.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.concat(
+                            F.lit(" see https://w"),
+                            (F.col("doc_id") % 50).cast("string"),
+                            F.lit(".example"),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".com/p/"),
+                            F.col("doc_id").cast("string"),
+                        ),
+                    ).otherwise(""),
+                ).alias("t"),
+            )
+            urls = aug.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        "t", F.lit(r"https?://[A-Za-z0-9.-]+[A-Za-z0-9/?=._-]*"), 0
+                    )
+                ).alias("url")
+            )
+            return urls.groupBy(
+                F.regexp_extract("url", r"\.([A-Za-z]+)(/|$)", 1).alias("tld")
+            ).count()
+
+        return build
+
+    def encoding_runs_probe(li):
+        def build():
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "v")
+            base = li.select("l_orderkey", "l_linenumber", F.col("l_partkey").alias("v"))
+            prev = F.lag("v").over(w)
+            return (
+                base.select(
+                    "v",
+                    F.when(prev.isNull() | (prev != F.col("v")), 1)
+                    .otherwise(0)
+                    .alias("s"),
+                )
+                .agg(F.count(F.lit(1)), F.countDistinct("v"), F.sum("s"))
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -490,6 +604,32 @@ def main() -> None:
         "skyline_levels(orders)": (skyline_probe(ord1), skyline_probe(ord10)),
         "kcore_peel_round(lineitem)": (kcore_probe(li1), kcore_probe(li10g)),
         "bootstrap_reps(orders)": (boot_probe(ord1), boot_probe(ord10)),
+        # wave 7: recommender pair counting (disjoint graph copies),
+        # density-grid agg, per-user attribution windows, URL
+        # extraction scan, per-order run census. hotspot cell GRID is
+        # value-defined, so replication multiplies occupancy, not
+        # cells — the threshold scales with it (scale-relative by
+        # design); bfs/components are covered by kcore/edge probes.
+        "item_cosine_pairs(lineitem)": (
+            item_cosine_probe(li1),
+            item_cosine_probe(li10g),
+        ),
+        "hotspot_cells(lineitem)": (
+            hotspot_cells_probe(li1),
+            hotspot_cells_probe(li10),
+        ),
+        "attribution_windows(events)": (
+            attribution_probe(ev1),
+            attribution_probe(ev10),
+        ),
+        "url_extract(documents)": (
+            url_extract_probe(docs1),
+            url_extract_probe(docs10),
+        ),
+        "encoding_runs(lineitem)": (
+            encoding_runs_probe(li1),
+            encoding_runs_probe(li10),
+        ),
     }
 
     lines = [

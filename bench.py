@@ -203,6 +203,7 @@ HEADLINE = [
     "market_concentration_hhi",
     "abc_pareto_classes",
     "psi_drift_price",
+    "interval_coverage_days",
 ]
 
 

@@ -18,7 +18,7 @@ Two scale postures demonstrated:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
@@ -170,4 +170,96 @@ def fiscal_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_rev",
         )
         .orderBy("window_start")
+    )
+
+
+# --- interval-union coverage ------------------------------------------
+
+_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey,
+         o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS e
+  FROM orders
+),
+flagged AS (
+  SELECT o_custkey, o_orderkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT o_custkey, s, e,
+         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+merged AS (
+  SELECT o_custkey, island,
+         count(*) AS n_orders,
+         date_diff('day', min(s), CAST(max(e) AS DATE)) AS covered
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       count(*) AS n_islands,
+       CAST(sum(covered) AS BIGINT) AS covered_days
+FROM merged
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("interval_coverage_days", oracle=_COVERAGE_ORACLE)
+def interval_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (merge overlapping intervals): each
+    order opens a 7-day handling window; per customer, overlapping
+    windows merge into islands and the total COVERED days are summed
+    — the utilization/dwell-time shape (machine uptime, user active
+    time, SLA coverage) that naive duration sums double-count.
+
+    The merge is the gaps-and-islands device: a running max-end over
+    the (start, orderkey)-ordered per-customer partition flags island
+    starts, a running sum labels islands, two keyed aggregates finish.
+    All three windows and both aggregates share ONE custkey exchange;
+    dates stay exact integers end to end."""
+    iv = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.select(
+        "o_custkey",
+        "o_orderkey",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.datediff(F.max("e"), F.min("s")).alias("covered"),
+    )
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("covered").cast("bigint").alias("covered_days"),
+        )
+        .orderBy("o_custkey")
     )

@@ -327,3 +327,32 @@ def test_apriori_antimonotone(spark):
                 1 for items in baskets.values() if x in items and y in items
             )
             assert pair_supp >= r.support
+
+
+def test_interval_coverage_matches_python(spark):
+    rows = REGISTRY["interval_coverage_days"].fn(spark, SF_ORACLE).collect()
+    orders = (
+        table(spark, SF_ORACLE, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("s"))
+        .collect()
+    )
+    import datetime
+
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r.s)
+    got = {r.o_custkey: r for r in rows}
+    assert set(got) == set(by_cust)
+    for cust, starts in list(by_cust.items())[:200]:
+        ivs = sorted((s, s + datetime.timedelta(days=7)) for s in starts)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = sum((e - s).days for s, e in merged)
+        r = got[cust]
+        assert r.n_islands == len(merged), cust
+        assert r.covered_days == covered, cust
+        assert r.n_orders == len(starts), cust

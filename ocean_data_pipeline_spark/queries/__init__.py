@@ -125,6 +125,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         llm_ops,
         pii_ops,
         quality_ops,
+        recursive_sql,
         reshape,
         retrieval_ops,
         segmentation_ops,

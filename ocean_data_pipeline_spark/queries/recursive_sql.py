@@ -1,0 +1,172 @@
+"""Recursive-CTE query family (ANSI `WITH RECURSIVE`, Spark 4.1).
+
+The reference's store exposes plain SQL as its query surface
+(run_pipeline.py's DDL/DML strings, dashboard/app.py's SELECTs); its
+DuckDB engine supports recursive CTEs natively. Spark gained recursive
+CTE execution in 4.0 (SPARK-24497), so these queries run ONE verbatim
+SQL string through BOTH engines — the string is simultaneously the
+Spark implementation and the DuckDB oracle, the strongest parity form
+this repo has (any divergence is engine behavior, not translation).
+
+Three recursion shapes, each chosen because a window function cannot
+express it (or expresses it only awkwardly):
+
+- spine generation (data-driven bounds, gap-fill by LEFT JOIN),
+- iterative hierarchy walk (digit-prefix supplier tree, join per step),
+- order-dependent clamped recurrence (capped running balance — the
+  classic inventory/credit-limit semantics; `greatest(0, prev+delta)`
+  has no window-function form because the clamp breaks associativity).
+
+Scale posture: Spark executes recursion as UnionLoopExec — each step
+is a distributed join/projection, so per-step work scales out, but the
+STEP COUNT is the data-dependent serial depth (80 months / ≤25 orders
+per customer / ≤4 digit levels here; level limit 100). That is the
+right physical shape when depth is small and data per level is wide —
+exactly these queries. Unbounded-depth fixpoints (connected
+components) stay on the driver-loop pointer-jumping implementation
+(operators/components.py): Spark 4.1 rejects UNION-distinct recursion
+(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed), and UNION ALL without
+dedup explodes exponentially on dense graphs.
+
+ANSI-safety: no division by data-derived denominators; decimal adds
+are re-cast to DECIMAL(20,2) each step so the type is loop-invariant
+(recursive UNION ALL requires anchor/step type equality on both
+engines) and cannot overflow (|balance| ≤ depth·max|delta| ≪ 10^18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ocean_data_pipeline_spark.catalog import register_views
+from ocean_data_pipeline_spark.queries import register
+
+# Month spine with data-driven bounds: recursion generates ONE row per
+# month between the corpus min/max (scalar subquery in the recursive
+# member, probed on both engines), then gap-fills monthly revenue by
+# LEFT JOIN. The recursive twin of `daily_series_gapfill`'s
+# sequence()-based approach — same semantics, different engine surface.
+_SQL_SPINE = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(min(EXTRACT(YEAR FROM o_orderdate) * 12
+               + EXTRACT(MONTH FROM o_orderdate) - 1) AS INT) AS lo,
+         CAST(max(EXTRACT(YEAR FROM o_orderdate) * 12
+               + EXTRACT(MONTH FROM o_orderdate) - 1) AS INT) AS hi
+  FROM orders
+), spine(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + 1 FROM spine WHERE m < (SELECT hi FROM bounds)
+), monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+           + EXTRACT(MONTH FROM o_orderdate) - 1 AS INT) AS m,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT s.m                                  AS month_index,
+       CAST(floor(s.m / 12) AS INT)         AS yr,
+       (s.m % 12) + 1                       AS mo,
+       coalesce(mm.n_orders, 0)             AS n_orders,
+       coalesce(mm.revenue, CAST(0 AS DOUBLE)) AS revenue
+FROM spine s
+LEFT JOIN monthly mm ON mm.m = s.m
+ORDER BY month_index
+"""
+
+
+@register("sql_recursive_month_spine", oracle=_SQL_SPINE)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly revenue over a recursively generated month
+    spine — verbatim-identical `WITH RECURSIVE` string on both engines.
+    ~80 recursion levels (orders span), one row per level."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SPINE)
+
+
+# Digit-prefix hierarchy walk: treat floor(suppkey/10) as the parent
+# key (a derived, perfectly balanced org tree over the real supplier
+# table), walk each supplier to the root, and aggregate the ancestor
+# chain (depth, count, account-balance rollup). The recursive member
+# JOINs the working set against itself-derived state — the BOM-
+# explosion / org-chart access pattern.
+_SQL_CHAIN = """
+WITH RECURSIVE walk AS (
+  SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth
+  FROM supplier
+  UNION ALL
+  SELECT node, CAST(floor(cur / 10) AS BIGINT) AS cur, depth + 1 AS depth
+  FROM walk
+  WHERE cur > 0
+)
+SELECT w.node                                   AS suppkey,
+       max(w.depth)                             AS chain_depth,
+       count(a.s_suppkey)                       AS n_ancestors,
+       CAST(sum(CAST(a.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                                AS ancestor_acctbal
+FROM walk w
+JOIN supplier a ON a.s_suppkey = w.cur
+GROUP BY w.node
+ORDER BY suppkey
+"""
+
+
+@register("sql_recursive_supplier_chain", oracle=_SQL_CHAIN)
+def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor-chain rollup over a derived digit-prefix supplier
+    hierarchy via recursive CTE; ≤4 levels (suppkey ≤ 9999 at bench
+    scales), each level a distributed self-join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CHAIN)
+
+
+# Clamped running balance: each customer accrues order totals against
+# a 150k drawdown per order, floored at zero (credit-limit semantics).
+# greatest(0, prev + delta) is non-associative, so no window frame can
+# compute it — the recurrence must step order-by-order. Total order is
+# pinned by (o_orderdate, o_orderkey, o_totalprice) so duplicate-key
+# rows (TESTDATA.md: synthetic dups) cannot make rn assignment
+# ambiguous between non-identical rows. Arithmetic is exact
+# DECIMAL(20,2) re-cast per step (loop-invariant type, both engines);
+# only the final report casts to DOUBLE.
+_SQL_CAPPED = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00 AS delta,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey, o_totalprice
+         ) AS rn
+  FROM orders
+), bal AS (
+  SELECT o_custkey, rn,
+         greatest(CAST(0.00 AS DECIMAL(20,2)),
+                  CAST(delta AS DECIMAL(20,2))) AS balance
+  FROM seq
+  WHERE rn = 1
+  UNION ALL
+  SELECT s.o_custkey, s.rn,
+         greatest(CAST(0.00 AS DECIMAL(20,2)),
+                  CAST(b.balance + s.delta AS DECIMAL(20,2))) AS balance
+  FROM bal b
+  JOIN seq s ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
+)
+SELECT o_custkey                         AS custkey,
+       count(*)                          AS n_orders,
+       CAST(max(balance) AS DOUBLE)      AS peak_balance,
+       CAST(max_by(balance, rn) AS DOUBLE) AS final_balance
+FROM bal
+GROUP BY o_custkey
+ORDER BY custkey
+"""
+
+
+@register("sql_recursive_capped_balance", oracle=_SQL_CAPPED)
+def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floored running balance per customer — an order-dependent
+    clamped recurrence no window function expresses; recursion depth =
+    max orders per customer (25 at sf0.1), each step one distributed
+    equi-join on (custkey, rn)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CAPPED)

@@ -139,6 +139,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         tpch_shapes2,
         tpch_shapes3,
         training_ops,
+        variant_ops,
         windows,
     )
 

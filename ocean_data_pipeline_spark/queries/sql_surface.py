@@ -456,3 +456,40 @@ def sql_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the filter. The verbatim string runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_FILTER_AGG)
+
+
+# SQL pipe syntax (Spark 4.0, `|>` — SIGMOD'24 "SQL Has Problems...",
+# the GoogleSQL pipe-operator grammar): the 13th textual string. Each
+# |> stage is a self-contained operator application in reading order —
+# the textual mirror of DataFrame chaining. DuckDB has no pipe grammar,
+# so the oracle is the ANSI formulation of the same plan; both lower to
+# identical logical operators (filter → project → partial agg → sort),
+# which is the point: pipe syntax is parser surface, not semantics.
+_SQL_PIPE = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> EXTEND CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+|> AGGREGATE count(*) AS n_orders,
+             CAST(sum(price_dec) AS DOUBLE) AS revenue
+   GROUP BY o_orderpriority AS priority
+|> ORDER BY priority
+"""
+
+_SQL_PIPE_ORACLE = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("sql_pipe_priority_revenue", oracle=_SQL_PIPE_ORACLE)
+def sql_pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax SQL (`FROM ... |> WHERE ... |> AGGREGATE`) through
+    Spark's parser; the DuckDB oracle is the equivalent ANSI string —
+    value parity proves the pipe grammar lowers to the same plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPE)

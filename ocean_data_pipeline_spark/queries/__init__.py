@@ -111,6 +111,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         approx,
         audits,
         cache_queries,
+        connector_ops,
         dedup_pipeline,
         embedding_decomp,
         event_analytics,

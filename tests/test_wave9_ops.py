@@ -1,0 +1,120 @@
+"""Invariant tests for the wave-9 families (recursive CTEs, VARIANT,
+pipe syntax, Python DataSources). Two-scale oracle parity pins exact
+values (tests/test_oracle_parity.py); these pin the semantic contracts
+parity alone wouldn't explain if broken — recursion termination shape,
+clamp bounds, connector partition planning, micro-batch invariance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.queries import load_all
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def test_month_spine_contiguous(spark):
+    """The recursive spine has no holes and no duplicates."""
+    rows = REGISTRY["sql_recursive_month_spine"].fn(spark, SF_SMOKE).collect()
+    idx = [r.month_index for r in rows]
+    assert idx == list(range(min(idx), max(idx) + 1))
+    # gap months exist at the small scale and must be zero-filled
+    assert all(r.n_orders >= 0 and r.revenue >= 0.0 for r in rows)
+
+
+def test_capped_balance_clamp_bounds(spark):
+    """0 <= balance; peak >= final; n_orders matches the orders table."""
+    rows = REGISTRY["sql_recursive_capped_balance"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.final_balance <= r.peak_balance, r
+    from ocean_data_pipeline_spark.catalog import table
+
+    expected = {
+        r.o_custkey: r.n
+        for r in table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.custkey: r.n_orders for r in rows} == expected
+
+
+def test_supplier_chain_depth_is_digit_count(spark):
+    """Digit-prefix walk depth == number of decimal digits of suppkey."""
+    rows = REGISTRY["sql_recursive_supplier_chain"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        # keys are dense from 0, so every digit-prefix INCLUDING the
+        # root 0 is a real supplier: digits+1 ancestors, walk depth =
+        # digit count (suppkey 0 anchors and stops immediately).
+        digits = len(str(r.suppkey))
+        if r.suppkey == 0:
+            assert (r.chain_depth, r.n_ancestors) == (0, 1), r
+        else:
+            assert r.n_ancestors == digits + 1, r
+            assert r.chain_depth == digits, r
+
+
+def test_variant_missing_path_is_null(spark):
+    """variant_get on an absent path yields NULL (count == 0), and the
+    payload field stays in its generator range."""
+    rows = REGISTRY["variant_props_profile"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_missing_path == 0, r
+        assert 0 <= r.max_k <= 99, r
+        assert r.vschema == "OBJECT<k: BIGINT>", r
+
+
+def test_pyds_batch_partition_planning(spark):
+    """The batch Python source plans exactly n_parts partitions and
+    covers each row index once."""
+    from ocean_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("ocean_sensor_feed")
+        .option("n_rows", 1003)  # non-divisible: tail partition is short
+        .option("n_parts", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 1003
+    # (sensor_id, tick) is the row index bijection: all distinct
+    assert df.select("sensor_id", "tick").distinct().count() == 1003
+
+
+def test_pyds_stream_equals_batch(spark):
+    """Forced multi-batch streaming read == one-shot batch read of the
+    same feed definition (micro-batch slicing invariance)."""
+    from ocean_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    streamed = (
+        REGISTRY["pyds_stream_feed_rollup"].fn(spark, SF_SMOKE).collect()
+    )
+    batch = (
+        spark.read.format("ocean_sensor_feed")
+        .option("n_rows", 2000)
+        .option("n_parts", 4)
+        .load()
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.sum("reading_centi").cast("bigint").alias("sum_centi"),
+        )
+        .orderBy("sensor_id")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_pyds_feed_profile_scales_with_sf(spark):
+    """Feed size is tied to the events row count (sf-proportional)."""
+    from ocean_data_pipeline_spark.catalog import table
+
+    rows = REGISTRY["pyds_sensor_feed_profile"].fn(spark, SF_ORACLE).collect()
+    n_events = table(spark, SF_ORACLE, "events").count()
+    assert sum(r.n_ticks for r in rows) == n_events

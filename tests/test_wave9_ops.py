@@ -118,3 +118,77 @@ def test_pyds_feed_profile_scales_with_sf(spark):
     rows = REGISTRY["pyds_sensor_feed_profile"].fn(spark, SF_ORACLE).collect()
     n_events = table(spark, SF_ORACLE, "events").count()
     assert sum(r.n_ticks for r in rows) == n_events
+
+
+def test_tws_gate_or_equivalence(spark):
+    """transformWithStateInPandas top-k: runs the streaming==batch
+    equivalence when the runtime supports TWS (google.protobuf
+    present), otherwise pins the honest NotImplementedError gate —
+    the multimodal codec-gate pattern."""
+    import pytest
+
+    from ocean_data_pipeline_spark.streaming import tws
+
+    ev_schema = "user_id BIGINT, event_id BIGINT, value DOUBLE"
+    if not tws.tws_available():
+        stream = (
+            spark.readStream.format("rate").load()
+            .selectExpr("value AS user_id", "value AS event_id",
+                        "CAST(value AS DOUBLE) AS value")
+        )
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            tws.topk_per_user(stream)
+        return
+
+    import os
+    import tempfile
+    import uuid
+
+    from ocean_data_pipeline_spark.catalog import table
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .where("value IS NOT NULL AND user_id < 20")
+        .select("user_id", "event_id", "value")
+    )
+    pdf = ev.toPandas().sort_values("event_id")
+    src = tempfile.mkdtemp()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_json(os.path.join(src, "a.json"), orient="records", lines=True)
+    pdf.iloc[half:].to_json(os.path.join(src, "b.json"), orient="records", lines=True)
+    stream = (
+        spark.readStream.schema(ev_schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    sink = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        tws.topk_per_user(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            f"""SELECT user_id, rank, value, event_id FROM (
+                  SELECT *, max(n_seen) OVER (PARTITION BY user_id) AS mx
+                  FROM {sink}) WHERE n_seen = mx
+                ORDER BY user_id, rank"""
+        ).collect()
+    ]
+    ev.createOrReplaceTempView("tws_batch_twin")
+    want = [
+        tuple(r)
+        for r in spark.sql(
+            """SELECT user_id, CAST(rn AS INT) AS rank, value, event_id FROM (
+                 SELECT user_id, value, event_id,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY value DESC, event_id) AS rn
+                 FROM tws_batch_twin) WHERE rn <= 3
+               ORDER BY user_id, rank"""
+        ).collect()
+    ]
+    assert got == want

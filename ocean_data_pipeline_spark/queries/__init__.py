@@ -116,6 +116,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         embedding_decomp,
         event_analytics,
         flagship,
+        fuzzy_ops,
         governance_ops,
         graph_ops,
         grid_queries,

@@ -8,14 +8,16 @@ SQL string through BOTH engines — the string is simultaneously the
 Spark implementation and the DuckDB oracle, the strongest parity form
 this repo has (any divergence is engine behavior, not translation).
 
-Three recursion shapes, each chosen because a window function cannot
+Four recursion shapes, each chosen because a window function cannot
 express it (or expresses it only awkwardly):
 
 - spine generation (data-driven bounds, gap-fill by LEFT JOIN),
 - iterative hierarchy walk (digit-prefix supplier tree, join per step),
 - order-dependent clamped recurrence (capped running balance — the
   classic inventory/credit-limit semantics; `greatest(0, prev+delta)`
-  has no window-function form because the clamp breaks associativity).
+  has no window-function form because the clamp breaks associativity),
+- coupled 2-state smoothing (Holt level+trend — beyond EWMA's
+  prefix-sum closed form; raw doubles stay bit-equal across engines).
 
 Scale posture: Spark executes recursion as UnionLoopExec — each step
 is a distributed join/projection, so per-step work scales out, but the
@@ -170,3 +172,51 @@ def sql_recursive_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (custkey, rn)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_CAPPED)
+
+
+# Holt two-parameter (level + trend) exponential smoothing: a 2-state
+# linear recurrence with no associative rewrite (EWMA's prefix-sum
+# closed form doesn't extend to the coupled level/trend system without
+# matrix powers), so the recursion steps month-by-month. Doubles are
+# emitted RAW: both engines evaluate the identical expression tree in
+# the identical step order, so every value is bit-equal (probed across
+# all 80 steps) — no rounding device needed. The recursive member
+# repeats the level expression inside the trend term instead of
+# referencing the alias (recursive SELECT items can't self-reference);
+# both engines fold the common subexpression.
+_SQL_HOLT = """
+WITH RECURSIVE m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+           + EXTRACT(MONTH FROM o_orderdate) AS INT) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  GROUP BY 1
+), r AS (
+  SELECT month, rev,
+         CAST(row_number() OVER (ORDER BY month) AS INT) AS rn
+  FROM m
+), holt AS (
+  SELECT month, rn, rev, rev AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT s.month, s.rn, s.rev,
+         0.3 * s.rev + 0.7 * (h.level + h.trend) AS level,
+         0.2 * ((0.3 * s.rev + 0.7 * (h.level + h.trend)) - h.level)
+           + 0.8 * h.trend AS trend
+  FROM holt h
+  JOIN r s ON s.rn = h.rn + 1
+)
+SELECT month, rev, level, trend, level + trend AS forecast_next
+FROM holt
+ORDER BY month
+"""
+
+
+@register("sql_recursive_holt_smoothing", oracle=_SQL_HOLT)
+def sql_recursive_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (alpha=0.3, beta=0.2) of monthly
+    revenue via recursive CTE — the 2-state recurrence EWMA's
+    closed-form rewrite can't reach; ~80 serial steps over a
+    month-sized series, partial-aggregated from the fact table first."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_HOLT)

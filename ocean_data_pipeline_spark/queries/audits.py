@@ -10,7 +10,7 @@ aggregates, so audit cost is scan-bound at any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
@@ -897,3 +897,117 @@ def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("fd", "o_custkey->o_orderdate", "ndv_ck", "ndv_ck_od"))
     )
     return out.orderBy("kind", "subject")
+
+
+# --- decision stump (exact optimal 1-D split) --------------------------
+
+_STUMP_ORACLE = """
+WITH labeled AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+levels AS (
+  SELECT x, count(*) AS n, sum(y) AS pos
+  FROM labeled GROUP BY x
+),
+cum AS (
+  SELECT x,
+         sum(n)   OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS n_l,
+         sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS pos_l,
+         sum(n)   OVER () AS n_tot,
+         sum(pos) OVER () AS pos_tot,
+         row_number() OVER (ORDER BY x) AS rn,
+         count(*) OVER () AS n_levels
+  FROM levels
+),
+scored AS (
+  SELECT x AS threshold,
+         n_l, n_tot - n_l AS n_r, pos_l, pos_tot - pos_l AS pos_r,
+         (CAST(n_l AS DOUBLE)
+            * (1.0 - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                     * (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                   - (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                     * (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)))
+          + CAST(n_tot - n_l AS DOUBLE)
+            * (1.0 - (CAST(pos_tot - pos_l AS DOUBLE) / CAST(n_tot - n_l AS DOUBLE))
+                     * (CAST(pos_tot - pos_l AS DOUBLE) / CAST(n_tot - n_l AS DOUBLE))
+                   - (CAST((n_tot - n_l) - (pos_tot - pos_l) AS DOUBLE) / CAST(n_tot - n_l AS DOUBLE))
+                     * (CAST((n_tot - n_l) - (pos_tot - pos_l) AS DOUBLE) / CAST(n_tot - n_l AS DOUBLE))))
+         / CAST(n_tot AS DOUBLE) AS gini_split
+  FROM cum
+  WHERE rn < n_levels
+)
+SELECT threshold, gini_split,
+       CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+       CAST(pos_l AS BIGINT) AS pos_left, CAST(pos_r AS BIGINT) AS pos_right
+FROM scored
+ORDER BY gini_split, threshold
+LIMIT 5
+"""
+
+
+@register("decision_stump_totalprice", oracle=_STUMP_ORACLE)
+def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact optimal decision stump: the split threshold on
+    o_totalprice minimizing weighted Gini impurity for the
+    urgent-priority label, evaluated at EVERY distinct feature value
+    in one pass — distinct-level contraction, two running sums over
+    the sorted levels, closed-form impurity per boundary (integer
+    counts exact; doubles enter only in the final fixed expression
+    tree, identical on both engines). Top-5 splits reported with the
+    (gini, threshold) tiebreak making order total. The max level is
+    excluded (empty right side). Scale: the prefix scan runs on
+    distinct LEVELS (15k at sf0.01), not rows — the standard
+    single-pass stump; 100 TB would pre-bin to equi-depth quantiles
+    first (approx_quartiles posture). This is the split-finding
+    primitive of every tree ensemble."""
+    labeled = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("y"),
+    )
+    levels = labeled.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = levels.select(
+        "x",
+        F.sum("n").over(w_run).alias("n_l"),
+        F.sum("pos").over(w_run).alias("pos_l"),
+        F.sum("n").over(w_all).alias("n_tot"),
+        F.sum("pos").over(w_all).alias("pos_tot"),
+        F.row_number().over(Window.orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_levels"),
+    )
+
+    def _d(c):
+        return c.cast("double")
+
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    n_r = F.col("n_tot") - n_l
+    pos_r = F.col("pos_tot") - pos_l
+    p_l, q_l = _d(pos_l) / _d(n_l), _d(n_l - pos_l) / _d(n_l)
+    p_r, q_r = _d(pos_r) / _d(n_r), _d(n_r - pos_r) / _d(n_r)
+    gini = (
+        _d(n_l) * (F.lit(1.0) - p_l * p_l - q_l * q_l)
+        + _d(n_r) * (F.lit(1.0) - p_r * p_r - q_r * q_r)
+    ) / _d(F.col("n_tot"))
+    return (
+        cum.where(F.col("rn") < F.col("n_levels"))
+        .select(
+            F.col("x").alias("threshold"),
+            gini.alias("gini_split"),
+            n_l.alias("n_left"),
+            n_r.alias("n_right"),
+            pos_l.alias("pos_left"),
+            pos_r.alias("pos_right"),
+        )
+        .orderBy("gini_split", "threshold")
+        .limit(5)
+    )

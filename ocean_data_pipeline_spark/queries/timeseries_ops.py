@@ -777,3 +777,83 @@ def seasonal_indices_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --- lead-lag cross-correlation ---------------------------------------
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS buys
+  FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag),
+paired AS (
+  SELECT l.lag, a.clicks AS x, b.buys AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+),
+moments AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM paired GROUP BY lag
+)
+SELECT lag, n AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN (CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS pearson_r
+FROM moments
+ORDER BY lag
+"""
+
+
+@register("leadlag_crosscorr_events", oracle=_XCORR_ORACLE)
+def leadlag_crosscorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and purchase daily
+    series at lags -7..+7 (does click volume LEAD purchases?): daily
+    partials first (the calendar-sized contraction), lag join as an
+    equi-join on day+lag, Pearson r from exact BIGINT moments — the
+    only doubles are the final closed-form expression, bit-identical
+    across engines; zero-variance windows yield NULL (CASE guard, no
+    division hazard under ANSI). The classic lead-lag attribution
+    diagnostic; at 100 TB the daily contraction makes the lag join
+    O(calendar × lags)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("bigint").alias("buys"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("day", F.col("clicks").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("buys").alias("y"))
+    paired = (
+        lags.crossJoin(a)
+        .withColumn("day_b", F.date_add(F.col("day"), F.col("lag")))
+        .join(b, "day_b")
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    cov = n * F.col("sxy") - sx * sy
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return m.select("lag", n.alias("n_days"), r.alias("pearson_r")).orderBy("lag")

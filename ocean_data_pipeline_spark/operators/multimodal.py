@@ -380,3 +380,132 @@ def extract_av_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=AV_META_SCHEMA)
+
+
+# --- raw (codec-free) video/image: frame sampling + resize ------------
+
+#: Raw container magics: uncompressed byte-planes, so frame sampling
+#: and resizing are REAL transformations here (no codec gate needed) —
+#: the processing path a pipeline runs after upstream decode, with the
+#: decode itself staying codec-gated (decode_pixels).
+_RAWV_MAGIC = b"RAWV"
+_RAWI_MAGIC = b"RAWI"
+
+
+def synth_raw_video(doc_id: int) -> bytes:
+    """Deterministic uncompressed video: RAWV + uint16 (W, H, n_frames)
+    little-endian, then n_frames planes of W*H bytes where frame f
+    byte k = (doc_id*7 + f*13 + k*29) % 251 — every sampled frame's
+    checksum is pure arithmetic an SQL oracle reproduces."""
+    w = 6 + doc_id % 5
+    h = 4 + doc_id % 3
+    n_frames = 4 + doc_id % 8
+    header = _RAWV_MAGIC + struct.pack("<HHH", w, h, n_frames)
+    frames = bytes(
+        (doc_id * 7 + f * 13 + k * 29) % 251
+        for f in range(n_frames)
+        for k in range(w * h)
+    )
+    return header + frames
+
+
+def synth_raw_image(doc_id: int) -> bytes:
+    """Deterministic uncompressed grayscale image: RAWI + uint16 (W, H)
+    little-endian, then W*H bytes with pixel(y, x) =
+    (doc_id*11 + y*17 + x*5) % 251."""
+    w = 8 + doc_id % 9
+    h = 8 + doc_id % 7
+    header = _RAWI_MAGIC + struct.pack("<HH", w, h)
+    pixels = bytes(
+        (doc_id * 11 + y * 17 + x * 5) % 251 for y in range(h) for x in range(w)
+    )
+    return header + pixels
+
+
+def sample_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Every `stride`-th frame from RAWV payloads via Arrow-batched
+    mapInPandas: emits (doc_id, frame_idx, width, height, frame_sum,
+    first_byte) — the frame-level fan-out a video pipeline feeds to
+    per-frame feature extractors. Output is one row per SAMPLED frame,
+    so downstream operators see frames as first-class rows (explode
+    posture); malformed payloads contribute zero rows rather than
+    failing the stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "width": [],
+                "height": [], "frame_sum": [], "first_byte": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or payload[:4] != _RAWV_MAGIC or len(payload) < 10:
+                    continue
+                w, h, n_frames = struct.unpack("<HHH", payload[4:10])
+                fsize = w * h
+                for f in range(0, n_frames, stride):
+                    frame = payload[10 + f * fsize : 10 + (f + 1) * fsize]
+                    if len(frame) < fsize:
+                        break
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_sum"].append(sum(frame))
+                    out["first_byte"].append(frame[0])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx int, width int, height int, "
+        "frame_sum long, first_byte int",
+    )
+
+
+def resize_nearest(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of RAWI payloads to out_w×out_h via
+    mapInPandas: thumbnail pixel (py, px) = source pixel
+    (floor(py*H/out_h), floor(px*W/out_w)) — the real downsample
+    arithmetic every thumbnail/embedding-prep stage runs, emitted as
+    one row per output pixel so the oracle can pin every byte."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "py": [], "px": [], "pixel": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or payload[:4] != _RAWI_MAGIC or len(payload) < 8:
+                    continue
+                w, h = struct.unpack("<HH", payload[4:8])
+                pixels = payload[8 : 8 + w * h]
+                if len(pixels) < w * h:
+                    continue
+                for py in range(out_h):
+                    sy = py * h // out_h
+                    for px in range(out_w):
+                        sx = px * w // out_w
+                        out["doc_id"].append(int(doc_id))
+                        out["py"].append(py)
+                        out["px"].append(px)
+                        out["pixel"].append(pixels[sy * w + sx])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches, schema="doc_id long, py int, px int, pixel int"
+    )
+
+
+def pack_synthetic_raw(df: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
+    """Attach synth_raw_video / synth_raw_image payloads per row."""
+    maker = synth_raw_video if kind == "video" else synth_raw_image
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [maker(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )

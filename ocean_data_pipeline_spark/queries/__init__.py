@@ -125,6 +125,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         joins,
         layout_ops,
         llm_ops,
+        media_ops,
         pii_ops,
         quality_ops,
         recursive_sql,

@@ -2134,3 +2134,115 @@ def multimodal_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     packed = pack_synthetic_av(docs, "doc_id")
     return extract_av_metadata(packed).orderBy("doc_id")
+
+
+# --- source-mixture distribution drift (Jensen-Shannon) ---------------
+
+_JSD_ORACLE = """
+WITH toks AS (
+  SELECT source, tok
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(regexp_replace(
+             regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  ) t
+  WHERE length(tok) > 0
+),
+st AS (SELECT source, tok, count(*) AS n_st FROM toks GROUP BY 1, 2),
+tt AS (SELECT tok, count(*) AS n_t FROM toks GROUP BY 1),
+ss AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM toks),
+grid AS (
+  SELECT s.source, t.tok, coalesce(c.n_st, 0) AS n_st, t.n_t, s.n_s, g.n
+  FROM ss s
+  CROSS JOIN tt t
+  LEFT JOIN st c ON c.source = s.source AND c.tok = t.tok
+  CROSS JOIN tot g
+),
+terms AS (
+  SELECT source, n_s,
+         (CASE WHEN n_st > 0 THEN
+            0.5 * (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                     / (0.5 * (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                        + CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))))
+          ELSE 0.0 END)
+         +
+         (CASE WHEN n_t - n_st > 0 THEN
+            0.5 * (CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+                * ln((CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+                     / (0.5 * (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                        + CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))))
+          ELSE 0.0 END) AS term
+  FROM grid
+)
+SELECT source,
+       CAST(min(n_s) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(18,12))) AS DOUBLE)
+         AS jsd_vs_rest
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("token_js_divergence", oracle=_JSD_ORACLE)
+def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the REST of the corpus — the corpus-mixing
+    diagnostic (which source is distributionally distinct → reweight
+    or investigate before training). Leave-one-out rest counts come
+    from the token totals (n_t - n_st), so ONE token census serves all
+    20 sources; the source×vocab grid is vocabulary-bounded (the same
+    posture as the PMI collocation and Naive-Bayes models). Terms are
+    fixed IEEE chains; the per-source total rounds each term through
+    its shortest string repr into DECIMAL(18,12) (order-free reduction
+    device, `psi_drift_price`), absorbing any sub-1e-12 libm drift."""
+    from ocean_data_pipeline_spark.operators.text import (
+        normalize_text as _norm_text,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True).where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
+    tt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    ss = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ss.crossJoin(F.broadcast(tt))
+        .join(st, ["source", "tok"], "left")
+        .withColumn("n_st", F.coalesce(F.col("n_st"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p_s = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    p_r = (F.col("n_t") - F.col("n_st")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    ).cast("double")
+    m = F.lit(0.5) * (p_s + p_r)
+    term = (
+        F.when(F.col("n_st") > 0, F.lit(0.5) * p_s * F.log(p_s / m)).otherwise(0.0)
+        + F.when(
+            (F.col("n_t") - F.col("n_st")) > 0, F.lit(0.5) * p_r * F.log(p_r / m)
+        ).otherwise(0.0)
+    )
+    return (
+        grid.select("source", "n_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("term").cast("string").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("jsd_vs_rest"),
+        )
+        .orderBy("source")
+    )

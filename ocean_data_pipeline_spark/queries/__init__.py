@@ -113,6 +113,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         cache_queries,
         connector_ops,
         dedup_pipeline,
+        dtw_ops,
         embedding_decomp,
         event_analytics,
         flagship,

@@ -192,3 +192,54 @@ def test_tws_gate_or_equivalence(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_dtw_matches_python_reference(spark):
+    """The wavefront-recursion DTW equals a classic nested-loop DP on
+    the same extracted series (independent recompute, not the oracle)."""
+    import math
+
+    from ocean_data_pipeline_spark.queries.dtw_ops import SPARK_DTW_SQL
+    from ocean_data_pipeline_spark.catalog import register_views
+    from pyspark.sql import functions as F
+
+    register_views(spark, SF_SMOKE)
+    got = {
+        (r.nation_a, r.nation_b): r.dtw_dist
+        for r in spark.sql(SPARK_DTW_SQL).collect()
+    }
+    # rebuild the gap-filled series independently
+    rev = spark.sql(
+        """SELECT n.n_name AS nation,
+                  CAST(EXTRACT(MONTH FROM o.o_orderdate) AS INT) AS mo,
+                  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1, 2"""
+    ).collect()
+    series: dict[str, list[float]] = {}
+    for r in rev:
+        series.setdefault(r.nation, [0.0] * 12)[r.mo - 1] = r.v
+
+    def dtw(xs, ys):
+        dp = [[math.inf] * 12 for _ in range(12)]
+        for i in range(12):
+            for j in range(12):
+                c = abs(xs[i] - ys[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = c
+                else:
+                    dp[i][j] = c + min(
+                        dp[i - 1][j] if i > 0 else math.inf,
+                        dp[i][j - 1] if j > 0 else math.inf,
+                        dp[i - 1][j - 1] if i > 0 and j > 0 else math.inf,
+                    )
+        return dp[11][11]
+
+    names = sorted(series)
+    checked = 0
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            assert math.isclose(got[(a, b)], dtw(series[a], series[b]),
+                                rel_tol=1e-12), (a, b)
+            checked += 1
+    assert checked == len(got) > 0

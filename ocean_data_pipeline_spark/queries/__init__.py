@@ -110,6 +110,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         aggregates,
         approx,
         audits,
+        bpe_ops,
         cache_queries,
         connector_ops,
         dedup_pipeline,

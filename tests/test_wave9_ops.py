@@ -243,3 +243,31 @@ def test_dtw_matches_python_reference(spark):
                                 rel_tol=1e-12), (a, b)
             checked += 1
     assert checked == len(got) > 0
+
+
+def test_bpe_merge_invariants(spark):
+    """BPE merges: counts are non-increasing-compatible (a later merge
+    can't beat an earlier one AT THE SAME ROUND — but counts may rise
+    after symbol fusion, so the real invariants are structural):
+    merged == pair without the space, pairs are over live symbols, and
+    the corpus word-length bound assumed by the oracle holds."""
+    from ocean_data_pipeline_spark.catalog import table
+
+    rows = REGISTRY["bpe_learn_merges"].fn(spark, SF_ORACLE).collect()
+    assert [r.merge_rank for r in rows] == list(range(1, 7))
+    for r in rows:
+        assert r.merged == r.pair.replace(" ", ""), r
+        assert r.pair_count > 0, r
+    # oracle bound: max word length + marker < _MAX_SYMS
+    from ocean_data_pipeline_spark.operators.text import normalize_text
+
+    max_len = (
+        table(spark, SF_ORACLE, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"))
+        .agg(F.max(F.length("w")))
+        .collect()[0][0]
+    )
+    from ocean_data_pipeline_spark.queries.bpe_ops import _MAX_SYMS
+
+    assert max_len + 1 < _MAX_SYMS

@@ -204,6 +204,22 @@ HEADLINE = [
     "abc_pareto_classes",
     "psi_drift_price",
     "interval_coverage_days",
+    # wave 9/10: recursive-CTE family, VARIANT, Python DataSource
+    # connector, fuzzy matching, ML primitives, media plumbing, DTW,
+    # BPE training, source drift
+    "sql_recursive_capped_balance",
+    "sql_recursive_holt_smoothing",
+    "variant_props_profile",
+    "pyds_sensor_feed_profile",
+    "edit_distance_name_join",
+    "snm_near_dup_pairs",
+    "decision_stump_totalprice",
+    "leadlag_crosscorr_events",
+    "token_js_divergence",
+    "video_frame_sample",
+    "image_resize_nn",
+    "dtw_nation_profiles",
+    "bpe_learn_merges",
 ]
 
 

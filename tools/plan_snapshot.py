@@ -37,7 +37,10 @@ SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2e
         "stream_countmin_user_events",
         # wave 7: component-label convergence loop (round count is
         # data-dependent; bfs_reachability's FIXED 3-hop loop is fine)
-        "grid_hotspot_clusters"}
+        "grid_hotspot_clusters",
+        # wave 9/10: BPE's per-round argmax is driver-side state; the
+        # pyds stream is a streaming run
+        "bpe_learn_merges", "pyds_stream_feed_rollup"}
 
 
 def normalize(plan: str) -> str:

@@ -128,6 +128,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         layout_ops,
         llm_ops,
         media_ops,
+        pandas_udf_ops,
         pii_ops,
         quality_ops,
         recursive_sql,

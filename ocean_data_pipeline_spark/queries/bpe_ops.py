@@ -135,7 +135,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
         )
         cnts = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
-        best = cnts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]
+        best_rows = cnts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not best_rows:  # empty corpus / merges exhausted: stay total
+            break
+        best = best_rows[0]
         learned.append((i, best.pair, best.pair.replace(" ", ""), int(best.cnt)))
         r = r.select(
             F.replace(

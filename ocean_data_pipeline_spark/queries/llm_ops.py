@@ -2246,3 +2246,112 @@ def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- deterministic hyperplane LSH (oracle-backed) ----------------------
+
+_HPLSH_ORACLE = """
+WITH dims AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS d),
+planes AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p),
+weights AS (
+  SELECT p.p, dm.d,
+         CAST(('0x' || substr(sha256('hp:' || CAST(p.p AS VARCHAR) || ':'
+                || CAST(dm.d AS VARCHAR)), 1, 6)) AS BIGINT) - 8388608 AS w
+  FROM planes p CROSS JOIN dims dm
+),
+comps AS (
+  SELECT e.vec_id, dm.d,
+         CAST(floor(CAST(list_extract(e.embedding, dm.d) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS q
+  FROM embeddings e CROSS JOIN dims dm
+),
+dots AS (
+  SELECT c.vec_id, w.p, CAST(sum(c.q * w.w) AS BIGINT) AS dot
+  FROM comps c JOIN weights w ON w.d = c.d
+  GROUP BY c.vec_id, w.p
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+              AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+       min(vec_id) AS min_vec_id
+FROM sigs
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("hyperplane_lsh_census", oracle=_HPLSH_ORACLE)
+def hyperplane_lsh_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection (hyperplane) LSH over the embedding
+    table with FULLY DETERMINISTIC arithmetic — the oracle-backed twin
+    of the MLlib BucketedRandomProjectionLSH path (rows-only by
+    nature): hyperplane weights come from the salted-sha256 portable
+    RNG, embedding components are floor-quantized to 1e-6 (float →
+    double is exact widening; floor rounds identically on both
+    engines), so every 64-term dot product is PURE BIGINT arithmetic —
+    order-free, no float-summation hazard at all. 8 sign bits pack
+    into a bucket id; near-duplicate vectors collide (the candidate
+    stage of cosine dedup). Scale: weights are a broadcast 512-row
+    relation; the component explode is one narrow shuffle per vector
+    batch, and the census is a partial agg."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("d"))
+    planes = spark.range(0, 8).select(F.col("id").cast("int").alias("p"))
+    weights = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit("hp:"),
+                            F.col("p").cast("string"),
+                            F.lit(":"),
+                            F.col("d").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            - F.lit(8388608)
+        ).alias("w"),
+    )
+    comps = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("int").alias("d"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    dots = (
+        comps.join(F.broadcast(weights), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("q") * F.col("w")).cast("bigint").alias("dot"))
+    )
+    sigs = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        sigs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )

@@ -836,3 +836,92 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
         .limit(15)
     )
+
+
+# --- weighted shortest paths (Bellman-Ford, fixed horizon) -------------
+
+_BF_ROUNDS = 4
+
+def _bf_oracle(k: int) -> str:
+    parts = [
+        f"""WITH {_EDGES_SQL},
+wedges AS (
+  SELECT pa, pb, 1 + (pa * 31 + pb * 17) % 9 AS w FROM edges
+),
+sym AS (
+  SELECT pa AS src, pb AS dst, w FROM wedges
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM wedges
+),
+d0 AS (
+  SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_partkey % 97 = 0
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT s.dst AS node, d.dist + s.w AS dist
+    FROM d{i-1} d JOIN sym s ON s.src = d.node
+  ) t GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS min_node
+FROM d{k} GROUP BY dist ORDER BY dist"""
+    )
+    return "".join(parts)
+
+
+_BF_ORACLE = _bf_oracle(_BF_ROUNDS)
+
+
+@register("bellman_ford_distances", oracle=_BF_ORACLE)
+def bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the BFS seed set over the
+    co-purchase graph, Bellman-Ford with a FIXED 4-relaxation horizon
+    (dist = cheapest path using ≤4 edges; edge weight = 1+(31·pa+17·pb)
+    mod 9, a deterministic latency stand-in). Each round is one
+    frontier equi-join + min-combine, localCheckpoint per round (the
+    kcore/BFS loop device); the oracle is a GENERATED 4-round unrolled
+    SQL, so any per-round divergence breaks the hash. Census output:
+    one row per distinct distance. Unweighted reachability is
+    `bfs_reachability`; this adds the relax-with-min semiring."""
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
+    wedges = edges.select(
+        "pa", "pb",
+        (F.lit(1) + (F.col("pa") * 31 + F.col("pb") * 17) % 9).alias("w"),
+    )
+    sym = wedges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionAll(
+        wedges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+    )
+    dist = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(_BF_ROUNDS):
+        relax = sym.join(dist.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("dist")
+    )

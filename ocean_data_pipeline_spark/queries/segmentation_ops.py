@@ -469,3 +469,141 @@ def psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_ref", "n_cur", "psi_term", "psi")
         .orderBy("bin")
     )
+
+
+# --- weight of evidence / information value ----------------------------
+
+_WOE_ORACLE = """
+WITH pop AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+earr AS (
+  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM pop
+),
+edges AS (
+  SELECT t.i, earr.bs[t.i] AS b
+  FROM earr CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(i)
+),
+ranges AS (
+  SELECT i AS bin,
+         coalesce(lag(b) OVER (ORDER BY i), -1e308) AS lo,
+         b AS hi
+  FROM edges
+  UNION ALL
+  SELECT 10, (SELECT b FROM edges WHERE i = 9), 1e308
+),
+rc AS (
+  SELECT r.bin,
+         (SELECT count(*) FROM pop WHERE pop.x > r.lo AND pop.x <= r.hi
+            AND pop.y = 1) AS n_pos,
+         (SELECT count(*) FROM pop WHERE pop.x > r.lo AND pop.x <= r.hi
+            AND pop.y = 0) AS n_neg
+  FROM ranges r
+),
+tots AS (
+  SELECT (SELECT count(*) FROM pop WHERE y = 1) AS t_pos,
+         (SELECT count(*) FROM pop WHERE y = 0) AS t_neg
+),
+terms AS (
+  SELECT rc.bin,
+         CAST(rc.n_pos AS BIGINT) AS n_pos,
+         CAST(rc.n_neg AS BIGINT) AS n_neg,
+         CAST(CAST(CAST(CASE WHEN rc.n_pos > 0 AND rc.n_neg > 0 THEN
+           ln((CAST(rc.n_pos AS DOUBLE) / t.t_pos)
+              / (CAST(rc.n_neg AS DOUBLE) / t.t_neg))
+         END AS VARCHAR) AS DECIMAL(18,12)) AS DOUBLE) AS woe,
+         CASE WHEN rc.n_pos > 0 AND rc.n_neg > 0 THEN
+           (CAST(rc.n_pos AS DOUBLE) / t.t_pos
+            - CAST(rc.n_neg AS DOUBLE) / t.t_neg)
+           * ln((CAST(rc.n_pos AS DOUBLE) / t.t_pos)
+                / (CAST(rc.n_neg AS DOUBLE) / t.t_neg))
+         END AS iv_term
+  FROM rc CROSS JOIN tots t
+),
+total AS (
+  SELECT CAST(sum(CAST(CAST(iv_term AS VARCHAR) AS DECIMAL(18,12)))
+              AS DOUBLE) AS iv
+  FROM terms
+)
+SELECT terms.bin, terms.n_pos, terms.n_neg, terms.woe, total.iv
+FROM terms CROSS JOIN total
+ORDER BY terms.bin
+"""
+
+
+@register("woe_iv_price_bins", oracle=_WOE_ORACLE)
+def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of decile-binned
+    order price against the urgent-priority label — the credit-scoring
+    feature-screening primitive (IV < 0.02 = feature is useless).
+    Same physical scaffolding as `psi_drift_price`: exact decile edges
+    (F.percentile ↔ quantile_cont, identical fraction literals), bin
+    assignment as a broadcast range join, WOE terms as fixed IEEE
+    chains, IV via the shortest-repr→DECIMAL order-free reduction."""
+    pop = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("y"),
+    )
+    earr = pop.agg(
+        F.percentile("x", F.array(*[F.lit(k / 10.0) for k in range(1, 10)])).alias(
+            "bs"
+        )
+    )
+    edges = earr.select(F.posexplode("bs").alias("pos", "b")).select(
+        (F.col("pos") + 1).cast("int").alias("i"), "b"
+    )
+    wlag = Window.orderBy("i")
+    nine = edges.select(
+        "i", F.lag("b").over(wlag).alias("lo_raw"), F.col("b").alias("hi")
+    )
+    ranges = nine.select(
+        F.col("i").alias("bin"),
+        F.coalesce("lo_raw", F.lit(-1e308)).alias("lo"),
+        "hi",
+    ).unionAll(
+        edges.filter(F.col("i") == 9).select(
+            F.lit(10).alias("bin"), F.col("b").alias("lo"), F.lit(1e308).alias("hi")
+        )
+    )
+    rc = (
+        pop.crossJoin(F.broadcast(ranges))
+        .filter((F.col("x") > F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .groupBy("bin")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
+        )
+    )
+    tots = pop.agg(
+        F.sum("y").alias("t_pos"), F.sum(F.lit(1) - F.col("y")).alias("t_neg")
+    )
+    ps = F.col("n_pos").cast("double") / F.col("t_pos")
+    ns = F.col("n_neg").cast("double") / F.col("t_neg")
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    terms = rc.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.when(both, F.log(ps / ns))
+        .cast("string")
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("woe"),
+        F.when(both, (ps - ns) * F.log(ps / ns)).alias("iv_term"),
+    )
+    total = terms.agg(
+        F.sum(F.col("iv_term").cast("string").cast("decimal(18,12)"))
+        .cast("double")
+        .alias("iv")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("bin", "n_pos", "n_neg", "woe", "iv")
+        .orderBy("bin")
+    )

@@ -493,3 +493,42 @@ def sql_pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     value parity proves the pipe grammar lowers to the same plan."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PIPE)
+
+
+# Parameterized SQL (Spark 4 `spark.sql(query, args=...)`): named
+# parameter markers bind server-side (no string splicing — the
+# SQL-injection-safe surface a reference user templating dashboard
+# queries needs), and IDENTIFIER(:tbl) binds a TABLE NAME through a
+# parameter, which literal substitution cannot do safely. DuckDB has
+# no parameter markers in this driver path, so the oracle is the
+# literal-bound ANSI string — parity proves binding == substitution.
+_SQL_PARAM_ORACLE = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 250000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("sql_parameterized_revenue", oracle=_SQL_PARAM_ORACLE)
+def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL with an IDENTIFIER-bound table name:
+    `FROM IDENTIFIER(:tbl) WHERE o_totalprice > :thr AND
+    o_orderstatus = :st` — binding happens in the analyzer, so the
+    plan is identical to the literal form (the oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :thr AND o_orderstatus = :st
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """,
+        args={"tbl": "orders", "thr": 250000.0, "st": "O"},
+    )

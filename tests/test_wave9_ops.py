@@ -271,3 +271,29 @@ def test_bpe_merge_invariants(spark):
     from ocean_data_pipeline_spark.queries.bpe_ops import _MAX_SYMS
 
     assert max_len + 1 < _MAX_SYMS
+
+
+def test_observe_metrics_match_aggregate(spark):
+    """df.observe() accumulates metrics DURING a real write (noop sink)
+    and must equal the standalone aggregate — the zero-extra-pass
+    observability hook a 100 TB pipeline uses instead of re-scanning
+    for row counts."""
+    from pyspark.sql import Observation
+
+    from ocean_data_pipeline_spark.catalog import table
+
+    orders = table(spark, SF_ORACLE, "orders")
+    obs = Observation("wave9_obs")
+    df = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n_rows
+    assert got["revenue"] == want.revenue

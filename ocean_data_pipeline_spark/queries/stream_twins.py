@@ -174,3 +174,56 @@ def stream_join_funnel_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="full_outer",
     )
     return out.orderBy("user_id", "view_ts", "purchase_ts", "purchase_value")
+
+
+# --- stream-static join (dimension enrichment) --------------------------
+
+_STREAM_STATIC_ORACLE = """
+SELECT n.n_name AS nation,
+       count(*) AS n_events,
+       count(e.value) AS n_valued,
+       max(e.event_id) AS max_event_id
+FROM events e
+JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@register("stream_static_enrich", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the remaining §2-H join class next to the
+    stream-stream inner/outer pair: the event stream enriched against
+    the static nation dimension (joined per micro-batch; Spark plans
+    the static side as a broadcast, re-resolved each batch, which is
+    why dimension TABLES — not snapshots — are the join target at
+    scale). The derived key user_id % 25 stands in for the FK an
+    enriched event feed carries. Counts/max are slicing-invariant, so
+    the complete-mode result carries a full batch oracle."""
+    import uuid
+
+    from ocean_data_pipeline_spark.queries.streaming_e2e import _event_stream
+
+    events = _event_stream(spark, sf_dir).select(
+        (F.col("user_id") % 25).alias("n_nationkey"), "event_id", "value"
+    )
+    dim = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = events.join(F.broadcast(dim), "n_nationkey")
+    agg = joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_valued"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    sink = f"stream_static_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).orderBy("nation")

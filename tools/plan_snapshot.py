@@ -40,7 +40,8 @@ SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2e
         "grid_hotspot_clusters",
         # wave 9/10: BPE's per-round argmax is driver-side state; the
         # pyds stream is a streaming run
-        "bpe_learn_merges", "pyds_stream_feed_rollup"}
+        "bpe_learn_merges", "pyds_stream_feed_rollup",
+        "stream_static_enrich"}
 
 
 def normalize(plan: str) -> str:

@@ -263,3 +263,154 @@ def interval_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --- FIFO lot allocation (cumulative-interval matching) -----------------
+
+_FIFO_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_shipdate,
+         l_orderkey % 2 = 0 AS is_supply
+  FROM lineitem
+),
+supply AS (
+  SELECT l_partkey, qty,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, qty
+                        ROWS UNBOUNDED PRECEDING) AS s_end
+  FROM li WHERE is_supply
+),
+demand AS (
+  SELECT l_partkey, qty,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, qty
+                        ROWS UNBOUNDED PRECEDING) AS d_end
+  FROM li WHERE NOT is_supply
+),
+alloc AS (
+  SELECT s.l_partkey,
+         least(s.s_end, d.d_end)
+           - greatest(s.s_end - s.qty, d.d_end - d.qty) AS a
+  FROM supply s
+  JOIN demand d ON d.l_partkey = s.l_partkey
+  WHERE least(s.s_end, d.d_end)
+        > greatest(s.s_end - s.qty, d.d_end - d.qty)
+),
+tot AS (
+  SELECT p.l_partkey,
+         coalesce(sq.supply_qty, 0) AS supply_qty,
+         coalesce(dq.demand_qty, 0) AS demand_qty,
+         coalesce(a.n_allocations, 0) AS n_allocations,
+         coalesce(a.allocated_qty, 0) AS allocated_qty
+  FROM (SELECT DISTINCT l_partkey FROM li) p
+  LEFT JOIN (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS supply_qty
+             FROM li WHERE is_supply GROUP BY 1) sq ON sq.l_partkey = p.l_partkey
+  LEFT JOIN (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS demand_qty
+             FROM li WHERE NOT is_supply GROUP BY 1) dq ON dq.l_partkey = p.l_partkey
+  LEFT JOIN (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_allocations,
+                    CAST(sum(a) AS BIGINT) AS allocated_qty
+             FROM alloc GROUP BY 1) a ON a.l_partkey = p.l_partkey
+)
+SELECT l_partkey AS partkey, n_allocations, allocated_qty,
+       supply_qty, demand_qty,
+       demand_qty - allocated_qty AS unmet_demand,
+       supply_qty - allocated_qty AS leftover_supply
+FROM tot
+ORDER BY partkey
+"""
+
+
+@register("fifo_lot_allocation", oracle=_FIFO_ORACLE)
+def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation: per part, supply lots (even order
+    keys) are consumed by demand rows (odd order keys) in ship-date
+    order, and each (lot, demand) allocation is the OVERLAP of their
+    cumulative-quantity intervals — the prefix-sum formulation that
+    turns an inherently sequential matching loop into two windows plus
+    one bounded equi-join (pairs per part are bounded by rows per
+    part, ~15×15 here; interval overlap prunes to the matched band).
+    The classic FIFO-costing/fulfillment op; allocation = min(ends) -
+    max(starts), all BIGINT-exact. Totality: parts with one side empty
+    report zero allocations via the left-join spine."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_shipdate",
+        (F.col("l_orderkey") % 2 == 0).alias("is_supply"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    supply = (
+        li.where("is_supply")
+        .select("l_partkey", "qty", F.sum("qty").over(w).alias("s_end"))
+    )
+    demand = (
+        li.where("NOT is_supply")
+        .select("l_partkey", "qty", F.sum("qty").over(w).alias("d_end"))
+    )
+    s = supply.select(
+        "l_partkey",
+        (F.col("s_end") - F.col("qty")).alias("s_start"),
+        F.col("s_end"),
+    )
+    d = demand.select(
+        F.col("l_partkey").alias("pk_d"),
+        (F.col("d_end") - F.col("qty")).alias("d_start"),
+        F.col("d_end"),
+    )
+    alloc = (
+        s.join(d, s.l_partkey == d.pk_d)
+        .where(
+            F.least("s_end", "d_end") > F.greatest("s_start", "d_start")
+        )
+        .select(
+            "l_partkey",
+            (
+                F.least("s_end", "d_end") - F.greatest("s_start", "d_start")
+            ).alias("a"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_allocations"),
+            F.sum("a").cast("bigint").alias("allocated_qty"),
+        )
+    )
+    sq = (
+        li.where("is_supply")
+        .groupBy("l_partkey")
+        .agg(F.sum("qty").cast("bigint").alias("supply_qty"))
+    )
+    dq = (
+        li.where("NOT is_supply")
+        .groupBy("l_partkey")
+        .agg(F.sum("qty").cast("bigint").alias("demand_qty"))
+    )
+    spine = li.select("l_partkey").distinct()
+    tot = (
+        spine.join(sq, "l_partkey", "left")
+        .join(dq, "l_partkey", "left")
+        .join(alloc, "l_partkey", "left")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.coalesce("n_allocations", F.lit(0)).cast("bigint").alias("n_allocations"),
+            F.coalesce("allocated_qty", F.lit(0)).cast("bigint").alias("allocated_qty"),
+            F.coalesce("supply_qty", F.lit(0)).cast("bigint").alias("supply_qty"),
+            F.coalesce("demand_qty", F.lit(0)).cast("bigint").alias("demand_qty"),
+        )
+    )
+    return tot.select(
+        "partkey",
+        "n_allocations",
+        "allocated_qty",
+        "supply_qty",
+        "demand_qty",
+        (F.col("demand_qty") - F.col("allocated_qty")).alias("unmet_demand"),
+        (F.col("supply_qty") - F.col("allocated_qty")).alias("leftover_supply"),
+    ).orderBy("partkey")

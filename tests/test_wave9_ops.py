@@ -297,3 +297,15 @@ def test_observe_metrics_match_aggregate(spark):
     ).collect()[0]
     assert got["n_rows"] == want.n_rows
     assert got["revenue"] == want.revenue
+
+
+def test_fifo_allocates_min_of_supply_demand(spark):
+    """FIFO with unconstrained band must allocate exactly
+    min(total_supply, total_demand) per part — the conservation law of
+    the cumulative-interval formulation."""
+    rows = REGISTRY["fifo_lot_allocation"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.allocated_qty == min(r.supply_qty, r.demand_qty), r
+        assert r.unmet_demand == r.demand_qty - r.allocated_qty, r
+        assert r.leftover_supply == r.supply_qty - r.allocated_qty, r

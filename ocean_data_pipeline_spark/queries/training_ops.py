@@ -666,3 +666,70 @@ def leakage_safe_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leaky))
         .orderBy("split")
     )
+
+
+# --- cross-source quantile normalization --------------------------------
+
+_QNORM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS r
+  FROM documents
+),
+gq AS (
+  SELECT n_chars AS g_chars,
+         percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct
+  FROM documents
+)
+SELECT a.doc_id, a.source, a.n_chars,
+       CAST(g.g_chars AS BIGINT) AS norm_chars
+FROM ranked a
+ASOF JOIN gq g ON g.pct <= a.r
+ORDER BY a.doc_id
+"""
+
+
+@register("quantile_normalize_doclen", oracle=_QNORM_ORACLE)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources (the
+    microarray-style distribution alignment used to remove per-source
+    length bias before mixing): each doc's WITHIN-SOURCE percent rank
+    is mapped onto the GLOBAL length distribution by an as-of
+    (backward) join on the rank axis — the greatest global quantile
+    ≤ the row's rank. The Spark side runs the engine's own asof_join
+    operator; the oracle uses DuckDB's native ASOF JOIN, so the
+    operator's contract is pinned against an independent built-in
+    implementation. percent_rank is (k-1)/(n-1) over a total order —
+    the identical double on both engines. Scale: one window per side
+    over the (source-partitioned / global) length axis, one
+    rank-partitioned as-of exchange."""
+    from ocean_data_pipeline_spark.operators.joins import asof_join
+
+    docs = table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+    )
+    glob = docs.select(
+        F.col("n_chars").alias("g_chars"),
+        F.percent_rank().over(Window.orderBy("n_chars", "doc_id")).alias("pct"),
+    )
+    joined = asof_join(
+        ranked,
+        glob,
+        left_on="r",
+        right_on="pct",
+        value_cols=["g_chars"],
+        direction="backward",
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("g_chars").cast("bigint").alias("norm_chars"),
+    ).orderBy("doc_id")

@@ -569,6 +569,158 @@ def main() -> None:
 
         return build
 
+    # wave 9/10 probes ---------------------------------------------------
+
+    part1 = table(spark, SF_DIR, "part", spread=True)
+    part10 = replicate(part1, "p_partkey", COPIES)
+    emb1 = table(spark, SF_DIR, "embeddings", spread=True)
+    emb10 = replicate(emb1, "vec_id", COPIES)
+
+    def snm_probe(d):
+        def build():
+            from pyspark.sql import Window
+
+            from ocean_data_pipeline_spark.operators.text import normalize_text
+
+            normed = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+                "doc_id", normalize_text(F.col("text")).alias("norm")
+            )
+            ranked = normed.withColumn(
+                "rn", F.row_number().over(Window.orderBy(F.substring("norm", 1, 40), "doc_id"))
+            )
+            a = ranked.select(F.col("doc_id").alias("id_a"), F.col("rn").alias("rn_a"))
+            b = (
+                ranked.select(F.col("doc_id").alias("id_b"), F.col("rn").alias("rn_b"))
+                .withColumn("g", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+                .withColumn("rn_a", F.col("rn_b") - F.col("g"))
+            )
+            return a.join(b, "rn_a").groupBy().count()
+
+        return build
+
+    def edit_join_probe(d):
+        def build():
+            names = d.groupBy("p_name").agg(F.count(F.lit(1)).alias("n")).withColumn(
+                "noun", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+            )
+            a = names.select(F.col("p_name").alias("na"), "noun", F.length("p_name").alias("la"))
+            b = names.select(F.col("p_name").alias("nb"), "noun", F.length("p_name").alias("lb"))
+            return (
+                a.join(b, "noun")
+                .where((F.col("na") < F.col("nb")) & (F.abs(F.col("la") - F.col("lb")) <= 2))
+                .withColumn("dist", F.levenshtein("na", "nb"))
+                .where(F.col("dist") <= 4)
+                .groupBy()
+                .count()
+            )
+
+        return build
+
+    def hplsh_probe(e):
+        def build():
+            dims = spark.range(1, 65).select(F.col("id").cast("int").alias("d"))
+            planes = spark.range(0, 8).select(F.col("id").cast("int").alias("p"))
+            weights = planes.crossJoin(dims).select(
+                "p", "d",
+                (F.conv(F.substring(F.sha2(F.concat(F.lit("hp:"), F.col("p").cast("string"),
+                 F.lit(":"), F.col("d").cast("string")), 256), 1, 6), 16, 10).cast("bigint")
+                 - F.lit(8388608)).alias("w"),
+            )
+            comps = e.select("vec_id", F.posexplode("embedding").alias("d0", "v")).select(
+                "vec_id", (F.col("d0") + 1).cast("int").alias("d"),
+                F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("q"),
+            )
+            dots = (
+                comps.join(F.broadcast(weights), "d")
+                .groupBy("vec_id", "p")
+                .agg(F.sum(F.col("q") * F.col("w")).alias("dot"))
+            )
+            return dots.groupBy("vec_id").count()
+
+        return build
+
+    def capped_recursion_probe(o):
+        def build():
+            import uuid as _uuid
+
+            view = f"probe_orders_{_uuid.uuid4().hex[:8]}"
+            o.createOrReplaceTempView(view)
+            return spark.sql(f"""
+                WITH RECURSIVE seq AS (
+                  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00 AS delta,
+                         row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey, o_totalprice) AS rn
+                  FROM {view}
+                ), bal AS (
+                  SELECT o_custkey, rn,
+                         greatest(CAST(0.00 AS DECIMAL(20,2)), CAST(delta AS DECIMAL(20,2))) AS balance
+                  FROM seq WHERE rn = 1
+                  UNION ALL
+                  SELECT s.o_custkey, s.rn,
+                         greatest(CAST(0.00 AS DECIMAL(20,2)), CAST(b.balance + s.delta AS DECIMAL(20,2))) AS balance
+                  FROM bal b JOIN seq s ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
+                )
+                SELECT o_custkey, count(*) AS n FROM bal GROUP BY o_custkey
+            """)
+
+        return build
+
+    def bpe_round_probe(d):
+        def build():
+            norm = F.trim(F.regexp_replace(F.regexp_replace(
+                F.lower(F.trim("text")), r"[^a-z0-9\s]", ""), r"\s+", " "))
+            words = (
+                d.filter(F.length(F.trim("text")) > 0)
+                .select(F.explode(F.split(norm, " ")).alias("word"))
+                .where(F.length("word") > 0)
+                .groupBy("word")
+                .agg(F.count(F.lit(1)).alias("freq"))
+            )
+            r = words.select(
+                F.concat(F.lit(" "), F.regexp_replace(
+                    F.concat(F.col("word"), F.lit("_")), "(.)", "$1 ")).alias("s"),
+                "freq",
+            )
+            arr = r.select(F.split(F.trim("s"), " ").alias("a"), "freq")
+            pairs = arr.select(
+                F.posexplode(F.slice("a", 1, F.size("a") - 1)).alias("k0", "sym"), "a", "freq"
+            ).select(
+                F.concat("sym", F.lit(" "), F.element_at("a", F.col("k0") + 2)).alias("pair"),
+                "freq",
+            )
+            return pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+
+        return build
+
+    def fifo_probe(li):
+        def build():
+            from pyspark.sql import Window
+
+            base = li.select(
+                "l_partkey", "l_orderkey", "l_linenumber",
+                F.col("l_quantity").cast("bigint").alias("qty"),
+                "l_shipdate", (F.col("l_orderkey") % 2 == 0).alias("is_supply"),
+            )
+            w = (
+                Window.partitionBy("l_partkey")
+                .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "qty")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            sup = base.where("is_supply").select(
+                "l_partkey", "qty", F.sum("qty").over(w).alias("s_end"))
+            dem = base.where("NOT is_supply").select(
+                F.col("l_partkey").alias("pk"), "qty", F.sum("qty").over(w).alias("d_end"))
+            s = sup.select("l_partkey", (F.col("s_end") - F.col("qty")).alias("s0"), "s_end")
+            d2 = dem.select("pk", (F.col("d_end") - F.col("qty")).alias("d0"), "d_end")
+            return (
+                s.join(d2, s.l_partkey == d2.pk)
+                .where(F.least("s_end", "d_end") > F.greatest("s0", "d0"))
+                .groupBy("l_partkey")
+                .count()
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -630,6 +782,28 @@ def main() -> None:
             encoding_runs_probe(li1),
             encoding_runs_probe(li10),
         ),
+        # wave 9/10: SNM rank-gap equi-join, edit-join distinct-name
+        # contraction (names repeat across copies, so the contraction
+        # ABSORBS the 10x — expect strongly sub-linear), hyperplane
+        # bit census, one UnionLoop recursion (10x key groups, same
+        # serial depth), one BPE pair-count round (vocab contraction
+        # absorbs), FIFO interval matching (disjoint part copies —
+        # same-part replication would quadratically grow true pairs,
+        # the prefix-join caveat). dtw is NOT probed: its input is the
+        # fixed 25-nation series set (cardinality doesn't scale with
+        # corpus replication).
+        "snm_candidates(documents)": (snm_probe(docs1), snm_probe(docs10)),
+        "edit_join(part)": (edit_join_probe(part1), edit_join_probe(part10)),
+        "hyperplane_bits(embeddings)": (hplsh_probe(emb1), hplsh_probe(emb10)),
+        "capped_recursion(orders)": (
+            capped_recursion_probe(ord1),
+            capped_recursion_probe(ord10),
+        ),
+        "bpe_pair_round(documents)": (
+            bpe_round_probe(docs1),
+            bpe_round_probe(docs10),
+        ),
+        "fifo_alloc(lineitem)": (fifo_probe(li1), fifo_probe(li10g)),
     }
 
     lines = [

@@ -502,3 +502,84 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ops", "n_upserts", "n_deletes",
         "n_live_keys", "n_tombstones", "live_value_total",
     )
+
+
+# --- hierarchical time-bucket rollup (hypertable continuous aggregate) --
+
+_HIER_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS mo,
+         CAST(sum(n) AS BIGINT) AS n, sum(rev) AS rev
+  FROM daily GROUP BY 1
+),
+yearly AS (
+  SELECT CAST(EXTRACT(YEAR FROM mo) AS INT) AS yr,
+         CAST(sum(n) AS BIGINT) AS n, sum(rev) AS rev
+  FROM monthly GROUP BY 1
+)
+SELECT 'day' AS level, strftime(day, '%Y-%m-%d') AS bucket,
+       CAST(n AS BIGINT) AS n_orders, CAST(rev AS DOUBLE) AS revenue
+FROM daily
+UNION ALL
+SELECT 'month', strftime(mo, '%Y-%m-%d'), n, CAST(rev AS DOUBLE) FROM monthly
+UNION ALL
+SELECT 'year', CAST(yr AS VARCHAR), n, CAST(rev AS DOUBLE) FROM yearly
+ORDER BY level, bucket
+"""
+
+
+@register("hierarchical_time_rollup", oracle=_HIER_ORACLE)
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: ONE fact scan builds the
+    daily partials; month and year levels re-aggregate the NEXT-FINER
+    level (sum-of-sums on exact DECIMAL — algebraic, so re-aggregation
+    is exact), never touching the fact table again. The oracle computes
+    each level the same way, and the DECIMAL carry makes the double
+    cast identical. At 100 TB this is the continuous-aggregate
+    maintenance posture: facts → finest bucket once, coarser levels
+    from O(buckets) partials; a streaming twin would maintain the daily
+    level with a watermark and refresh coarser levels from it."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("mo")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("rev").alias("rev"))
+    yearly = monthly.groupBy(
+        F.year("mo").cast("int").alias("yr")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("rev").alias("rev"))
+    out = (
+        daily.select(
+            F.lit("day").alias("level"),
+            F.date_format("day", "yyyy-MM-dd").alias("bucket"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .unionAll(
+            monthly.select(
+                F.lit("month"),
+                F.date_format("mo", "yyyy-MM-dd"),
+                "n",
+                F.col("rev").cast("double"),
+            )
+        )
+        .unionAll(
+            yearly.select(
+                F.lit("year"),
+                F.col("yr").cast("string"),
+                "n",
+                F.col("rev").cast("double"),
+            )
+        )
+    )
+    return out.orderBy("level", "bucket")

@@ -607,3 +607,97 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_pos", "n_neg", "woe", "iv")
         .orderBy("bin")
     )
+
+
+# --- cohort lifetime-value curves ---------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(min(EXTRACT(YEAR FROM o_orderdate) * 12
+                + EXTRACT(MONTH FROM o_orderdate) - 1) AS INT) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+spend AS (
+  SELECT f.cohort_m,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
+            + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS INT) - f.cohort_m AS age,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+sizes AS (
+  SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_users FROM firsts GROUP BY 1
+),
+per_age AS (
+  SELECT cohort_m, age,
+         sum(rev) AS rev_age,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM spend GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_m, age, n_orders,
+         sum(rev_age) OVER (PARTITION BY cohort_m ORDER BY age
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per_age
+)
+SELECT c.cohort_m AS cohort_month,
+       c.age AS cohort_age,
+       c.n_orders,
+       s.cohort_users,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(CAST(c.cum_rev AS DOUBLE) / s.cohort_users AS DOUBLE) AS ltv_per_user
+FROM cum c JOIN sizes s ON s.cohort_m = c.cohort_m
+WHERE c.cohort_m % 6 = 0
+ORDER BY cohort_month, cohort_age
+"""
+
+
+@register("cohort_ltv_curves", oracle=_LTV_ORACLE)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative DECIMAL-carried revenue per cohort age divided by
+    cohort size — the LTV trajectory marketing reads next to the
+    retention triangle (`weekly_retention_cohorts`). Every-6th cohort
+    keeps the result bounded. One fact scan for firsts (min-agg), one
+    self-join on the customer key, calendar-sized windows after."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("int").alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    spend = o.join(firsts, "o_custkey").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"), "rev"
+    )
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    per_age = spend.groupBy("cohort_m", "age").agg(
+        F.sum("rev").alias("rev_age"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_age.select(
+        "cohort_m", "age", "n_orders", F.sum("rev_age").over(w).alias("cum_rev")
+    )
+    return (
+        cum.join(sizes, "cohort_m")
+        .where(F.col("cohort_m") % 6 == 0)
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            F.col("age").alias("cohort_age"),
+            "n_orders",
+            "cohort_users",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            (F.col("cum_rev").cast("double") / F.col("cohort_users"))
+            .cast("double")
+            .alias("ltv_per_user"),
+        )
+        .orderBy("cohort_month", "cohort_age")
+    )

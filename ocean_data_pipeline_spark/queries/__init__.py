@@ -126,6 +126,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         interval_ops,
         joins,
         layout_ops,
+        linkage_ops,
         llm_ops,
         media_ops,
         pandas_udf_ops,

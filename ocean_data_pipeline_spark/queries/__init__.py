@@ -112,6 +112,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         audits,
         bpe_ops,
         cache_queries,
+        calibration_ops,
         connector_ops,
         dedup_pipeline,
         dtw_ops,

@@ -130,6 +130,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         linkage_ops,
         llm_ops,
         media_ops,
+        moment_ops,
         pandas_udf_ops,
         pii_ops,
         quality_ops,

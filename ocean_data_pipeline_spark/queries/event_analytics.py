@@ -782,3 +782,117 @@ def session_path_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+# --- mutual information between categorical columns -------------------
+
+_MI_BLOCK_SQL = "CAST(extract(hour FROM ts) AS INT) // 6"
+_MI_BLOCK_SPARK = "CAST(hour(ts) AS INT) div 6"
+
+_MI_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST({_MI_BLOCK_SQL} AS INT) AS blk, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT event_type, sum(c) AS cx FROM cells GROUP BY 1),
+my AS (SELECT blk, sum(c) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cells),
+hx AS (
+  SELECT round(ln(CAST(t.n AS DOUBLE))
+               - sum(cx * ln(CAST(cx AS DOUBLE))) / t.n, 6) AS h_type
+  FROM mx, tot t GROUP BY t.n
+),
+hy AS (
+  SELECT round(ln(CAST(t.n AS DOUBLE))
+               - sum(cy * ln(CAST(cy AS DOUBLE))) / t.n, 6) AS h_block
+  FROM my, tot t GROUP BY t.n
+),
+hxy AS (
+  SELECT round(ln(CAST(t.n AS DOUBLE))
+               - sum(c * ln(CAST(c AS DOUBLE))) / t.n, 6) AS h_joint
+  FROM cells, tot t GROUP BY t.n
+),
+mi AS (
+  SELECT round(sum((CAST(c.c AS DOUBLE) / t.n)
+                   * ln(t.n * CAST(c.c AS DOUBLE)
+                        / (CAST(mx.cx AS DOUBLE) * my.cy))), 6) AS mi_nats,
+         CAST(max(t.n) AS BIGINT) AS n
+  FROM cells c
+  JOIN mx USING (event_type)
+  JOIN my USING (blk)
+  CROSS JOIN tot t
+)
+SELECT mi.n, hx.h_type, hy.h_block, hxy.h_joint, mi.mi_nats
+FROM mi, hx, hy, hxy
+"""
+
+
+@register("mutual_information_census", oracle=_MI_ORACLE)
+def mutual_information_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and 6-hour
+    time-of-day block, with the three marginal/joint entropies —
+    MI = H(X) + H(Y) - H(X,Y) is THE dependence screen for categorical
+    feature pairs (Cover & Thomas ch.2), and the quantity behind
+    feature-selection filters at corpus scale. Entropies use the
+    exact-integer identity H = ln(n) - Σ c·ln(c)/n (`char_entropy_
+    quality`'s device), MI the dual form Σ (c/n)·ln(n·c/(cx·cy));
+    each log-sum spans <= 24 cells and rounds once at 6 dp.
+
+    Plan shape: one map-side-combining shuffle to the (type, block)
+    cell relation; margins, totals, and every log-sum run on <= 24
+    rows. At 100 TB the only row-scale work is the first aggregate —
+    a one-pass dependence monitor."""
+    cells = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.expr(_MI_BLOCK_SPARK).alias("blk"))
+        .groupBy("event_type", "blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # consumed by 4 subtrees (margins, total, MI)
+    )
+    mx = cells.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("blk").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+
+    def entropy(df: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .groupBy("n")
+            .agg(
+                F.round(
+                    F.log(F.col("n").cast("double"))
+                    - F.sum(F.col(col) * F.log(F.col(col).cast("double")))
+                    / F.col("n"),
+                    6,
+                ).alias(out)
+            )
+            .drop("n")
+        )
+
+    hx = entropy(mx, "cx", "h_type")
+    hy = entropy(my, "cy", "h_block")
+    hxy = entropy(cells, "c", "h_joint")
+    mi = (
+        cells.join(mx, "event_type")
+        .join(F.broadcast(my), "blk")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(
+                        F.col("n")
+                        * F.col("c").cast("double")
+                        / (F.col("cx").cast("double") * F.col("cy"))
+                    )
+                ),
+                6,
+            ).alias("mi_nats"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+        .select("n", "h_type", "h_block", "h_joint", "mi_nats")
+    )

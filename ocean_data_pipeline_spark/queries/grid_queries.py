@@ -665,3 +665,102 @@ def grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_points").desc(), "cluster_id")
     )
+
+
+# --- point-in-polygon containment census ------------------------------
+
+#: Survey region: an irregular hexagon over the custkey-derived
+#: coordinate domain (lat 5..65, lon -90..-60). Vertices sit on .137/
+#: .713-style offsets so no data point is ever collinear with an edge
+#: (the ray-cast's only degenerate case).
+_POLY = (
+    (12.337, -87.113),
+    (27.713, -89.431),
+    (49.237, -84.619),
+    (61.173, -73.291),
+    (41.617, -61.739),
+    (17.431, -65.917),
+)
+
+
+def _ray_cast_sql(lat: str, lon: str) -> str:
+    """Σ edge-crossing CASEs (odd => inside): identical text for both
+    engines — doubles appear only in per-edge comparisons, never in an
+    accumulated float sum, so parity is exact."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        yi, xi = _POLY[i]
+        yj, xj = _POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > {lat}) <> ({yj} > {lat})) AND "
+            f"({lon} < ({xj} - {xi}) * ({lat} - {yi}) / ({yj} - {yi}) + {xi}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+_PIP_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, c_nationkey, {_RAW_LAT} AS lat, {_RAW_LON} AS lon
+  FROM customer
+),
+flagged AS (
+  SELECT c_nationkey,
+         CASE WHEN {_ray_cast_sql("lat", "lon")} THEN 1 ELSE 0 END AS inside
+  FROM pts
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(inside) AS BIGINT) AS n_inside,
+       CAST(sum(inside) AS DOUBLE) / count(*) AS inside_share
+FROM flagged f JOIN nation n ON n.n_nationkey = f.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("point_in_polygon_census", oracle=_PIP_ORACLE)
+def point_in_polygon_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment census: ray casting (Shimrat,
+    CACM'62 / the classic crossing-number test) against a fixed
+    6-vertex survey region, unrolled to one CASE per edge — the
+    geo-fencing primitive a sensor pipeline needs (reference parity:
+    the reference filters on rectangular bboxes only; this is the
+    general-polygon upgrade of `bbox_validation`). Counted per nation.
+
+    Determinism: each edge test is a fixed double expression of exact
+    literals and custkey-derived coordinates — no accumulation, no
+    libm; the crossing count is an integer sum.
+
+    Plan shape: the containment test is a pure per-row projection
+    (fuses into the scan under whole-stage codegen), one shuffle for
+    the nation rollup, broadcast join to the 25-row nation dim. At
+    100 TB: a single-pass filter — and because the test is an
+    expression, Catalyst can push a bounding-box pre-filter
+    (min/max lat/lon of the polygon) down to the parquet scan to
+    skip row groups entirely outside the region."""
+    pts = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(_RAW_LAT).alias("lat"),
+        F.expr(_RAW_LON).alias("lon"),
+    )
+    flagged = pts.select(
+        "c_nationkey",
+        F.when(F.expr(_ray_cast_sql("lat", "lon")), 1).otherwise(0).alias("inside"),
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        flagged.join(
+            F.broadcast(nation), flagged["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("inside").cast("bigint").alias("n_inside"),
+            (F.sum("inside").cast("double") / F.count(F.lit(1))).alias(
+                "inside_share"
+            ),
+        )
+        .orderBy("n_name")
+    )

@@ -1,0 +1,196 @@
+"""Higher-moment and weighted-order statistics in exact arithmetic:
+per-group skewness / excess kurtosis from cents-integer DECIMAL power
+sums, and exact weighted quantiles via cumulative-weight selection
+(SURVEY.md §2 agg-describe siblings — the reference's describe panel
+stops at mean/std; shape moments and weighted medians are what a
+distribution-drift monitor needs on top).
+
+Determinism strategy: prices are cents-exact doubles, so
+round(price*100) is an exact integer; every power sum is carried as an
+integer-valued DECIMAL (one explicit downcast keeps the 4th power
+inside DECIMAL(38)); the closed-form moment chains then run on
+bit-identical doubles. Skewness/kurtosis are scale-invariant, so
+computing them on cents instead of dollars changes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- exact skewness / kurtosis ----------------------------------------
+
+_MOM_ORACLE = """
+WITH c AS (
+  -- DECIMAL(19,0) operands force both engines onto the int128 path:
+  -- DuckDB clamps (10,0)x(10,0) to DECIMAL(18,0) (int64, overflows);
+  -- (19,0)x(19,0) lands at DECIMAL(38,0) on both engines, exactly.
+  SELECT l_returnflag,
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0)) AS cw
+  FROM lineitem
+),
+p AS (
+  SELECT l_returnflag, cw AS c,
+         cw * cw AS c2,
+         CAST(cw * cw AS DECIMAL(19,0)) * cw AS c3,
+         CAST(cw * cw AS DECIMAL(19,0)) * CAST(cw * cw AS DECIMAL(19,0)) AS c4
+  FROM c
+),
+s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(c) AS DOUBLE) AS s1,
+         CAST(sum(c2) AS DOUBLE) AS s2,
+         CAST(sum(c3) AS DOUBLE) AS s3,
+         CAST(sum(c4) AS DOUBLE) AS s4
+  FROM p GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (s1 / n) / 100.0 AS mean_price,
+       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+       (s4 / n - 4 * (s1 / n) * (s3 / n)
+         + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+         - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS excess_kurtosis
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@register("skew_kurtosis_exact", oracle=_MOM_ORACLE)
+def skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of the price
+    distribution per return flag, from exact integer power sums:
+    m_k expands into raw moments (S1..S4), each an exact DECIMAL sum of
+    cents-integer powers — no per-row (x-mean) pass whose accumulation
+    order could drift, the same no-centering device as
+    `acf_monthly_revenue` / `ols_price_regression` raised to the 4th
+    moment. m2^1.5 is written m2*sqrt(m2) (sqrt is correctly rounded
+    IEEE; pow is not guaranteed to be).
+
+    The 4th-power type walk: cents as DECIMAL(19,0) operands force the
+    int128 multiply path on both engines (DuckDB clamps a (10,0) x
+    (10,0) product to int64 DECIMAL(18,0), which overflows); the square
+    is downcast to DECIMAL(19,0) — exact, c^2 <= 1e14 — so c^3 = c2*c
+    and c^4 = c2*c2 both land at DECIMAL(38,0) without crossing the
+    38-digit cap.
+
+    Plan shape: one map-side-combining shuffle keyed on the flag; all
+    shape arithmetic happens on a 4-row relation. At 100 TB this is the
+    cheapest possible distribution-shape monitor — a single pass, five
+    partial aggregates per group."""
+    c = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("decimal(19,0)")
+    c2w = (c * c).cast("decimal(19,0)")
+    p = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        c.alias("c"),
+        (c * c).alias("c2"),
+        (c2w * c).alias("c3"),
+        (c2w * c2w).alias("c4"),
+    )
+    s = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum("c2").cast("double").alias("s2"),
+        F.sum("c3").cast("double").alias("s3"),
+        F.sum("c4").cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2c = F.col("s2") / n - m1 * m1
+    m3c = F.col("s3") / n - 3 * m1 * (F.col("s2") / n) + 2 * m1 * m1 * m1
+    m4c = (
+        F.col("s4") / n
+        - 4 * m1 * (F.col("s3") / n)
+        + 6 * m1 * m1 * (F.col("s2") / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (m1 / 100.0).alias("mean_price"),
+        (m3c / (m2c * F.sqrt(m2c))).alias("skewness"),
+        (m4c / (m2c * m2c) - 3).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+# --- exact weighted quantiles -----------------------------------------
+
+_WMED_ORACLE = """
+WITH lv AS (  -- one row per (flag, price level): summed quantity weight
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, pc, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lv
+)
+SELECT l_returnflag,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       min(CASE WHEN 4 * cw >= tw     THEN pc END) / 100.0 AS wq25,
+       min(CASE WHEN 2 * cw >= tw     THEN pc END) / 100.0 AS wmedian,
+       min(CASE WHEN 4 * cw >= 3 * tw THEN pc END) / 100.0 AS wq75
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("weighted_median_price", oracle=_WMED_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quartiles per return flag: the
+    weighted q-quantile is the smallest price level whose cumulative
+    weight reaches q of the total — selection entirely in integer
+    arithmetic (cents-integer levels, integer weights, the comparison
+    written cross-multiplied as q_den*cw >= q_num*tw so no division
+    ever happens before the final display scaling).
+
+    Plan shape: the fact table collapses to DISTINCT price levels per
+    group first (one map-side-combining shuffle — levels are value-
+    domain-bounded, far smaller than rows), then one window pass over
+    the level relation. At 100 TB the level relation is what makes the
+    exact answer tractable; if even levels blow up, this degrades
+    gracefully to the same algebra over histogram bins."""
+    lv = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        .groupBy("l_returnflag", "pc")
+        .agg(F.sum("q").alias("w"))
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("pc")
+    wt = Window.partitionBy("l_returnflag")
+    cum = lv.select(
+        "l_returnflag",
+        "pc",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    def pick(num: int, den: int):
+        return F.min(
+            F.when(den * F.col("cw") >= num * F.col("tw"), F.col("pc"))
+        ) / 100.0
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            pick(1, 4).alias("wq25"),
+            pick(1, 2).alias("wmedian"),
+            pick(3, 4).alias("wq75"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -644,3 +644,129 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_jaccard"),
         F.round(est_j, 6).alias("est_jaccard"),
     )
+
+
+# --- Portable HyperLogLog (oracle-verified registers) -----------------
+
+_HLL_M = 64  # registers (p=6); alpha_64 = 0.709 (Flajolet et al. '07)
+_HLL_ALPHA = 0.709
+
+
+def _hll_rho_sql(v: str) -> str:
+    """Leading-zero rank of a 40-bit value as a pure-integer CASE chain
+    (rho = 1 + #leading zeros): no log2/floor, so no libm involved."""
+    whens = "\n".join(
+        f"    WHEN {v} >= {1 << (39 - r + 1)} THEN {r}" for r in range(1, 41)
+    )
+    return f"(CASE\n{whens}\n    ELSE 41 END)"
+
+
+_HLL_HEX = "sha256('hll_' || CAST(o_custkey AS VARCHAR))"
+
+_HLL_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+         CAST(('0x' || substr({_HLL_HEX}, 1, 2)) AS INT) % {_HLL_M} AS reg,
+         {_hll_rho_sql(f"CAST(('0x' || substr({_HLL_HEX}, 3, 10)) AS BIGINT)")} AS rho
+  FROM keys
+),
+regs AS (
+  SELECT o_orderpriority, reg, max(rho) AS m_reg
+  FROM h GROUP BY o_orderpriority, reg
+),
+z AS (
+  SELECT o_orderpriority,
+         count(*) AS v_nonzero,
+         sum(power(2.0, -m_reg)) + ({_HLL_M} - count(*)) AS zsum
+  FROM regs GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority, count(*) AS exact_distinct
+  FROM keys GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority AS priority,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(z.v_nonzero AS BIGINT) AS v_nonzero,
+       z.zsum AS zsum,
+       round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z.zsum, 6) AS raw_estimate,
+       round(CASE
+         WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z.zsum <= 2.5 * {_HLL_M}
+              AND z.v_nonzero < {_HLL_M}
+         THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                            / ({_HLL_M} - z.v_nonzero))
+         ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z.zsum
+       END, 6) AS hll_estimate
+FROM exact e JOIN z USING (o_orderpriority)
+ORDER BY priority
+"""
+
+
+@register("hll_portable_distinct", oracle=_HLL_ORACLE)
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with ORACLE-VERIFIED registers (Flajolet-Fuss-
+    Gandouet-Meunier, AofA'07): m=64 registers over sha256-hashed
+    distinct customers per priority; rho (leading-zero rank of a
+    40-bit hash chunk) is a pure-integer CASE chain, so no libm enters
+    register construction, and the harmonic sum Z = sum 2^-M_j is EXACT
+    in IEEE doubles regardless of accumulation order (64 dyadic terms
+    spanning 2^-41..2^0 need <= 47 significand bits) — the registers
+    AND the estimator are bit-identical on both engines; only the
+    small-range ln() correction needs the round-6 guard. The contrast
+    to `approx_distinct_counts` (built-in HLL, rows-only by necessity):
+    here the sketch itself is the verified artifact, the same posture
+    as the CMS/KMV sketches above.
+
+    Plan shape: one distinct shuffle on (priority, custkey); registers
+    are a 64-rows-per-group agg; at stream scale registers accumulate
+    map-side and merge by element-wise max — the canonical mergeable-
+    sketch discipline."""
+    keys = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .localCheckpoint()  # consumed by 2 subtrees (registers + exact)
+    )
+    hexd = F.sha2(F.concat(F.lit("hll_"), F.col("o_custkey").cast("string")), 256)
+    reg = (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int") % _HLL_M).alias("reg")
+    v40 = F.conv(F.substring(hexd, 3, 10), 16, 10).cast("bigint")
+    rho = F.lit(41)
+    for r in range(40, 0, -1):
+        rho = F.when(v40 >= (1 << (40 - r)), F.lit(r)).otherwise(rho)
+    regs = (
+        keys.select("o_orderpriority", reg, rho.alias("rho"))
+        .groupBy("o_orderpriority", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    z = regs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("v_nonzero"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_reg")))
+            + (_HLL_M - F.count(F.lit(1)))
+        ).alias("zsum"),
+    )
+    exact = keys.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / F.col("zsum")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_nonzero") < _HLL_M),
+        _HLL_M
+        * F.log(
+            F.lit(float(_HLL_M)) / (_HLL_M - F.col("v_nonzero"))
+        ),
+    ).otherwise(raw)
+    return (
+        exact.join(z, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.col("v_nonzero").cast("bigint").alias("v_nonzero"),
+            "zsum",
+            F.round(raw, 6).alias("raw_estimate"),
+            F.round(corrected, 6).alias("hll_estimate"),
+        )
+        .orderBy("priority")
+    )

@@ -857,3 +857,147 @@ def leadlag_crosscorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
     )
     return m.select("lag", n.alias("n_days"), r.alias("pearson_r")).orderBy("lag")
+
+
+# --- Yule-Walker AR(2) one-step forecast ------------------------------
+
+_YW_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1
+),
+g AS (
+  -- (19,2) casts + VARCHAR hop: the int128 decimal kernel and the
+  -- correctly-rounded decimal->double cast (see _ACF_ORACLE's note).
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS sxx
+  FROM m
+),
+p AS (
+  SELECT k.k,
+         count(*) AS npairs,
+         CAST(CAST(sum(CAST(a.x AS DECIMAL(19,2)) * CAST(b.x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS spk,
+         CAST(sum(a.x) AS DOUBLE) AS shead,
+         CAST(sum(b.x) AS DOUBLE) AS stail
+  FROM (SELECT 1 AS k UNION ALL SELECT 2) k
+  JOIN m a ON true
+  JOIN m b ON b.t = a.t + k.k
+  GROUP BY k.k
+),
+r AS (
+  SELECT g.n, g.sx / g.n AS mu,
+         max(CASE WHEN p.k = 1 THEN
+           (p.spk - (g.sx / g.n) * p.shead - (g.sx / g.n) * p.stail
+            + p.npairs * (g.sx / g.n) * (g.sx / g.n))
+           / (g.sxx - g.n * (g.sx / g.n) * (g.sx / g.n)) END) AS r1,
+         max(CASE WHEN p.k = 2 THEN
+           (p.spk - (g.sx / g.n) * p.shead - (g.sx / g.n) * p.stail
+            + p.npairs * (g.sx / g.n) * (g.sx / g.n))
+           / (g.sxx - g.n * (g.sx / g.n) * (g.sx / g.n)) END) AS r2
+  FROM p, g GROUP BY g.n, g.sx, g.sxx
+),
+lastv AS (
+  SELECT max(CASE WHEN rn = 1 THEN CAST(x AS DOUBLE) END) AS x_last,
+         max(CASE WHEN rn = 2 THEN CAST(x AS DOUBLE) END) AS x_prev
+  FROM (SELECT x, row_number() OVER (ORDER BY t DESC) AS rn FROM m)
+  WHERE rn <= 2
+)
+SELECT CAST(r.n AS BIGINT) AS n_months,
+       r.mu, r.r1, r.r2,
+       r.r1 * (1 - r.r2) / (1 - r.r1 * r.r1) AS phi1,
+       (r.r2 - r.r1 * r.r1) / (1 - r.r1 * r.r1) AS phi2,
+       lastv.x_last,
+       r.mu + (r.r1 * (1 - r.r2) / (1 - r.r1 * r.r1)) * (lastv.x_last - r.mu)
+            + ((r.r2 - r.r1 * r.r1) / (1 - r.r1 * r.r1)) * (lastv.x_prev - r.mu)
+         AS forecast_next
+FROM r, lastv
+"""
+
+
+@register("yule_walker_ar2_forecast", oracle=_YW_ORACLE)
+def yule_walker_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by the Yule-Walker equations over monthly revenue:
+    phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2) from the exact
+    lag-1/lag-2 autocorrelations (the same no-centering DECIMAL-sum
+    expansion as `acf_monthly_revenue`), then the one-step mean-
+    reverting forecast mu + phi1(x_n - mu) + phi2(x_{n-1} - mu).
+
+    Determinism: every input to the phi/forecast chain is either an
+    exact DECIMAL sum cast to double once or a fixed IEEE expression of
+    those — emitted unrounded.
+
+    Plan shape: the fact scan collapses map-side to the month relation;
+    lag joins, the rank-2 linear solve, and the forecast all run on
+    calendar-sized data. At 100 TB only the first aggregate scales."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    ).localCheckpoint()  # consumed by 3 subtrees (global sums, lag pairs, tail)
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    lags = spark.range(1, 3).select(F.col("id").cast("int").alias("k"))
+    a = m.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = m.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("npairs"),
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("spk"),
+            F.sum("xa").cast("double").alias("shead"),
+            F.sum("xb").cast("double").alias("stail"),
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    den = F.col("sxx") - F.col("n") * mu * mu
+    acf_k = (
+        F.col("spk") - mu * F.col("shead") - mu * F.col("stail")
+        + F.col("npairs") * mu * mu
+    ) / den
+    r = (
+        p.crossJoin(F.broadcast(g))
+        .groupBy("n", "sx", "sxx")
+        .agg(
+            F.max(F.when(F.col("k") == 1, acf_k)).alias("r1"),
+            F.max(F.when(F.col("k") == 2, acf_k)).alias("r2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = m.select(
+        "x", F.row_number().over(W.orderBy(F.desc("t"))).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    lastv = ranked.agg(
+        F.max(F.when(F.col("rn") == 1, F.col("x").cast("double"))).alias("x_last"),
+        F.max(F.when(F.col("rn") == 2, F.col("x").cast("double"))).alias("x_prev"),
+    )
+    phi_den = 1 - F.col("r1") * F.col("r1")
+    phi1 = F.col("r1") * (1 - F.col("r2")) / phi_den
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / phi_den
+    mu2 = F.col("sx") / F.col("n")
+    return r.crossJoin(F.broadcast(lastv)).select(
+        F.col("n").cast("bigint").alias("n_months"),
+        mu2.alias("mu"),
+        "r1",
+        "r2",
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        "x_last",
+        (
+            mu2
+            + phi1 * (F.col("x_last") - mu2)
+            + phi2 * (F.col("x_prev") - mu2)
+        ).alias("forecast_next"),
+    )

@@ -136,6 +136,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         quality_ops,
         recursive_sql,
         reshape,
+        robust_ops,
         retrieval_ops,
         segmentation_ops,
         sketch_ops,

@@ -1011,3 +1011,110 @@ def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gini_split", "threshold")
         .limit(5)
     )
+
+
+# --- Spearman rank correlation (level-based midranks) -----------------
+
+_SPEARMAN_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+mq AS (
+  SELECT q, sum(cnt) AS cq FROM cells GROUP BY q
+),
+md AS (
+  SELECT d, sum(cnt) AS cd FROM cells GROUP BY d
+),
+rq AS (  -- doubled midrank: 2R = 2*(count below) + count equal + 1
+  SELECT q, 2 * (sum(cq) OVER (ORDER BY q) - cq) + cq + 1 AS dq FROM mq
+),
+rd AS (
+  SELECT d, 2 * (sum(cd) OVER (ORDER BY d) - cd) + cd + 1 AS dd FROM md
+),
+s AS (
+  SELECT sum(c.cnt) AS n,
+         sum(CAST(c.cnt AS DECIMAL(19,0)) * CAST(rq.dq AS DECIMAL(19,0))) AS sx,
+         sum(CAST(c.cnt AS DECIMAL(19,0)) * CAST(rd.dd AS DECIMAL(19,0))) AS sy,
+         CAST(CAST(sum(CAST(c.cnt * rq.dq AS DECIMAL(19,0))
+                       * CAST(rq.dq AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(c.cnt * rd.dd AS DECIMAL(19,0))
+                       * CAST(rd.dd AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(c.cnt * rq.dq AS DECIMAL(19,0))
+                       * CAST(rd.dd AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM cells c JOIN rq USING (q) JOIN rd USING (d)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS rho_spearman
+FROM s
+"""
+
+
+@register("spearman_rank_correlation", oracle=_SPEARMAN_ORACLE)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount level —
+    the monotone-dependence screen that, unlike Pearson, is invariant
+    to the marginal distributions. Midranks (average rank over ties)
+    are carried DOUBLED so they stay integers: 2R = 2·count_below +
+    count_equal + 1; rho is then Pearson on the doubled ranks (the 2s
+    cancel), with every sum an exact DECIMAL over the JOINT level
+    census — rank statistics are integer arithmetic in disguise, the
+    `mannwhitney_u_event_values` discipline extended to two variables.
+
+    Plan shape: ONE shuffle to the (quantity, discount) cell census
+    (value-domain-bounded: ~50x11 cells); margins, rank windows, and
+    the correlation algebra run on the census. At 100 TB nothing but
+    the first aggregate touches row-scale data — exact Spearman at
+    full-corpus scale, no per-row global sort anywhere."""
+    cells = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.round("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        )
+        .groupBy("q", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # consumed by margins + the joint sum
+    )
+    mq = cells.groupBy("q").agg(F.sum("cnt").alias("cq"))
+    md = cells.groupBy("d").agg(F.sum("cnt").alias("cd"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    rq = mq.select(
+        "q", (2 * (F.sum("cq").over(wq) - F.col("cq")) + F.col("cq") + 1).alias("dq")
+    )
+    rd = md.select(
+        "d", (2 * (F.sum("cd").over(wd) - F.col("cd")) + F.col("cd") + 1).alias("dd")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = (
+        cells.join(F.broadcast(rq), "q")
+        .join(F.broadcast(rd), "d")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(dec("cnt") * dec("dq")).alias("sx"),
+            F.sum(dec("cnt") * dec("dd")).alias("sy"),
+            F.sum((F.col("cnt") * F.col("dq")).cast("decimal(19,0)") * dec("dq"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("cnt") * F.col("dd")).cast("decimal(19,0)") * dec("dd"))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("cnt") * F.col("dq")).cast("decimal(19,0)") * dec("dd"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    deny = F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        n.cast("bigint").alias("n"),
+        (num / (denx * deny)).alias("rho_spearman"),
+    )

@@ -701,3 +701,104 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "cohort_age")
     )
+
+
+# --- Theil inequality decomposition -----------------------------------
+
+_THEIL_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1
+),
+tagged AS (
+  SELECT n.n_name, s.x
+  FROM spend s
+  JOIN customer c ON c.c_custkey = s.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+grp AS (
+  SELECT n_name, count(*) AS ng, sum(x) AS sg FROM tagged GROUP BY 1
+),
+tot AS (SELECT sum(ng) AS n, sum(sg) AS s FROM grp),
+within AS (
+  SELECT t.n_name,
+         round(sum((CAST(t.x AS DOUBLE) / (CAST(g.sg AS DOUBLE) / g.ng))
+                   * ln(CAST(t.x AS DOUBLE) / (CAST(g.sg AS DOUBLE) / g.ng)))
+               / g.ng, 6) AS theil_within
+  FROM tagged t JOIN grp g USING (n_name)
+  GROUP BY t.n_name, g.ng
+)
+SELECT g.n_name,
+       CAST(g.ng AS BIGINT) AS n_customers,
+       CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE) AS spend_share,
+       w.theil_within,
+       round((CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+             * ln((CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                  / (CAST(g.ng AS DOUBLE) / t.n)), 6) AS between_term
+FROM grp g JOIN within w USING (n_name) CROSS JOIN tot t
+ORDER BY g.n_name
+"""
+
+
+@register("theil_index_decomposition", oracle=_THEIL_ORACLE)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend, decomposed by nation
+    (Theil, 'Economics and Information Theory', 1967): total T =
+    Σ_g s_g·T_g (within) + Σ_g s_g·ln(s_g/p_g) (between), where s_g is
+    the nation's spend share and p_g its population share — the
+    entropy-based complement to `gini_customer_spend` whose decomposition
+    is EXACTLY additive (Gini's is not). Per-nation rows report both
+    components; spend shares are exact DECIMAL ratios; the two log
+    terms round once at 6 dp (the repo's libm-sum guard).
+
+    Plan shape: per-customer spend is one shuffle on custkey; the
+    nation tag is a broadcast-dim join; within-terms are one more
+    map-side-combining agg keyed on nation. At 100 TB: two row-scale
+    aggregates, everything else dimension-sized."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tagged = (
+        spend.join(cust, spend["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", "x")
+        .localCheckpoint()  # consumed by group stats + within terms
+    )
+    grp = tagged.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("sg")
+    )
+    tot = grp.agg(F.sum("ng").alias("n"), F.sum("sg").alias("s"))
+    mu_g = F.col("sg").cast("double") / F.col("ng")
+    within = (
+        tagged.join(F.broadcast(grp), "n_name")
+        .groupBy("n_name", "ng")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x").cast("double") / mu_g)
+                    * F.log(F.col("x").cast("double") / mu_g)
+                )
+                / F.col("ng"),
+                6,
+            ).alias("theil_within")
+        )
+        .drop("ng")
+    )
+    s_share = F.col("sg").cast("double") / F.col("s").cast("double")
+    p_share = F.col("ng").cast("double") / F.col("n")
+    return (
+        grp.join(within, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("ng").cast("bigint").alias("n_customers"),
+            s_share.alias("spend_share"),
+            "theil_within",
+            F.round(s_share * F.log(s_share / p_share), 6).alias("between_term"),
+        )
+        .orderBy("n_name")
+    )

@@ -234,3 +234,107 @@ def test_point_in_polygon_matches_pure_python(spark):
         assert r.n_inside == int(ref.loc[r.n_name, "sum"])
         assert 0.0 <= r.inside_share <= 1.0
     assert sum(r.n_inside for r in rows) > 0, "polygon must contain points"
+
+
+# --- robust stats / sampling design -----------------------------------
+
+
+def test_trimmed_winsorized_match_numpy(spark):
+    rows = REGISTRY["winsorized_trimmed_mean"].fn(spark, SF_SMOKE).collect()
+    li = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        x = np.sort(
+            np.round(
+                li.loc[li.l_returnflag == r.l_returnflag, "l_extendedprice"]
+                .to_numpy()
+                * 100
+            ).astype(np.int64)
+        )
+        n = len(x)
+        k = n // 20
+        assert r.n == n and r.k_trim == k
+        trimmed = x[k : n - k]
+        assert abs(r.trimmed_mean - trimmed.mean() / 100.0) < 1e-9
+        wins = x.copy()
+        wins[:k] = x[k]
+        wins[n - k :] = x[n - k - 1]
+        assert abs(r.winsorized_mean - wins.mean() / 100.0) < 1e-9
+
+
+def test_conformal_coverage_guarantee(spark):
+    """The defining property: >= 90% of calibration residuals fall
+    within the radius (finite-sample, distribution-free)."""
+    from ocean_data_pipeline_spark.queries.robust_ops import _CONF_U_SPARK
+
+    rows = REGISTRY["conformal_interval_calibration"].fn(spark, SF_ORACLE).collect()
+    orders = table(spark, SF_ORACLE, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+        F.when(F.expr(_CONF_U_SPARK) < 0.5, 1).otherwise(0).alias("is_train"),
+    )
+    cal = orders.filter(F.col("is_train") == 0).toPandas()
+    for r in rows:
+        sub = cal[cal.priority == r.priority]
+        resid = (sub.yc - round(r.prediction * 100)).abs()
+        cover = (resid <= round(r.q90_radius * 100)).mean()
+        assert cover >= 0.9, (r.priority, cover)
+        assert r.n_cal == len(sub)
+
+
+def test_neyman_allocation_budget_and_proportionality(spark):
+    rows = REGISTRY["neyman_allocation"].fn(spark, SF_ORACLE).collect()
+    assert sum(r.alloc_n for r in rows) == 1000
+    tot = sum(r.stratum_size * r.sigma for r in rows)
+    for r in rows:
+        ideal = 1000 * r.stratum_size * r.sigma / tot
+        assert abs(r.alloc_n - ideal) <= 1.0, (r.segment, r.alloc_n, ideal)
+
+
+def test_spearman_matches_pandas(spark):
+    r = REGISTRY["spearman_rank_correlation"].fn(spark, SF_SMOKE).collect()[0]
+    li = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+    )
+    def midranks(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx = midranks(li.l_quantity.to_numpy())
+    ry = midranks(li.l_discount.to_numpy())
+    ref = np.corrcoef(rx, ry)[0, 1]
+    assert abs(r.rho_spearman - ref) < 1e-12
+    assert -1.0 <= r.rho_spearman <= 1.0
+
+
+def test_theil_decomposition_reconstructs_total(spark):
+    rows = REGISTRY["theil_index_decomposition"].fn(spark, SF_SMOKE).collect()
+    spend = (
+        table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .toPandas()
+    )
+    x = spend.x.to_numpy()
+    mu = x.mean()
+    t_total = float(np.mean((x / mu) * np.log(x / mu)))
+    recon = sum(
+        r.spend_share * r.theil_within + r.between_term for r in rows
+    )
+    # each of 25 nations contributes two round-6 terms -> 5e-5 slack
+    assert abs(recon - t_total) < 5e-5, (recon, t_total)
+    assert all(r.theil_within >= -1e-9 for r in rows)

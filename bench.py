@@ -220,6 +220,19 @@ HEADLINE = [
     "image_resize_nn",
     "dtw_nation_profiles",
     "bpe_learn_merges",
+    # wave 11: record linkage, calibration/encoding, portable HLL,
+    # exact shape/order statistics, rank correlation, inequality
+    # decomposition, conformal intervals, spatial containment
+    "jaro_winkler_toppairs",
+    "simhash_hamming_pairs",
+    "isotonic_calibration_pava",
+    "hll_portable_distinct",
+    "skew_kurtosis_exact",
+    "weighted_median_price",
+    "conformal_interval_calibration",
+    "spearman_rank_correlation",
+    "theil_index_decomposition",
+    "point_in_polygon_census",
 ]
 
 

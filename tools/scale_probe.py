@@ -721,6 +721,98 @@ def main() -> None:
 
         return build
 
+    def moments4_probe(li):
+        def build():
+            c = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(
+                "decimal(19,0)"
+            )
+            c2w = (c * c).cast("decimal(19,0)")
+            return (
+                li.select(
+                    "l_returnflag", c.alias("c"), (c * c).alias("c2"),
+                    (c2w * c).alias("c3"), (c2w * c2w).alias("c4"),
+                )
+                .groupBy("l_returnflag")
+                .agg(F.sum("c"), F.sum("c2"), F.sum("c3"), F.sum("c4"))
+            )
+
+        return build
+
+    def level_select_probe(li):
+        def build():
+            from pyspark.sql import Window
+
+            lv = (
+                li.select(
+                    "l_returnflag",
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint")
+                    .alias("pc"),
+                    F.round("l_quantity").cast("bigint").alias("q"),
+                )
+                .groupBy("l_returnflag", "pc")
+                .agg(F.sum("q").alias("w"))
+            )
+            wo = Window.partitionBy("l_returnflag").orderBy("pc")
+            wt = Window.partitionBy("l_returnflag")
+            cum = lv.select(
+                "l_returnflag", "pc",
+                F.sum("w").over(wo).alias("cw"),
+                F.sum("w").over(wt).alias("tw"),
+            )
+            return cum.groupBy("l_returnflag").agg(
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("pc")))
+            )
+
+        return build
+
+    def simhash_band_probe(docs):
+        def build():
+            from ocean_data_pipeline_spark.operators.text import simhash16
+
+            sigs = (
+                docs.filter(F.length(F.trim(F.col("text"))) > 0)
+                .select(simhash16(F.col("text")).alias("sig"))
+                .groupBy("sig")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            bands = sigs.select(
+                "sig",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("bi"),
+                                F.shiftright("sig", 4 * i)
+                                .bitwiseAND(F.lit(15))
+                                .alias("bv"),
+                            )
+                            for i in range(4)
+                        ]
+                    )
+                ).alias("b"),
+            ).select("sig", "b.bi", "b.bv")
+            l = bands.select(F.col("sig").alias("sa"), "bi", "bv")
+            r = bands.select(F.col("sig").alias("sb"), "bi", "bv")
+            return (
+                l.join(r, ["bi", "bv"])
+                .filter(F.col("sa") < F.col("sb"))
+                .select("sa", "sb")
+                .distinct()
+                .filter(
+                    F.bit_count(
+                        F.col("sa").cast("bigint").bitwiseXOR(
+                            F.col("sb").cast("bigint")
+                        )
+                    )
+                    <= 3
+                )
+                .groupBy()
+                .count()
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -804,6 +896,20 @@ def main() -> None:
             bpe_round_probe(docs10),
         ),
         "fifo_alloc(lineitem)": (fifo_probe(li1), fifo_probe(li10g)),
+        # wave 11: exact 4th-moment decimal agg (pure map-side partials,
+        # expect ~linear-or-below), level-census order-statistic
+        # selection (price levels repeat across copies -> the census
+        # contraction absorbs much of the 10x), SimHash band join (the
+        # signature-space contraction absorbs it almost entirely).
+        "moments4(lineitem)": (moments4_probe(li1), moments4_probe(li10)),
+        "level_selection(lineitem)": (
+            level_select_probe(li1),
+            level_select_probe(li10),
+        ),
+        "simhash_band_join(documents)": (
+            simhash_band_probe(docs1),
+            simhash_band_probe(docs10),
+        ),
     }
 
     lines = [

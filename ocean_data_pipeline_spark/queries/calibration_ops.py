@@ -302,3 +302,111 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- grouped PAVA via applyInPandas (the practical path) --------------
+
+_ISO_GRP_ORACLE = """
+WITH bins AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_discount * 100) AS INT) AS idx,
+         count(*) AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS s
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, idx, n, s,
+         sum(n) OVER (PARTITION BY flag ORDER BY idx) AS cn,
+         sum(s) OVER (PARTITION BY flag ORDER BY idx) AS cs
+  FROM bins
+),
+pairs AS (
+  SELECT j.flag, j.idx AS j, k.idx AS k,
+         CAST(k.cs - j.cs + j.s AS DOUBLE) / CAST(k.cn - j.cn + j.n AS DOUBLE)
+           AS mean_jk
+  FROM cum j JOIN cum k ON k.flag = j.flag AND j.idx <= k.idx
+),
+inner_min AS (
+  SELECT i.flag, i.idx AS i, p.j, min(p.mean_jk) AS m
+  FROM bins i JOIN pairs p
+    ON p.flag = i.flag AND p.j <= i.idx AND p.k >= i.idx
+  GROUP BY i.flag, i.idx, p.j
+),
+fitted AS (
+  SELECT flag, i, max(m) AS iso_qty FROM inner_min GROUP BY flag, i
+)
+SELECT b.flag AS l_returnflag,
+       b.idx AS discount_pct,
+       CAST(b.n AS BIGINT) AS n,
+       CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_qty,
+       f.iso_qty
+FROM bins b JOIN fitted f ON f.flag = b.flag AND f.i = b.idx
+ORDER BY b.flag, b.idx
+"""
+
+
+@register("isotonic_pava_grouped", oracle=_ISO_GRP_ORACLE)
+def isotonic_pava_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group isotonic regression by SEQUENTIAL pool-adjacent-
+    violators inside an Arrow-batched applyInPandas — the practical
+    O(B) formulation `isotonic_calibration_pava`'s docstring promises
+    for large bin counts, here fitting mean quantity over discount
+    levels independently per return flag. The DuckDB oracle recomputes
+    every fit through the O(B^3) minimax identity, so parity is a
+    machine-checked proof that the sequential pooling and the closed
+    form agree (the isotonic solution is unique; each fitted value is
+    the same single integer-ratio division on both paths — the UDF
+    returns pooled-block integer sums, and the division to a double
+    happens once, engine-side).
+
+    Plan shape: one map-side-combining shuffle to the (flag, discount)
+    bin relation, then applyInPandas over per-flag bin groups — the
+    Arrow transfer moves B<=11 rows per group, NOT fact rows. At
+    100 TB the UDF cost is invariant; only the first aggregate scales."""
+    import pandas as pd
+
+    bins = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_discount") * 100).cast("int").alias("idx"),
+            F.round("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "idx")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        stack = []  # [n, s, n_bins] merged blocks
+        for n, s in zip(pdf.n, pdf.s):
+            stack.append([int(n), int(s), 1])
+            while len(stack) > 1 and (
+                stack[-2][1] / stack[-2][0] > stack[-1][1] / stack[-1][0]
+            ):
+                n2, s2, b2 = stack.pop()
+                stack[-1][0] += n2
+                stack[-1][1] += s2
+                stack[-1][2] += b2
+        bn, bs = [], []
+        for n_blk, s_blk, b_blk in stack:
+            bn.extend([n_blk] * b_blk)
+            bs.extend([s_blk] * b_blk)
+        pdf["block_n"] = bn
+        pdf["block_s"] = bs
+        return pdf
+
+    fitted = bins.groupBy("flag").applyInPandas(
+        pava,
+        schema="flag string, idx int, n bigint, s bigint, "
+        "block_n bigint, block_s bigint",
+    )
+    return fitted.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("idx").alias("discount_pct"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("raw_qty"),
+        (F.col("block_s").cast("double") / F.col("block_n").cast("double")).alias(
+            "iso_qty"
+        ),
+    ).orderBy("l_returnflag", "discount_pct")

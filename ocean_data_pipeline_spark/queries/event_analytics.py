@@ -896,3 +896,239 @@ def mutual_information_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hxy))
         .select("n", "h_type", "h_block", "h_joint", "mi_nats")
     )
+
+
+# --- Markov entropy rate ----------------------------------------------
+
+_ENTROPY_RATE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, count(*) AS c
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+rowt AS (SELECT from_type, sum(c) AS ci FROM trans GROUP BY from_type),
+colt AS (SELECT to_type, sum(c) AS cj FROM trans GROUP BY to_type),
+tot AS (SELECT sum(c) AS n FROM trans),
+hrate AS (
+  SELECT round(-sum((CAST(t.c AS DOUBLE) / n.n)
+                    * ln(CAST(t.c AS DOUBLE) / r.ci)), 6) AS h_rate
+  FROM trans t JOIN rowt r USING (from_type) CROSS JOIN tot n
+),
+hmarg AS (
+  SELECT round(ln(CAST(n.n AS DOUBLE))
+               - sum(cj * ln(CAST(cj AS DOUBLE))) / n.n, 6) AS h_marginal
+  FROM colt CROSS JOIN tot n GROUP BY n.n
+)
+SELECT CAST(tot.n AS BIGINT) AS n_transitions,
+       hrate.h_rate,
+       hmarg.h_marginal,
+       round(hmarg.h_marginal - hrate.h_rate, 6) AS predictability_gain
+FROM tot, hrate, hmarg
+"""
+
+
+@register("entropy_rate_markov", oracle=_ENTROPY_RATE_ORACLE)
+def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain:
+    H(next | current) = -Σ_ij π_i p_ij ln p_ij computed from exact
+    transition counts (π_i p_ij = c_ij/N), compared against the
+    marginal next-state entropy H(next) — their gap is the
+    predictability the one-step memory buys (Cover & Thomas ch.4, the
+    sequence sibling of `mutual_information_census`; the transition
+    matrix itself is `event_type_markov_transitions`). Log sums span
+    <= |types|^2 cells and round once at 6 dp.
+
+    Plan shape: one per-user window pass (partitioned — parallel by
+    user), one shuffle to the <= 25-cell transition census, then
+    census-sized algebra. At 100 TB the window and the census agg are
+    the only row-scale stages, both key-parallel."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # consumed by row/col totals + the log sums
+    )
+    rowt = trans.groupBy("from_type").agg(F.sum("c").alias("ci"))
+    colt = trans.groupBy("to_type").agg(F.sum("c").alias("cj"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    hrate = (
+        trans.join(F.broadcast(rowt), "from_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("ci"))
+                ),
+                6,
+            ).alias("h_rate")
+        )
+    )
+    hmarg = (
+        colt.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.sum(F.col("cj") * F.log(F.col("cj").cast("double")))
+                / F.col("n"),
+                6,
+            ).alias("h_marginal")
+        )
+        .drop("n")
+    )
+    return (
+        tot.crossJoin(F.broadcast(hrate))
+        .crossJoin(F.broadcast(hmarg))
+        .select(
+            F.col("n").cast("bigint").alias("n_transitions"),
+            "h_rate",
+            "h_marginal",
+            F.round(F.col("h_marginal") - F.col("h_rate"), 6).alias(
+                "predictability_gain"
+            ),
+        )
+    )
+
+
+# --- Nelson-Aalen cumulative hazard -----------------------------------
+
+_NA_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+),
+p AS (
+  SELECT user_id, min(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+life AS (
+  SELECT u.user_id,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN CAST(floor(date_diff('microsecond', u.t0, p.tp)
+                              / 3600000000.0) AS BIGINT)
+              ELSE {_KM_HORIZON_H} END AS dur_h,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN 0 ELSE 1 END AS censored
+  FROM u LEFT JOIN p ON p.user_id = u.user_id
+),
+n_total AS (SELECT count(*) AS n FROM life),
+by_h AS (
+  SELECT dur_h,
+         count(*) AS n_leaving,
+         CAST(sum(1 - censored) AS BIGINT) AS n_events
+  FROM life GROUP BY dur_h
+),
+risk AS (
+  SELECT dur_h, n_events,
+         nt.n - coalesce(sum(n_leaving) OVER (ORDER BY dur_h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS n_risk
+  FROM by_h CROSS JOIN n_total nt
+),
+terms AS (
+  SELECT dur_h, n_risk, n_events,
+         CAST(CAST(n_events AS DOUBLE) / n_risk AS DECIMAL(28,12)) AS dh,
+         CAST(CAST(n_events AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk)
+              AS DECIMAL(28,12)) AS vh
+  FROM risk WHERE n_events > 0
+)
+SELECT dur_h,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       n_events,
+       CAST(sum(dh) OVER (ORDER BY dur_h) AS DOUBLE) AS cum_hazard,
+       CAST(sum(vh) OVER (ORDER BY dur_h) AS DOUBLE) AS hazard_var
+FROM terms
+ORDER BY dur_h
+"""
+
+
+@register("nelson_aalen_hazard", oracle=_NA_ORACLE)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i<=t} d_i/n_i with
+    its variance estimator Σ d_i/n_i² for time-to-first-purchase under
+    the same 48 h administrative censoring as
+    `kaplan_meier_user_lifetime` — the hazard-scale view of the same
+    survival data (and the estimator that stays defined when a risk
+    set is exhausted, where KM's product hits zero). Each increment is
+    a ratio of exact integers rounded ONCE into DECIMAL(28,12); the
+    running sums are exact decimal prefix sums over the ordered event
+    times — the KM log-space-product discipline, additively.
+
+    Plan shape: two per-user aggs (first event, first purchase), one
+    shuffle to the duration-level relation (<= horizon+1 rows), then
+    windows over that tiny relation. At 100 TB only the per-user aggs
+    are row-scale."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    hours = F.floor(
+        (F.unix_micros("tp") - F.unix_micros("t0")) / 3600000000.0
+    )
+    converted = F.col("tp").isNotNull() & (hours < _KM_HORIZON_H)
+    life = u.join(p, "user_id", "left").select(
+        F.when(converted, hours.cast("bigint"))
+        .otherwise(F.lit(_KM_HORIZON_H))
+        .alias("dur_h"),
+        F.when(converted, 0).otherwise(1).alias("censored"),
+    )
+    n_total = life.agg(F.count(F.lit(1)).alias("n"))
+    by_h = life.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_events"),
+    )
+    wprev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = by_h.crossJoin(F.broadcast(n_total)).select(
+        "dur_h",
+        "n_events",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    terms = risk.filter(F.col("n_events") > 0).select(
+        "dur_h",
+        "n_risk",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("n_risk"))
+        .cast("decimal(28,12)")
+        .alias("dh"),
+        (
+            F.col("n_events").cast("double")
+            / (F.col("n_risk").cast("double") * F.col("n_risk"))
+        )
+        .cast("decimal(28,12)")
+        .alias("vh"),
+    )
+    wcum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "dur_h",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_events",
+        F.sum("dh").over(wcum).cast("double").alias("cum_hazard"),
+        F.sum("vh").over(wcum).cast("double").alias("hazard_var"),
+    ).orderBy("dur_h")

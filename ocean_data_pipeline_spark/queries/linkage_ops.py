@@ -332,3 +332,150 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_doc_pairs"),
     )
     return within.unionByName(between).orderBy("dist")
+
+
+# --- Fellegi-Sunter m/u weights ---------------------------------------
+
+_FS_ORACLE = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+toks AS (
+  SELECT name,
+         split_part(name, ' ', 1) AS tok1,
+         split_part(name, ' ', 2) AS tok2,
+         {_SKEL_SQL.format(col="name")} AS skel
+  FROM names
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         CASE WHEN a.tok2 = b.tok2 THEN 1 ELSE 0 END AS is_match,
+         CASE WHEN levenshtein(a.tok1, b.tok1) <= 2 THEN 1 ELSE 0 END AS g_edit,
+         CASE WHEN length(a.name) = length(b.name) THEN 1 ELSE 0 END AS g_len,
+         CASE WHEN a.skel = b.skel THEN 1 ELSE 0 END AS g_skel
+  FROM toks a JOIN toks b ON a.name < b.name
+),
+tot AS (
+  SELECT sum(is_match) AS n_m, sum(1 - is_match) AS n_u FROM pairs
+),
+stats AS (
+  SELECT 'edit_dist_le2' AS comparator,
+         sum(CASE WHEN is_match = 1 THEN g_edit ELSE 0 END) AS a_m,
+         sum(CASE WHEN is_match = 0 THEN g_edit ELSE 0 END) AS a_u
+  FROM pairs
+  UNION ALL
+  SELECT 'same_length',
+         sum(CASE WHEN is_match = 1 THEN g_len ELSE 0 END),
+         sum(CASE WHEN is_match = 0 THEN g_len ELSE 0 END)
+  FROM pairs
+  UNION ALL
+  SELECT 'same_skeleton',
+         sum(CASE WHEN is_match = 1 THEN g_skel ELSE 0 END),
+         sum(CASE WHEN is_match = 0 THEN g_skel ELSE 0 END)
+  FROM pairs
+)
+SELECT s.comparator,
+       CAST(t.n_m AS BIGINT) AS n_match_pairs,
+       CAST(t.n_u AS BIGINT) AS n_unmatch_pairs,
+       CASE WHEN t.n_m > 0 THEN CAST(s.a_m AS DOUBLE) / t.n_m END AS m_prob,
+       CASE WHEN t.n_u > 0 THEN CAST(s.a_u AS DOUBLE) / t.n_u END AS u_prob,
+       CASE WHEN s.a_m > 0 AND s.a_u > 0 THEN
+         round(ln((CAST(s.a_m AS DOUBLE) / t.n_m)
+                  / (CAST(s.a_u AS DOUBLE) / t.n_u)) / ln(2.0), 6)
+       END AS agree_weight,
+       CASE WHEN s.a_m < t.n_m AND s.a_u < t.n_u THEN
+         round(ln((1 - CAST(s.a_m AS DOUBLE) / t.n_m)
+                  / (1 - CAST(s.a_u AS DOUBLE) / t.n_u)) / ln(2.0), 6)
+       END AS disagree_weight
+FROM stats s CROSS JOIN tot t
+ORDER BY s.comparator
+"""
+
+
+@register("fellegi_sunter_weights", oracle=_FS_ORACLE)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (JASA'69): over the
+    vocabulary pair universe (all distinct-name pairs — bounded), with
+    'same noun token' as the match truth,
+    estimate each comparator's m = P(agree|match) and u =
+    P(agree|non-match), and the log2 agreement/disagreement weights a
+    probabilistic matcher would score with — the decision-theoretic
+    layer on top of `jaro_winkler_toppairs`' raw similarity. All
+    probabilities are exact count ratios; weights round once at 6 dp
+    (null where a cell is empty — weights are undefined there).
+
+    Comparators: Levenshtein(adjective) <= 2 (both engines implement
+    the same DP — integer-exact), equal full-name length, equal
+    phonetic skeleton (`phonetic_block_census`'s key).
+
+    Plan shape: the pair space is the blocked vocabulary self-join
+    (tiny); three conditional aggregates over it produce the whole
+    table. At 100 TB the DISTINCT-name contraction is the only
+    row-scale stage — the same posture as every linkage query here."""
+    names = (
+        table(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    toks = names.select(
+        "name",
+        F.split("name", " ").getItem(0).alias("tok1"),
+        F.split("name", " ").getItem(1).alias("tok2"),
+        F.expr(_SKEL_SPARK.format(col="name")).alias("skel"),
+    )
+    a = toks.select(*[F.col(c).alias(c + "_a") for c in toks.columns])
+    b = toks.select(*[F.col(c).alias(c + "_b") for c in toks.columns])
+    pairs = a.join(
+        F.broadcast(b), F.col("name_a") < F.col("name_b")
+    ).select(
+        F.when(F.col("tok2_a") == F.col("tok2_b"), 1).otherwise(0).alias("is_match"),
+        F.when(F.levenshtein("tok1_a", "tok1_b") <= 2, 1)
+        .otherwise(0)
+        .alias("g_edit"),
+        F.when(F.length("name_a") == F.length("name_b"), 1)
+        .otherwise(0)
+        .alias("g_len"),
+        F.when(F.col("skel_a") == F.col("skel_b"), 1).otherwise(0).alias("g_skel"),
+    )
+    agg = pairs.agg(
+        F.sum("is_match").alias("n_m"),
+        F.sum(1 - F.col("is_match")).alias("n_u"),
+        *[
+            F.sum(F.when(F.col("is_match") == m, F.col(g)).otherwise(0)).alias(
+                f"{g}_{'m' if m else 'u'}"
+            )
+            for g in ("g_edit", "g_len", "g_skel")
+            for m in (1, 0)
+        ],
+    ).localCheckpoint()  # consumed once per comparator row
+    rows = []
+    for comp, g in (
+        ("edit_dist_le2", "g_edit"),
+        ("same_length", "g_len"),
+        ("same_skeleton", "g_skel"),
+    ):
+        am = F.col(f"{g}_m")
+        au = F.col(f"{g}_u")
+        m_prob = F.when(F.col("n_m") > 0, am.cast("double") / F.col("n_m"))
+        u_prob = F.when(F.col("n_u") > 0, au.cast("double") / F.col("n_u"))
+        rows.append(
+            agg.select(
+                F.lit(comp).alias("comparator"),
+                F.col("n_m").cast("bigint").alias("n_match_pairs"),
+                F.col("n_u").cast("bigint").alias("n_unmatch_pairs"),
+                m_prob.alias("m_prob"),
+                u_prob.alias("u_prob"),
+                F.when(
+                    (am > 0) & (au > 0),
+                    F.round(F.log(m_prob / u_prob) / F.log(F.lit(2.0)), 6),
+                ).alias("agree_weight"),
+                F.when(
+                    (am < F.col("n_m")) & (au < F.col("n_u")),
+                    F.round(
+                        F.log((1 - m_prob) / (1 - u_prob)) / F.log(F.lit(2.0)), 6
+                    ),
+                ).alias("disagree_weight"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("comparator")

@@ -2355,3 +2355,83 @@ def hyperplane_lsh_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- hard-negative mining (contrastive training pairs) ----------------
+
+_HARD_NEG_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+anchors AS (SELECT vec_id, label, v FROM corpus WHERE vec_id < 200),
+scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS cosine_sim
+  FROM anchors a JOIN corpus c ON c.label != a.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine_sim DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label,
+       round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY anchor_id, rank
+"""
+
+
+@register("hard_negative_mining", oracle=_HARD_NEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-
+    negatives upgrade every embedding-model pipeline needs): for each
+    anchor, the top-3 most-similar vectors carrying a DIFFERENT label —
+    the pairs that teach a contrastive loss the most (highest-loss
+    negatives). Bounded to a 200-anchor demo set: this is the scoring
+    stage that at corpus scale runs on IVF/LSH candidate cells
+    (`sim_topk_ivf`'s posture), never all-pairs; the label-mismatch
+    predicate rides the join so same-label pairs are never scored.
+
+    Plan shape: anchors broadcast against one corpus scan; per-anchor
+    top-3 compiles to a rank window partitioned by anchor. Dot products
+    are the sequential zip_with fold (operators.similarity.dot) that
+    bit-matches DuckDB's list_dot_product."""
+    from ocean_data_pipeline_spark.operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("va"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine(F.col("va"), F.col("v")).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label",
+            F.round("cosine_sim", 6).alias("cosine_sim"), "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )

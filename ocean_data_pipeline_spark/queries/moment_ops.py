@@ -194,3 +194,85 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- equi-depth histogram (CBO statistics) ----------------------------
+
+_EQD_BINS = 10
+
+_EQD_ORACLE = f"""
+WITH lv AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc, count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT pc, cnt,
+         sum(cnt) OVER (ORDER BY pc) AS cn,
+         sum(cnt) OVER () AS n
+  FROM lv
+),
+tagged AS (  -- bin of a level = which decile its LAST row lands in
+  SELECT pc, cnt, cn, n,
+         least({_EQD_BINS} - 1,
+               ({_EQD_BINS} * (cn - 1)) // n) AS bin
+  FROM cum
+)
+SELECT CAST(bin AS INT) AS bin,
+       min(pc) / 100.0 AS lo_value,
+       max(pc) / 100.0 AS hi_value,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_values
+FROM tagged
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("equi_depth_histogram", oracle=_EQD_ORACLE)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) 10-bin histogram of order value — the
+    statistic a cost-based optimizer keeps per column (Spark's own
+    ANALYZE ... FOR COLUMNS computes exactly this shape), and the
+    `value_histogram_events` (fixed-range) sibling with data-adaptive
+    boundaries. A cents-integer level is assigned to the decile of its
+    cumulative position by pure integer floor-division — no quantile
+    approximation, no double comparisons anywhere; per bin: value
+    range, row count, and distinct-value count (the NDV-per-bucket a
+    CBO uses for selectivity).
+
+    Plan shape: one map-side-combining shuffle to the value-level
+    census, one window pass over levels, one tiny rollup — the
+    level-census discipline of `weighted_median_price` applied to
+    optimizer statistics. At 100 TB: exact histograms from a single
+    pass plus level-sized post-processing."""
+    from pyspark.sql import Window
+
+    lv = (
+        table(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"))
+        .groupBy("pc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wo = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()  # global total
+    cum = lv.select(
+        "pc", "cnt",
+        F.sum("cnt").over(wo).alias("cn"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    bin_ = F.least(
+        F.lit(_EQD_BINS - 1),
+        F.expr(f"({_EQD_BINS} * (cn - 1)) div n"),
+    )
+    return (
+        cum.select(bin_.cast("int").alias("bin"), "pc", "cnt")
+        .groupBy("bin")
+        .agg(
+            (F.min("pc") / 100.0).alias("lo_value"),
+            (F.max("pc") / 100.0).alias("hi_value"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),
+        )
+        .select("bin", "lo_value", "hi_value", "n_rows", "n_distinct_values")
+        .orderBy("bin")
+    )

@@ -1646,3 +1646,215 @@ def nb_lang_signal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Chao1 richness + Good-Turing coverage ----------------------------
+
+_CHAO1_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (
+  SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+),
+ff AS (
+  SELECT source,
+         count(*) AS d,
+         sum(c) AS n,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM census GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(d AS BIGINT) AS observed_vocab,
+       CAST(f1 AS BIGINT) AS singletons,
+       CAST(f2 AS BIGINT) AS doubletons,
+       d + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)) AS chao1_richness,
+       1 - CAST(f1 AS DOUBLE) / n AS good_turing_coverage
+FROM ff
+ORDER BY source
+"""
+
+
+@register("chao1_vocab_richness", oracle=_CHAO1_ORACLE)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source via the Chao1 estimator (Chao,
+    Scand.J.Stat'84, bias-corrected form D + f1(f1-1)/(2(f2+1))) plus
+    Good-Turing sample coverage 1 - f1/N — how much unseen vocabulary a
+    corpus slice still hides, the question a data-mixing pipeline asks
+    before deciding a source is exhausted (`nucleus_vocab_census`'s
+    forward-looking sibling). Both estimators are exact integer ratios
+    of the frequency-of-frequencies — no libm at all.
+
+    Plan shape: explode to tokens, one shuffle to the (source, token)
+    census, one map-side-combining rollup to 4 counters per source.
+    At 100 TB the token census is the only row-scale stage; the
+    frequency-of-frequencies rollup is vocabulary-sized. spread=True:
+    tokenization dominates a row exchange on degenerate scans."""
+    from ocean_data_pipeline_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    census = (
+        docs.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ff = census.groupBy("source").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return ff.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("d").cast("bigint").alias("observed_vocab"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        (
+            F.col("d")
+            + F.col("f1").cast("double") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1))
+        ).alias("chao1_richness"),
+        (1 - F.col("f1").cast("double") / F.col("n")).alias("good_turing_coverage"),
+    ).orderBy("source")
+
+
+# --- Kneser-Ney smoothed bigram LM ------------------------------------
+
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> arr[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> arr[i + 1])) AS w2
+    FROM d WHERE len(arr) >= 2
+  ) GROUP BY w1, w2
+),
+-- history mass sum_w2 c(w1,w2), NOT the unigram count (they differ
+-- where w1 ends a document) — the normalizer the KN closure requires
+hist AS (SELECT w1, sum(c2) AS h1, count(*) AS np1 FROM big GROUP BY w1),
+npre AS (SELECT w2, count(*) AS np2 FROM big GROUP BY w2),
+btypes AS (SELECT count(*) AS b FROM big),
+trans AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i + 1])) AS w2
+  FROM d WHERE len(arr) >= 2
+),
+scored AS (
+  SELECT doc_id, any_value(source) AS source,
+         round(-sum(ln(
+             greatest(CAST(c2 AS DOUBLE) - {_KN_D}, 0) / np.h1
+             + ({_KN_D} * np.np1 / np.h1)
+               * (CAST(pr.np2 AS DOUBLE) / bt.b)))
+               / count(*), 6) AS nll
+  FROM trans
+  JOIN big USING (w1, w2)
+  JOIN hist np ON np.w1 = trans.w1
+  JOIN npre pr ON pr.w2 = trans.w2
+  CROSS JOIN btypes bt
+  GROUP BY doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS avg_nll,
+       min(nll) AS min_nll,
+       max(nll) AS max_nll,
+       CAST(sum(CASE WHEN nll > 3.42 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("kneser_ney_bigram_ppl", oracle=_KN_ORACLE)
+def kneser_ney_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram scoring (Kneser & Ney, ICASSP'95;
+    the Chen-Goodman '99 benchmark winner and KenLM's default):
+    P(w2|w1) = max(c(w1w2)-D,0)/c(w1) + D·N1+(w1·)/c(w1) ·
+    N1+(·w2)/|bigram types| with D=0.75 — absolute discounting whose
+    backoff weights CONTINUATION diversity, not raw frequency, so
+    "francisco" (frequent but only after "san") stops outscoring
+    genuinely versatile words — the failure `bigram_perplexity_interp`'s
+    Jelinek-Mercer interpolation can't fix. Same per-doc NLL / per-
+    source rollup shape as the JM query so the two smoothers are
+    directly comparable.
+
+    Plan shape: identical posture to the JM query — ONE bigram explode
+    feeds the census and the scoring stream; the two continuation-count
+    relations are projections of the vocabulary²-bounded bigram census
+    and broadcast with it; per-doc NLL is one partial agg on doc_id."""
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("arr")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("arr") - 2),
+        lambda i: F.struct(
+            F.element_at("arr", i + 1).alias("w1"),
+            F.element_at("arr", i + 2).alias("w2"),
+        ),
+    )
+    trans = (
+        d.filter(F.size("arr") >= 2)
+        .select("doc_id", "source", F.explode(pairs).alias("p"))
+        .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint()
+    # history mass sum_w2 c(w1,w2), NOT the unigram count (they differ
+    # where w1 ends a document) — the normalizer the KN closure requires
+    hist = big.groupBy("w1").agg(
+        F.sum("c2").alias("h1"), F.count(F.lit(1)).alias("np1")
+    )
+    npre = big.groupBy("w2").agg(F.count(F.lit(1)).alias("np2"))
+    btypes = big.agg(F.count(F.lit(1)).alias("b"))
+    p_kn = (
+        F.greatest(F.col("c2").cast("double") - _KN_D, F.lit(0.0)) / F.col("h1")
+        + (_KN_D * F.col("np1") / F.col("h1"))
+        * (F.col("np2").cast("double") / F.col("b"))
+    )
+    scored = (
+        trans.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(hist), "w1")
+        .join(F.broadcast(npre), "w2")
+        .crossJoin(F.broadcast(btypes))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.round(-F.sum(F.log(p_kn)) / F.count(F.lit(1)), 6).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_nll"),
+            F.min("nll").alias("min_nll"),
+            F.max("nll").alias("max_nll"),
+            F.sum(F.when(F.col("nll") > 3.42, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -341,3 +341,74 @@ def stream_countmin_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(sink).orderBy("hash_row", "bucket")
+
+
+# --- streaming HyperLogLog registers ----------------------------------
+
+_SHLL_M = 64
+_SHLL_HEX = "sha256('shll_' || CAST(user_id AS VARCHAR))"
+
+
+def _shll_oracle() -> str:
+    from ocean_data_pipeline_spark.queries.sketch_ops import _hll_rho_sql
+
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr({_SHLL_HEX}, 1, 2)) AS INT) % {_SHLL_M} AS reg,
+         {_hll_rho_sql(f"CAST(('0x' || substr({_SHLL_HEX}, 3, 10)) AS BIGINT)")} AS rho
+  FROM events
+)
+SELECT event_type, reg, CAST(max(rho) AS INT) AS m_reg
+FROM h GROUP BY event_type, reg
+ORDER BY event_type, reg
+"""
+
+
+@register("stream_hll_registers", oracle=_shll_oracle())
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog register table per event type: each event
+    hashes its user_id into one of m=64 registers and the streaming
+    aggregation state keeps max(rho) per (event_type, register) —
+    the max-merge dual of `stream_countmin_user_events`' additive
+    counters, covering the second of the two mergeable-sketch merge
+    laws as a LIVE Structured Streaming job. max() is idempotent,
+    commutative, and associative, so the register table is invariant
+    to micro-batch slicing, arrival order, AND duplicate delivery
+    (at-least-once safety for free — the property CMS counters lack),
+    which is why this stateful streaming query carries a full DuckDB
+    oracle. Distinct-count readout is `hll_portable_distinct`'s
+    estimator over these registers.
+
+    State posture: <= types x 64 registers TOTAL regardless of user
+    cardinality or stream length — constant-state cardinality tracking
+    for a 100 TB stream."""
+    import uuid
+
+    from ocean_data_pipeline_spark.queries.sketch_ops import _HLL_M  # noqa: F401
+
+    hexd = F.sha2(F.concat(F.lit("shll_"), F.col("user_id").cast("string")), 256)
+    reg = (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int") % _SHLL_M).alias("reg")
+    v40 = F.conv(F.substring(hexd, 3, 10), 16, 10).cast("bigint")
+    rho = F.lit(41)
+    for r in range(40, 0, -1):
+        rho = F.when(v40 >= (1 << (40 - r)), F.lit(r)).otherwise(rho)
+    updates = _event_stream(spark, sf_dir).select(
+        "event_type", reg, rho.cast("int").alias("rho")
+    )
+    registers = updates.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("m_reg")
+    )
+    sink = f"stream_hll_{uuid.uuid4().hex[:12]}"
+    query = (
+        registers.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).orderBy("event_type", "reg")

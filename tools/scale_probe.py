@@ -643,6 +643,10 @@ def main() -> None:
         def build():
             import uuid as _uuid
 
+            # 10x replication pushes the recursion's working set past the
+            # default 1M-row safety cap; the cap exists to catch runaway
+            # fixpoints, not sized workloads — raise it for this probe.
+            spark.conf.set("spark.sql.cteRecursionRowLimit", 50_000_000)
             view = f"probe_orders_{_uuid.uuid4().hex[:8]}"
             o.createOrReplaceTempView(view)
             return spark.sql(f"""
@@ -923,8 +927,14 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name, (b1, b10) in ops.items():
-        t1 = time_op(b1)
-        t10 = time_op(b10)
+        # one broken probe must not lose the whole table
+        try:
+            t1 = time_op(b1)
+            t10 = time_op(b10)
+        except Exception as e:  # noqa: BLE001
+            lines.append(f"| {name} | FAIL | FAIL | {type(e).__name__} |")
+            print(lines[-1], flush=True)
+            continue
         ratio = t10 / t1 if t1 > 0 else float("nan")
         lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x |")
         print(lines[-1], flush=True)

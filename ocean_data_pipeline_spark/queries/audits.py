@@ -1118,3 +1118,157 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         (num / (denx * deny)).alias("rho_spearman"),
     )
+
+
+# --- CUPED variance reduction -----------------------------------------
+
+_CUPED_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) < 1998
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS xc,
+         sum(CASE WHEN year(o_orderdate) >= 1998
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS yc
+  FROM orders GROUP BY o_custkey
+),
+tagged AS (
+  SELECT c.c_mktsegment AS segment, p.xc, p.yc
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+),
+s AS (
+  SELECT segment,
+         count(*) AS n,
+         CAST(sum(xc) AS DOUBLE) AS sx,
+         CAST(sum(yc) AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(xc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sxy
+  FROM tagged GROUP BY segment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_customers,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
+            THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+         AS variance_reduction
+FROM s
+ORDER BY segment
+"""
+
+
+@register("cuped_variance_reduction", oracle=_CUPED_ORACLE)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-experiment covariate adjustment (Deng-Xu-Kohavi-Walker,
+    WSDM'13): per market segment, theta = cov(x,y)/var(x) for
+    pre-period (pre-1998) vs experiment-period customer spend, and the
+    achievable variance reduction rho² = cov²/(var_x·var_y) — the
+    number that says how much smaller an A/B test gets by regressing
+    out the pre-period covariate. Five exact-DECIMAL moments in ONE
+    pass over the per-customer relation (cents-integer spend, int128
+    products, VARCHAR-hop casts); theta and rho² are fixed Cramer-style
+    chains with zero-variance guards.
+
+    Plan shape: one shuffle to per-customer period spends (conditional
+    aggregation — one scan for both periods), broadcast dim join, one
+    moment agg per segment. At 100 TB: the standard two-aggregate
+    experimentation pipeline, no per-row state."""
+    yc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.year("o_orderdate") < 1998, yc).otherwise(0)).alias("xc"),
+            F.sum(F.when(F.year("o_orderdate") >= 1998, yc).otherwise(0)).alias("yc"),
+        )
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .select(F.col("c_mktsegment").alias("segment"), "xc", "yc")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xc").cast("double").alias("sx"),
+            F.sum("yc").cast("double").alias("sy"),
+            F.sum(dec("xc") * dec("xc")).cast("double").alias("sxx"),
+            F.sum(dec("yc") * dec("yc")).cast("double").alias("syy"),
+            F.sum(dec("xc") * dec("yc")).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "segment",
+        n.cast("bigint").alias("n_customers"),
+        F.when(vx != 0, cov / vx).alias("theta"),
+        F.when(vx * vy != 0, (cov * cov) / (vx * vy)).alias("variance_reduction"),
+    ).orderBy("segment")
+
+
+# --- Wilson score intervals -------------------------------------------
+
+_WILSON_Z = 1.96
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         count(*) AS n,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+  FROM orders GROUP BY 1
+)
+SELECT priority,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS DOUBLE) / n AS p_hat,
+       ((CAST(k AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+        - {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                             + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+         / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS wilson_lo,
+       ((CAST(k AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+        + {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                             + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+         / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS wilson_hi
+FROM s
+ORDER BY priority
+"""
+
+
+@register("wilson_proportion_intervals", oracle=_WILSON_ORACLE)
+def wilson_proportion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% intervals (Wilson, JASA'27) for the completed-
+    order rate per priority — the proportion interval that behaves at
+    the 0/1 boundaries where the Wald interval collapses, and the
+    standard output of an experimentation readout. Pure fixed IEEE
+    chains over exact integer ratios (sqrt is correctly rounded), so
+    both engines emit identical unrounded doubles.
+
+    Plan shape: one map-side-combining conditional aggregate; the
+    interval algebra runs on 5 rows."""
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("k"),
+        )
+    )
+    z = _WILSON_Z
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return s.select(
+        "priority",
+        n.cast("bigint").alias("n"),
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("priority")

@@ -385,8 +385,6 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a 100 TB stream."""
     import uuid
 
-    from ocean_data_pipeline_spark.queries.sketch_ops import _HLL_M  # noqa: F401
-
     hexd = F.sha2(F.concat(F.lit("shll_"), F.col("user_id").cast("string")), 256)
     reg = (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int") % _SHLL_M).alias("reg")
     v40 = F.conv(F.substring(hexd, 3, 10), 16, 10).cast("bigint")

@@ -1001,3 +1001,82 @@ def yule_walker_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             + phi2 * (F.col("x_prev") - mu2)
         ).alias("forecast_next"),
     )
+
+
+# --- rolling OLS trend slope ------------------------------------------
+
+_ROLL_OLS_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1
+),
+f AS (
+  SELECT t, x,
+         count(*) OVER w AS n,
+         sum(CAST(t AS DECIMAL(19,0))) OVER w AS st,
+         sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) OVER w AS stt,
+         sum(CAST(x AS DECIMAL(19,2))) OVER w AS sx,
+         CAST(CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,2)))
+                   OVER w AS VARCHAR) AS DOUBLE) AS stx
+  FROM m
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT t AS month_index,
+       CAST(n AS BIGINT) AS frame_n,
+       CAST(x AS DOUBLE) AS revenue,
+       CASE WHEN n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0
+            THEN (n * stx - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+       END AS trend_slope
+FROM f
+ORDER BY t
+"""
+
+
+@register("rolling_ols_trend", oracle=_ROLL_OLS_ORACLE)
+def rolling_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-month OLS trend slope of monthly revenue — the local
+    linear trend a monitoring dashboard plots next to the raw series
+    (`ols_price_regression`'s closed form inside a window frame, the
+    window sibling of `rolling_avg_monthly`). All five frame sums are
+    exact DECIMALs over the month frame (month indices and cents-exact
+    revenue), the slope is the fixed Cramer chain, and the Σt·x sum
+    crosses to double through the VARCHAR hop (the ACF device) so
+    DuckDB's int128→double cast cannot double-round.
+
+    Plan shape: the fact scan collapses map-side to the month relation;
+    ONE month-ordered window pass computes every frame sum. At 100 TB
+    only the first aggregate is row-scale — the window runs on the
+    calendar."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    w = Window.orderBy("t").rowsBetween(-5, 0)
+    td = F.col("t").cast("decimal(19,0)")
+    xd = F.col("x").cast("decimal(19,2)")
+    f = m.select(
+        "t",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(td).over(w).alias("st"),
+        F.sum(td * td).over(w).alias("stt"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(td * xd).over(w).cast("double").alias("stx"),
+    )
+    n = F.col("n")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    sx = F.col("sx").cast("double")
+    den = n * stt - st * st
+    return f.select(
+        F.col("t").alias("month_index"),
+        n.cast("bigint").alias("frame_n"),
+        F.col("x").cast("double").alias("revenue"),
+        F.when(den != 0, (n * F.col("stx") - st * sx) / den).alias("trend_slope"),
+    ).orderBy("month_index")

@@ -1272,3 +1272,157 @@ def wilson_proportion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     ).orderBy("priority")
+
+
+# --- difference-in-differences ----------------------------------------
+
+_DID_U_SQL = """(CAST(('0x' || substr(sha256('did_' || CAST(o_custkey AS VARCHAR)),
+      1, 8)) AS BIGINT) + 1) / 4294967297.0"""
+_DID_U_SPARK = """(CAST(conv(substr(sha2(concat('did_', CAST(o_custkey AS STRING)), 256),
+      1, 8), 16, 10) AS BIGINT) + 1) / 4294967297.0"""
+
+_DID_ORACLE = f"""
+WITH cells AS (
+  SELECT CASE WHEN {_DID_U_SQL} < 0.5 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN year(o_orderdate) >= 1997 THEN 1 ELSE 0 END AS post,
+         count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+    max(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+    max(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+    max(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+    CAST(sum(n) AS BIGINT) AS n_orders
+  FROM cells
+)
+SELECT n_orders,
+       t_pre / 100 AS treated_pre, t_post / 100 AS treated_post,
+       c_pre / 100 AS control_pre, c_post / 100 AS control_post,
+       ((t_post - t_pre) - (c_post - c_pre)) / 100 AS did_estimate
+FROM m
+"""
+
+
+@register("diff_in_diff_estimator", oracle=_DID_ORACLE)
+def diff_in_diff_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger'94 design):
+    deterministic sha-salted customer cohorts x pre/post-1997 periods;
+    DiD = (T_post - T_pre) - (C_post - C_pre) over mean order value —
+    the parallel-trends causal readout, here on a null treatment so the
+    estimate doubles as an A/A sanity check (the honest expectation is
+    ~0). The four cell means are exact cents-integer DECIMAL ratios
+    from ONE conditional aggregate; the estimator is a fixed chain.
+
+    Plan shape: one map-side-combining aggregate to 4 cells; at 100 TB
+    this is the cheapest causal-inference primitive there is."""
+    cells = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.when(F.expr(_DID_U_SPARK) < 0.5, 1).otherwise(0).alias("treated"),
+            F.when(F.year("o_orderdate") >= 1997, 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("s"),
+        )
+    )
+    def cell(t: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+    m = cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    return m.select(
+        "n_orders",
+        (F.col("t_pre") / 100).alias("treated_pre"),
+        (F.col("t_post") / 100).alias("treated_post"),
+        (F.col("c_pre") / 100).alias("control_pre"),
+        (F.col("c_post") / 100).alias("control_post"),
+        (
+            ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")))
+            / 100
+        ).alias("did_estimate"),
+    )
+
+
+# --- power analysis / sample sizing -----------------------------------
+
+#: z_{0.975} + z_{0.8}: the 5%-two-sided / 80%-power constants of the
+#: standard two-sample sizing formula, squared once as a literal so both
+#: engines multiply the same double.
+_POWER_ZSUM_SQ = (1.959963984540054 + 0.8416212335729143) ** 2
+
+_POWER_ORACLE = f"""
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0))
+                       * CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS s2
+  FROM orders GROUP BY 1
+)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_observed,
+       (s1 / n) / 100 AS mean_value,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100 AS sd_value,
+       (s2 - s1 * s1 / n) / (n - 1) / (s1 / n) / 100 AS dispersion_index,
+       CAST(ceil(2 * ((s2 - s1 * s1 / n) / (n - 1))
+                 * {_POWER_ZSUM_SQ}
+                 / ((0.02 * (s1 / n)) * (0.02 * (s1 / n)))) AS BIGINT)
+         AS n_per_arm_2pct_mde
+FROM s
+ORDER BY priority
+"""
+
+
+@register("power_sample_size", oracle=_POWER_ORACLE)
+def power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sizing per priority: n/arm = 2·s²·(z_{a/2}+z_b)²/Δ² for
+    a 2%-of-mean minimum detectable effect at 5% size / 80% power —
+    the pre-registration step in front of `welch_ttest_event_values`,
+    plus the variance-to-mean dispersion index (overdispersion
+    diagnostic). Sample variance from exact cents-integer DECIMAL
+    moments; the z-constant sum is squared ONCE as a shared literal;
+    everything after is a fixed IEEE chain (ceil of a far-from-integer
+    double).
+
+    Plan shape: one map-side-combining moment aggregate; sizing algebra
+    on 5 rows."""
+    cb = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cbd = cb.cast("decimal(19,0)")
+    s = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"), cb.alias("c"), (cbd * cbd).alias("c2"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("double").alias("s1"),
+            F.sum("c2").cast("double").alias("s2"),
+        )
+    )
+    n = F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    mean = F.col("s1") / n
+    mde = 0.02 * mean
+    return s.select(
+        "priority",
+        n.cast("bigint").alias("n_observed"),
+        (mean / 100).alias("mean_value"),
+        (F.sqrt(var) / 100).alias("sd_value"),
+        (var / mean / 100).alias("dispersion_index"),
+        F.ceil(2 * var * _POWER_ZSUM_SQ / (mde * mde))
+        .cast("bigint")
+        .alias("n_per_arm_2pct_mde"),
+    ).orderBy("priority")

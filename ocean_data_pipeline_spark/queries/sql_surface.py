@@ -532,3 +532,30 @@ def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "thr": 250000.0, "st": "O"},
     )
+
+
+# GROUP BY ALL / ORDER BY ALL: the DuckDB-originated convenience
+# grammar Spark 4 adopted — every non-aggregate select item groups,
+# every output column orders. One string, both engines, no column
+# lists to drift.
+_SQL_GROUP_ALL = """
+SELECT
+  year(o_orderdate)                                          AS order_year,
+  o_orderpriority                                            AS priority,
+  count(*)                                                   AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)   AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_order_by_all", oracle=_SQL_GROUP_ALL)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12th+ textual string: `GROUP BY ALL` + `ORDER BY ALL` through
+    both parsers — the grammar infers the grouping set (year, priority)
+    and the total output order, so the string cannot silently diverge
+    from its select list. Lowers to the same partial-agg + exchange +
+    sort plan as an explicit column list."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUP_ALL)

@@ -1047,10 +1047,12 @@ s AS (
   FROM cells c JOIN rq USING (q) JOIN rd USING (d)
 )
 SELECT CAST(n AS BIGINT) AS n,
-       (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS rho_spearman
+       CASE WHEN (n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0 THEN
+         (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS rho_spearman
 FROM s
 """
 
@@ -1114,9 +1116,11 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy").cast("double")
     denx = F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx").cast("double"))
     deny = F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    vx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy").cast("double")
     return s.select(
         n.cast("bigint").alias("n"),
-        (num / (denx * deny)).alias("rho_spearman"),
+        F.when(vx * vy != 0, num / (denx * deny)).alias("rho_spearman"),
     )
 
 
@@ -1376,12 +1380,15 @@ WITH s AS (
 SELECT priority,
        CAST(n AS BIGINT) AS n_observed,
        (s1 / n) / 100 AS mean_value,
-       sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100 AS sd_value,
-       (s2 - s1 * s1 / n) / (n - 1) / (s1 / n) / 100 AS dispersion_index,
-       CAST(ceil(2 * ((s2 - s1 * s1 / n) / (n - 1))
-                 * {_POWER_ZSUM_SQ}
-                 / ((0.02 * (s1 / n)) * (0.02 * (s1 / n)))) AS BIGINT)
-         AS n_per_arm_2pct_mde
+       CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100 END
+         AS sd_value,
+       CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) / (s1 / n) / 100 END
+         AS dispersion_index,
+       CASE WHEN n > 1 THEN
+         CAST(ceil(2 * ((s2 - s1 * s1 / n) / (n - 1))
+                   * {_POWER_ZSUM_SQ}
+                   / ((0.02 * (s1 / n)) * (0.02 * (s1 / n)))) AS BIGINT)
+       END AS n_per_arm_2pct_mde
 FROM s
 ORDER BY priority
 """
@@ -1420,9 +1427,9 @@ def power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         n.cast("bigint").alias("n_observed"),
         (mean / 100).alias("mean_value"),
-        (F.sqrt(var) / 100).alias("sd_value"),
-        (var / mean / 100).alias("dispersion_index"),
-        F.ceil(2 * var * _POWER_ZSUM_SQ / (mde * mde))
-        .cast("bigint")
-        .alias("n_per_arm_2pct_mde"),
+        F.when(n > 1, F.sqrt(var) / 100).alias("sd_value"),
+        F.when(n > 1, var / mean / 100).alias("dispersion_index"),
+        F.when(
+            n > 1, F.ceil(2 * var * _POWER_ZSUM_SQ / (mde * mde)).cast("bigint")
+        ).alias("n_per_arm_2pct_mde"),
     ).orderBy("priority")

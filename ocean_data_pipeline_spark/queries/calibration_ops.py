@@ -146,8 +146,10 @@ SELECT priority,
        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS te_mean,
        (CAST(s AS DOUBLE) + {_TE_SMOOTH_M} * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
          / (CAST(n AS DOUBLE) + {_TE_SMOOTH_M}) AS te_smooth,
-       CAST(s - y_max AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS loo_min,
-       CAST(s - y_min AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS loo_max
+       CASE WHEN n > 1 THEN CAST(s - y_max AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+         AS loo_min,
+       CASE WHEN n > 1 THEN CAST(s - y_min AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+         AS loo_max
 FROM grp, gtot
 ORDER BY priority
 """
@@ -199,13 +201,15 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / (F.col("n").cast("double") + m)
             ).alias("te_smooth"),
-            (
+            F.when(
+                F.col("n") > 1,
                 (F.col("s") - F.col("y_max")).cast("double")
-                / (F.col("n") - 1).cast("double")
+                / (F.col("n") - 1).cast("double"),
             ).alias("loo_min"),
-            (
+            F.when(
+                F.col("n") > 1,
                 (F.col("s") - F.col("y_min")).cast("double")
-                / (F.col("n") - 1).cast("double")
+                / (F.col("n") - 1).cast("double"),
             ).alias("loo_max"),
         )
         .orderBy("priority")

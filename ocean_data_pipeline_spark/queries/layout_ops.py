@@ -244,3 +244,108 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("column_name")
+
+
+# --- CBO join-cardinality audit ---------------------------------------
+
+_JOINCARD_ORACLE = """
+WITH est AS (
+  SELECT 'orders_x_customer' AS join_name,
+         (SELECT count(*) FROM orders) AS n_left,
+         (SELECT count(*) FROM customer) AS n_right,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_left,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_right,
+         (SELECT count(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey) AS actual_rows
+  UNION ALL
+  SELECT 'lineitem_x_orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM orders),
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+         (SELECT count(DISTINCT o_orderkey) FROM orders),
+         (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'lineitem_x_part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM part),
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT p_partkey) FROM part),
+         (SELECT count(*) FROM lineitem l JOIN part p
+            ON l.l_partkey = p.p_partkey)
+)
+SELECT join_name,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(n_left * n_right // nullif(greatest(ndv_left, ndv_right), 0)
+            AS BIGINT) AS estimated_rows,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       CAST(actual_rows AS DOUBLE)
+         / nullif(n_left * n_right / nullif(greatest(ndv_left, ndv_right), 0), 0)
+         AS q_error
+FROM est
+ORDER BY join_name
+"""
+
+
+@register("join_cardinality_audit", oracle=_JOINCARD_ORACLE)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer cardinality audit: for the three core
+    equi-joins, the textbook estimate |R|·|S|/max(ndv_R, ndv_S)
+    (Selinger et al., SIGMOD'79 — what Spark CBO and every
+    System-R descendant computes from table stats) against the ACTUAL
+    join cardinality, with the ratio as the q-error. The companion to
+    `equi_depth_histogram`: together they are the statistics layer a
+    100 TB planner reasons with — and this query measures how wrong
+    the uniformity assumption is on real keys. The estimate divides
+    with explicit floor division (`div` / `//`) so both engines agree
+    even when the ratio is fractional.
+
+    Plan shape: per join one distinct-agg per side plus the actual
+    join count (partial-agg shuffles); everything else is 3-row
+    algebra. The joins themselves broadcast their dim side."""
+    rows = []
+    specs = [
+        ("orders_x_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_x_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_x_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    for name, lt, lk, rt, rk in specs:
+        left = table(spark, sf_dir, lt).select(F.col(lk).alias("k"))
+        right = table(spark, sf_dir, rt).select(F.col(rk).alias("k"))
+        lstat = left.agg(
+            F.count(F.lit(1)).alias("n_left"),
+            F.countDistinct("k").alias("ndv_left"),
+        )
+        rstat = right.agg(
+            F.count(F.lit(1)).alias("n_right"),
+            F.countDistinct("k").alias("ndv_right"),
+        )
+        actual = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("actual_rows")
+        )
+        rows.append(
+            lstat.crossJoin(F.broadcast(rstat))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_left").cast("bigint").alias("n_left"),
+                F.col("n_right").cast("bigint").alias("n_right"),
+                F.expr(
+                    "CAST(n_left * n_right div nullif(greatest(ndv_left,"
+                    " ndv_right), 0) AS BIGINT)"
+                ).alias("estimated_rows"),
+                F.col("actual_rows").cast("bigint").alias("actual_rows"),
+                (
+                    F.col("actual_rows").cast("double")
+                    / F.expr(
+                        "nullif(n_left * n_right / nullif(greatest(ndv_left,"
+                        " ndv_right), 0), 0)"
+                    )
+                ).alias("q_error"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("join_name")

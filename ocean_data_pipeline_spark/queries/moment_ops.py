@@ -51,14 +51,16 @@ s AS (
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
        (s1 / n) / 100.0 AS mean_price,
-       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-         / ((s2 / n - (s1 / n) * (s1 / n))
-            * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
-       (s4 / n - 4 * (s1 / n) * (s3 / n)
-         + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-         - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-         / ((s2 / n - (s1 / n) * (s1 / n))
-            * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS excess_kurtosis
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) <> 0 THEN
+         (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+           / ((s2 / n - (s1 / n) * (s1 / n))
+              * sqrt(s2 / n - (s1 / n) * (s1 / n))) END AS skewness,
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) <> 0 THEN
+         (s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+           / ((s2 / n - (s1 / n) * (s1 / n))
+              * (s2 / n - (s1 / n) * (s1 / n))) - 3 END AS excess_kurtosis
 FROM s
 ORDER BY l_returnflag
 """
@@ -116,8 +118,8 @@ def skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         n.cast("bigint").alias("n"),
         (m1 / 100.0).alias("mean_price"),
-        (m3c / (m2c * F.sqrt(m2c))).alias("skewness"),
-        (m4c / (m2c * m2c) - 3).alias("excess_kurtosis"),
+        F.when(m2c != 0, m3c / (m2c * F.sqrt(m2c))).alias("skewness"),
+        F.when(m2c != 0, m4c / (m2c * m2c) - 3).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
 
 

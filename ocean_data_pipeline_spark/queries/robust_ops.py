@@ -282,11 +282,12 @@ w AS (  -- N_h * sigma_h, rounded ONCE into DECIMAL so the total is exact
 t AS (SELECT sum(nh_sigma) AS tot FROM w),
 alloc AS (
   SELECT w.segment, w.nh, w.nh_sigma,
-         CAST(floor({_NEYMAN_B} * CAST(w.nh_sigma AS DOUBLE)
-                    / CAST(t.tot AS DOUBLE)) AS BIGINT) AS base_n,
-         {_NEYMAN_B} * CAST(w.nh_sigma AS DOUBLE) / CAST(t.tot AS DOUBLE)
-           - floor({_NEYMAN_B} * CAST(w.nh_sigma AS DOUBLE)
-                   / CAST(t.tot AS DOUBLE)) AS frac
+         CAST(floor(CASE WHEN t.tot <> 0 THEN {_NEYMAN_B} * CAST(w.nh_sigma AS DOUBLE)
+                    / CAST(t.tot AS DOUBLE) ELSE 0 END) AS BIGINT) AS base_n,
+         CASE WHEN t.tot <> 0 THEN {_NEYMAN_B} * CAST(w.nh_sigma AS DOUBLE)
+                / CAST(t.tot AS DOUBLE)
+              - floor({_NEYMAN_B} * CAST(w.nh_sigma AS DOUBLE)
+                      / CAST(t.tot AS DOUBLE)) ELSE 0 END AS frac
   FROM w, t
 ),
 deficit AS (
@@ -340,7 +341,10 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment", "nh", F.round(nh * sigma, 6).cast("decimal(28,6)").alias("nh_sigma")
     )
     t = w.agg(F.sum("nh_sigma").alias("tot"))
-    share = _NEYMAN_B * F.col("nh_sigma").cast("double") / F.col("tot").cast("double")
+    share = F.when(
+        F.col("tot") != 0,
+        _NEYMAN_B * F.col("nh_sigma").cast("double") / F.col("tot").cast("double"),
+    ).otherwise(F.lit(0.0))
     alloc = w.crossJoin(F.broadcast(t)).select(
         "segment", "nh", "nh_sigma",
         F.floor(share).cast("bigint").alias("base_n"),

@@ -17,7 +17,7 @@ than the fact table. The expensive comparator runs on candidates only.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -479,3 +479,108 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("comparator")
+
+
+# --- end-to-end entity resolution -------------------------------------
+
+_ER_JW_MIN = 0.82
+
+_ER_ORACLE = f"""
+WITH RECURSIVE
+names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+keys AS (
+  SELECT name, {_SKEL_SQL.format(col="name")} AS blk FROM names
+),
+cand AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM keys a JOIN keys b ON a.blk = b.blk AND a.name < b.name
+),
+match_pairs AS (
+  SELECT name_a, name_b FROM cand
+  WHERE jaro_winkler_similarity(name_a, name_b) >= {_ER_JW_MIN}
+),
+edges AS (
+  SELECT name_a AS u, name_b AS v FROM match_pairs
+  UNION ALL
+  SELECT name_b, name_a FROM match_pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+labels AS (SELECT u, min(r) AS entity FROM reach GROUP BY u)
+SELECT n.name,
+       coalesce(l.entity, n.name) AS entity,
+       CAST(count(*) OVER (PARTITION BY coalesce(l.entity, n.name)) AS BIGINT)
+         AS n_members
+FROM names n LEFT JOIN labels l ON l.u = n.name
+ORDER BY n.name
+"""
+
+
+@register("er_pipeline_end2end", oracle=_ER_ORACLE)
+def er_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: phonetic-skeleton blocking →
+    Jaro-Winkler scoring (>= 0.82) on in-block candidates only →
+    connected components → every name labeled with the smallest member
+    of its entity cluster — the composite that chains this module's
+    stages the way `dedup_pipeline_end2end` chains the MinHash dedup
+    stages, against a recursive-CTE transitive-closure oracle. The
+    transitive step matters for the same reason it does in dedup:
+    pairwise accept/reject over-merges or over-splits when A~B~C but
+    A!~C.
+
+    Plan shape: DISTINCT-name contraction (the only row-scale stage),
+    vocabulary-bounded block self-join, Arrow-batched comparator on
+    candidates, then operators.components.connected_components —
+    checkpointed symmetrized edges, one label shuffle per round,
+    O(log diameter) rounds. 100 TB posture: unchanged; only the
+    DISTINCT scales with the corpus."""
+    from ocean_data_pipeline_spark.operators.components import connected_components
+
+    names = (
+        table(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    # components' decimal convergence scalar needs NUMERIC node ids:
+    # dense ids in name order, so min-id == lexicographically-min name
+    # and the label maps back to the oracle's min(name) entity.
+    ids = names.select(
+        "name", F.row_number().over(Window.orderBy("name")).alias("nid")
+    ).localCheckpoint()  # consumed by 3 subtrees (2 edge sides + label map)
+    keys = ids.select("name", "nid", F.expr(_SKEL_SPARK.format(col="name")).alias("blk"))
+    a = keys.select(
+        F.col("name").alias("name_a"), F.col("nid").alias("nid_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = keys.select(
+        F.col("name").alias("name_b"), F.col("nid").alias("nid_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    cand = a.join(
+        F.broadcast(b),
+        (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")),
+    )
+    edges = (
+        cand.select(
+            "nid_a", "nid_b", _jw_udf(F.col("name_a"), F.col("name_b")).alias("jw")
+        )
+        .filter(F.col("jw") >= _ER_JW_MIN)
+        .select(F.col("nid_a").alias("src"), F.col("nid_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    ent = ids.select(F.col("nid").alias("component"), F.col("name").alias("entity"))
+    labels = comp.join(F.broadcast(ent), "component").select("id", "entity")
+    return (
+        ids.join(labels, ids["nid"] == labels["id"], "left")
+        .select(
+            "name", F.coalesce(F.col("entity"), F.col("name")).alias("entity")
+        )
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("entity")).cast("bigint"),
+        )
+        .orderBy("name")
+    )

@@ -370,3 +370,96 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- K-fold stability of a statistic ----------------------------------
+
+_CV_U_SQL = """(CAST(('0x' || substr(sha256('cvf_' || CAST(o_orderkey AS VARCHAR)),
+      1, 8)) AS BIGINT) + 1) / 4294967297.0"""
+_CV_U_SPARK = """(CAST(conv(substr(sha2(concat('cvf_', CAST(o_orderkey AS STRING)), 256),
+      1, 8), 16, 10) AS BIGINT) + 1) / 4294967297.0"""
+
+_CV_ORACLE = f"""
+WITH folds AS (
+  SELECT least(4, CAST(floor({_CV_U_SQL} * 5) AS INT)) AS fold,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+  FROM orders
+),
+per_fold AS (
+  SELECT fold, count(*) AS n,
+         CAST(sum(yc) AS DOUBLE) / count(*) AS fold_mean_c
+  FROM folds GROUP BY fold
+),
+dec AS (  -- fold means rounded ONCE into micro-unit INTEGERS: exact
+          -- cross-fold moment sums with no decimal-width hazards
+  SELECT fold, n, fold_mean_c,
+         CAST(round(fold_mean_c * 1000000) AS BIGINT) AS md6
+  FROM per_fold
+),
+tot AS (
+  SELECT count(*) AS k,
+         CAST(sum(md6) AS DOUBLE) AS sm,
+         CAST(CAST(sum(CAST(md6 AS DECIMAL(19,0)) * CAST(md6 AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sm2
+  FROM dec
+)
+SELECT d.fold,
+       CAST(d.n AS BIGINT) AS n,
+       d.fold_mean_c / 100 AS fold_mean,
+       CASE WHEN t.k > 1 AND t.sm <> 0 THEN
+         sqrt((t.sm2 - t.sm * t.sm / t.k) / (t.k - 1)) / (t.sm / t.k)
+       END AS cv_of_fold_means
+FROM dec d CROSS JOIN tot t
+ORDER BY d.fold
+"""
+
+
+@register("cv_fold_stability", oracle=_CV_ORACLE)
+def cv_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold stability audit (k=5, deterministic sha folds): the mean
+    order value per fold and the coefficient of variation ACROSS fold
+    means — the cheap resampling check that a statistic (or a feature)
+    is stable enough to trust before it enters a model, the k-fold
+    cousin of `poisson_bootstrap_ci`. Fold means are exact integer
+    ratios; each rounds ONCE into a micro-unit INTEGER (x1e6) so the
+    cross-fold moment sums are exact integer/int128 arithmetic with no
+    decimal-width hazards, and the CV chain is fixed IEEE (CV is
+    scale-invariant, so micro-units need no rescaling).
+
+    Plan shape: one conditional-agg shuffle to 5 fold rows; the
+    stability algebra is 5-row arithmetic. At 100 TB: one pass."""
+    folds = table(spark, sf_dir, "orders").select(
+        F.least(F.lit(4), F.floor(F.expr(_CV_U_SPARK) * 5).cast("int")).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+    )
+    per_fold = folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("yc").cast("double") / F.count(F.lit(1))).alias("fold_mean_c"),
+    )
+    dec = per_fold.select(
+        "fold", "n", "fold_mean_c",
+        F.round(F.col("fold_mean_c") * 1000000).cast("bigint").alias("md6"),
+    )
+    md6d = F.col("md6").cast("decimal(19,0)")
+    tot = dec.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("md6").cast("double").alias("sm"),
+        F.sum(md6d * md6d).cast("double").alias("sm2"),
+    )
+    k = F.col("k")
+    sm = F.col("sm")
+    sm2 = F.col("sm2")
+    cv = F.when(
+        (k > 1) & (sm != 0),
+        F.sqrt((sm2 - sm * sm / k) / (k - 1)) / (sm / k),
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("fold_mean_c") / 100).alias("fold_mean"),
+            cv.alias("cv_of_fold_means"),
+        )
+        .orderBy("fold")
+    )

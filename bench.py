@@ -233,6 +233,16 @@ HEADLINE = [
     "spearman_rank_correlation",
     "theil_index_decomposition",
     "point_in_polygon_census",
+    # wave-11 late batches: ER composite, LM smoothing, CBO statistics,
+    # survival hazard, causal/experimentation, streaming sketch state
+    "er_pipeline_end2end",
+    "kneser_ney_bigram_ppl",
+    "equi_depth_histogram",
+    "join_cardinality_audit",
+    "nelson_aalen_hazard",
+    "diff_in_diff_estimator",
+    "chao1_vocab_richness",
+    "stream_hll_registers",
 ]
 
 

@@ -36,6 +36,7 @@ SKIP = {"near_dup_components", "near_dup_components_star", "dedup_pipeline_end2e
         "kcore_copurchase", "leakage_safe_group_split",
         "stream_countmin_user_events",
         "stream_hll_registers",
+        "er_pipeline_end2end",  # components driver loop
         # wave 7: component-label convergence loop (round count is
         # data-dependent; bfs_reachability's FIXED 3-hop loop is fine)
         "grid_hotspot_clusters",

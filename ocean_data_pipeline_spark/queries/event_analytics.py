@@ -1132,3 +1132,173 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dh").over(wcum).cast("double").alias("cum_hazard"),
         F.sum("vh").over(wcum).cast("double").alias("hazard_var"),
     ).orderBy("dur_h")
+
+
+# --- restricted mean survival time ------------------------------------
+
+_RMST_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+),
+p AS (
+  SELECT user_id, min(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+life AS (
+  SELECT u.user_id,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN CAST(floor(date_diff('microsecond', u.t0, p.tp)
+                              / 3600000000.0) AS BIGINT)
+              ELSE {_KM_HORIZON_H} END AS dur_h,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN 0 ELSE 1 END AS censored
+  FROM u LEFT JOIN p ON p.user_id = u.user_id
+),
+n_total AS (SELECT count(*) AS n FROM life),
+by_h AS (
+  SELECT dur_h, count(*) AS n_leaving,
+         CAST(sum(1 - censored) AS BIGINT) AS n_events
+  FROM life GROUP BY dur_h
+),
+risk AS (
+  SELECT dur_h, n_events,
+         nt.n - coalesce(sum(n_leaving) OVER (ORDER BY dur_h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS n_risk
+  FROM by_h CROSS JOIN n_total nt
+),
+terms AS (
+  SELECT dur_h, n_risk, n_events,
+         CASE WHEN n_events < n_risk
+              THEN CAST(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                        AS DECIMAL(28,12)) ELSE NULL END AS lnterm
+  FROM risk WHERE n_events > 0
+),
+surv AS (  -- S just after each event time; round-6 into DECIMAL so the
+           -- area accumulates in exact decimal arithmetic
+  SELECT dur_h, n_risk, n_events,
+         CAST(round(CASE WHEN count(lnterm) OVER w = count(*) OVER w
+              THEN exp(CAST(sum(lnterm) OVER w AS DOUBLE)) ELSE 0.0 END, 6)
+              AS DECIMAL(18,6)) AS s_after
+  FROM terms
+  WINDOW w AS (ORDER BY dur_h ROWS UNBOUNDED PRECEDING)
+),
+area AS (
+  SELECT dur_h, n_risk, n_events, s_after,
+         lead(dur_h, 1, {_KM_HORIZON_H}) OVER (ORDER BY dur_h) AS next_t
+  FROM surv
+),
+first_seg AS (SELECT min(dur_h) AS t1 FROM area)
+SELECT a.dur_h,
+       CAST(a.n_risk AS BIGINT) AS n_risk,
+       a.n_events,
+       CAST(a.s_after AS DOUBLE) AS survival_after,
+       CAST(f.t1 + sum(a.s_after * (a.next_t - a.dur_h))
+                    OVER (ORDER BY a.dur_h) AS DOUBLE) AS rmst_through_h
+FROM area a CROSS JOIN first_seg f
+ORDER BY a.dur_h
+"""
+
+
+@register("rmst_survival", oracle=_RMST_ORACLE)
+def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar, BMC Med Res'13)
+    for time-to-first-purchase under the 48 h horizon: the area under
+    the KM curve — the censoring-robust 'expected hours without a
+    purchase' effect measure regulators now prefer over hazard ratios.
+    Completes the survival trio (KM product, Nelson-Aalen hazard, RMST
+    area). S(t) reuses the KM log-space device, then rounds ONCE into
+    DECIMAL(18,6) so the area accumulates in exact decimal arithmetic
+    (step width × step height, no float running sum); rmst_through_h
+    is the running area including the all-alive first segment.
+
+    Plan shape: identical row-scale stages to `kaplan_meier_user_
+    lifetime`; the area is one more window over the horizon-sized
+    relation."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    hours = F.floor((F.unix_micros("tp") - F.unix_micros("t0")) / 3600000000.0)
+    converted = F.col("tp").isNotNull() & (hours < _KM_HORIZON_H)
+    life = u.join(p, "user_id", "left").select(
+        F.when(converted, hours.cast("bigint"))
+        .otherwise(F.lit(_KM_HORIZON_H))
+        .alias("dur_h"),
+        F.when(converted, 0).otherwise(1).alias("censored"),
+    )
+    n_total = life.agg(F.count(F.lit(1)).alias("n"))
+    by_h = life.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_events"),
+    )
+    wprev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_h.crossJoin(F.broadcast(n_total)).select(
+        "dur_h",
+        "n_events",
+        (
+            F.col("n") - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    terms = risk.filter(F.col("n_events") > 0).select(
+        "dur_h",
+        "n_risk",
+        "n_events",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.log(1.0 - F.col("n_events").cast("double") / F.col("n_risk")).cast(
+                "decimal(28,12)"
+            ),
+        ).alias("lnterm"),
+    )
+    wcum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    surv = terms.select(
+        "dur_h",
+        "n_risk",
+        "n_events",
+        F.round(
+            F.when(
+                F.count("lnterm").over(wcum) == F.count(F.lit(1)).over(wcum),
+                F.exp(F.sum("lnterm").over(wcum).cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("s_after"),
+    )
+    wlead = Window.orderBy("dur_h")
+    area = surv.select(
+        "dur_h",
+        "n_risk",
+        "n_events",
+        "s_after",
+        F.lead("dur_h", 1, _KM_HORIZON_H).over(wlead).alias("next_t"),
+    )
+    first_seg = area.agg(F.min("dur_h").alias("t1"))
+    return (
+        area.crossJoin(F.broadcast(first_seg))
+        .select(
+            "dur_h",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            "n_events",
+            F.col("s_after").cast("double").alias("survival_after"),
+            (
+                F.col("t1")
+                + F.sum(
+                    F.col("s_after") * (F.col("next_t") - F.col("dur_h"))
+                ).over(wcum)
+            )
+            .cast("double")
+            .alias("rmst_through_h"),
+        )
+        .orderBy("dur_h")
+    )

@@ -1858,3 +1858,91 @@ def kneser_ney_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Heaps' law vocabulary growth -------------------------------------
+
+_HEAPS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS t FROM d
+),
+firsts AS (  -- each type counts as new vocab in its FIRST document
+  SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t
+),
+novel AS (
+  SELECT first_doc AS doc_id, count(*) AS novel FROM firsts GROUP BY 1
+),
+per_doc AS (
+  SELECT d.doc_id, len(d.arr) AS n_tok, coalesce(nv.novel, 0) AS novel
+  FROM d LEFT JOIN novel nv ON nv.doc_id = d.doc_id
+),
+cumul AS (
+  SELECT doc_id,
+         sum(n_tok) OVER (ORDER BY doc_id) AS cum_tok,
+         sum(novel) OVER (ORDER BY doc_id) AS cum_vocab
+  FROM per_doc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(cum_tok) AS BIGINT) AS total_tokens,
+       CAST(max(cum_vocab) AS BIGINT) AS vocab,
+       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                        ln(CAST(cum_tok AS DOUBLE))), 4) AS heaps_beta,
+       round(exp(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                ln(CAST(cum_tok AS DOUBLE)))), 4) AS heaps_k
+FROM cumul WHERE cum_tok > 0 AND cum_vocab > 0
+"""
+
+
+@register("heaps_law_fit", oracle=_HEAPS_ORACLE)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^beta of vocabulary growth over the
+    corpus in doc-id order (Heaps '78; `zipf_token_slope`'s dual — the
+    two exponents are linked by beta ≈ 1/zipf-alpha): each type counts
+    as new vocabulary in its FIRST document, prefix sums give the
+    (tokens-seen, vocab-seen) growth curve, and the log-log regression
+    slope/intercept are the Heaps parameters — the forward-looking
+    "how much new vocabulary will 10x more data buy?" readout that
+    complements `chao1_vocab_richness`'s fixed-sample estimate.
+    Regression via regr_slope/regr_intercept on both engines, rounded
+    at 4 dp (the zipf device).
+
+    Plan shape: one token explode feeds the first-occurrence census
+    (shuffle on token) and per-doc counts; prefix sums run over the
+    doc-count-sized curve; the regression is one aggregate over it.
+    spread=True: tokenization dominates a row exchange."""
+    from ocean_data_pipeline_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("arr"))
+    tok = d.select("doc_id", F.explode("arr").alias("t"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("novel")
+    )
+    per_doc = d.select("doc_id", F.size("arr").alias("n_tok")).join(
+        novel, "doc_id", "left"
+    ).select(
+        "doc_id", "n_tok", F.coalesce(F.col("novel"), F.lit(0)).alias("novel")
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cumul = per_doc.select(
+        F.sum("n_tok").over(wc).alias("cum_tok"),
+        F.sum("novel").over(wc).alias("cum_vocab"),
+    ).filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
+    lv = F.log(F.col("cum_vocab").cast("double"))
+    lt = F.log(F.col("cum_tok").cast("double"))
+    return cumul.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("cum_tok").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab"),
+        F.round(F.regr_slope(lv, lt), 4).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, lt)), 4).alias("heaps_k"),
+    )

@@ -28,6 +28,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -497,7 +498,11 @@ def resize_nearest(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
 
 def pack_synthetic_raw(df: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
     """Attach synth_raw_video / synth_raw_image payloads per row."""
-    maker = synth_raw_video if kind == "video" else synth_raw_image
+    maker = {
+        "video": synth_raw_video,
+        "image": synth_raw_image,
+        "audio": synth_raw_audio,
+    }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -508,4 +513,59 @@ def pack_synthetic_raw(df: DataFrame, kind: str, id_col: str = "doc_id") -> Data
 
     return df.select(F.col(id_col)).mapInPandas(
         batches, schema="doc_id long, payload binary"
+    )
+
+
+# --- raw audio --------------------------------------------------------
+
+_RAWA_MAGIC = b"RAWA"
+
+
+def synth_raw_audio(doc_id: int) -> bytes:
+    """Deterministic uncompressed audio: RAWA + uint32 n_samples
+    little-endian, then n_samples unsigned-byte samples with
+    s[k] = (doc_id*3 + k*31) % 251 — every energy statistic is pure
+    arithmetic an SQL oracle reproduces."""
+    n = 256 + (doc_id % 7) * 64
+    header = _RAWA_MAGIC + struct.pack("<I", n)
+    samples = bytes((doc_id * 3 + k * 31) % 251 for k in range(n))
+    return header + samples
+
+
+def audio_energy(df: DataFrame) -> DataFrame:
+    """Per-payload PCM energy statistics via Arrow-batched mapInPandas:
+    (doc_id, n_samples, sum_s, sum_s2, peak) — the UDF emits ONLY
+    integer sums (numpy int64 over the sample bytes), so every derived
+    statistic (mean level, RMS) is a fixed engine-side chain and the
+    Python stage has no float behavior to pin. Malformed payloads
+    contribute zero rows (same fault isolation as sample_frames)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "sum_s": [], "sum_s2": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] != _RAWA_MAGIC:
+                        continue
+                    (n,) = struct.unpack("<I", raw[4:8])
+                    body = raw[8 : 8 + n]
+                    if len(body) != n:
+                        continue
+                    s = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["n_samples"].append(int(n))
+                    out["sum_s"].append(int(s.sum()))
+                    out["sum_s2"].append(int((s * s).sum()))
+                    out["peak"].append(int(s.max()) if n else 0)
+                except Exception:  # noqa: BLE001 — malformed payload
+                    continue
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n_samples int, sum_s long, sum_s2 long, peak int",
     )

@@ -449,3 +449,77 @@ def erasure_propagation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "erased_value_total", "residual_subject_rows",
         )
     )
+
+
+# --- differential-privacy noise calibration ---------------------------
+
+_DP_CLAMP = 100000.0  # per-order value clamp bound (dollars)
+
+_DP_ORACLE = f"""
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         count(*) AS n,
+         sum(CAST(round(least(o_totalprice, {_DP_CLAMP}) * 100) AS BIGINT)) AS sc
+  FROM orders GROUP BY 1
+),
+eps AS (SELECT unnest([0.1, 1.0, 10.0]) AS epsilon)
+SELECT s.priority,
+       e.epsilon,
+       CAST(s.n AS BIGINT) AS true_count,
+       CAST(s.sc AS DOUBLE) / 100 AS true_sum,
+       1.0 / e.epsilon AS count_laplace_scale,
+       {_DP_CLAMP} / e.epsilon AS sum_laplace_scale,
+       ({_DP_CLAMP} / e.epsilon) / (CAST(s.sc AS DOUBLE) / 100)
+         AS sum_expected_rel_error
+FROM s CROSS JOIN eps e
+ORDER BY s.priority, e.epsilon
+"""
+
+
+@register("dp_noise_calibration", oracle=_DP_ORACLE)
+def dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release calibration (Dwork-McSherry-Nissim-
+    Smith '06): for per-priority COUNT and clamped SUM releases, the
+    Laplace scale b = Δ/ε each ε in {0.1, 1, 10} requires (Δ_count = 1;
+    Δ_sum = the clamp bound), and the expected relative error b/true —
+    the privacy-utility table a data-release review reads BEFORE
+    deciding ε. Deliberately deterministic: the CALIBRATION is the
+    query; noise itself is drawn at release time (a seeded generator
+    would be a contradiction in terms). Completes the governance family
+    (k-anonymity risk, erasure proof, PII census) with the
+    noise-addition leg.
+
+    Plan shape: one conditional-agg shuffle to 5 rows, cross-joined
+    with a 3-row ε grid. At 100 TB: one pass; clamping happens in the
+    scan projection, which is exactly where a DP aggregation pipeline
+    clamps contributions."""
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.least(F.col("o_totalprice"), F.lit(_DP_CLAMP)) * 100)
+                .cast("bigint")
+            ).alias("sc"),
+        )
+    )
+    eps = spark.createDataFrame(
+        [(0.1,), (1.0,), (10.0,)], "epsilon double"
+    )
+    return (
+        s.crossJoin(F.broadcast(eps))
+        .select(
+            "priority",
+            "epsilon",
+            F.col("n").cast("bigint").alias("true_count"),
+            (F.col("sc").cast("double") / 100).alias("true_sum"),
+            (1.0 / F.col("epsilon")).alias("count_laplace_scale"),
+            (_DP_CLAMP / F.col("epsilon")).alias("sum_laplace_scale"),
+            (
+                (_DP_CLAMP / F.col("epsilon"))
+                / (F.col("sc").cast("double") / 100)
+            ).alias("sum_expected_rel_error"),
+        )
+        .orderBy("priority", "epsilon")
+    )

@@ -113,3 +113,67 @@ def image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_synthetic_raw(ids, kind="image")
     return resize_nearest(packed, out_w=4, out_h=4).orderBy("doc_id", "py", "px")
+
+
+# Per-payload PCM energy; the oracle rebuilds every sample from the
+# generator arithmetic s[k] = (doc_id*3 + k*31) % 251.
+_AUDIO_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, 256 + (doc_id % 7) * 64 AS n
+  FROM documents WHERE doc_id % 11 = 0
+),
+samples AS (
+  SELECT i.doc_id, i.n, k.k,
+         (i.doc_id * 3 + k.k * 31) % 251 AS s
+  FROM ids i
+  JOIN LATERAL (SELECT unnest(generate_series(0, i.n - 1)) AS k) k ON TRUE
+),
+sums AS (
+  SELECT doc_id, max(n) AS n, sum(s) AS sum_s, sum(s * s) AS sum_s2,
+         max(s) AS peak
+  FROM samples GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(peak AS INT) AS peak,
+       CAST(sum_s AS DOUBLE) / n AS mean_level,
+       sqrt(CAST(sum_s2 AS DOUBLE) / n) AS rms_level
+FROM sums
+ORDER BY doc_id
+"""
+
+
+@register("audio_energy_census", oracle=_AUDIO_ORACLE)
+def audio_energy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM energy census over raw audio payloads through Arrow
+    mapInPandas — the audio leg of the media-plumbing family
+    (video_frame_sample / image_resize_nn's sibling): payload packing,
+    RAWA header parse, numpy sample decode, and per-payload integer
+    energy sums, with mean and RMS level derived ENGINE-SIDE from the
+    UDF's integer outputs (the Python stage has no float behavior to
+    pin). The oracle rebuilds every sample from the generator
+    arithmetic, so header offsets and the decode path are value-gated.
+
+    Plan shape: mapInPandas fan-IN (one row per payload, no shuffle
+    introduced); the derived statistics are per-row expressions. At
+    100 TB: the standard decode-and-reduce audio featurization pass,
+    task memory bounded by Arrow batch size x payload size."""
+    from ocean_data_pipeline_spark.operators.multimodal import (
+        audio_energy,
+        pack_synthetic_raw,
+    )
+
+    ids = table(spark, sf_dir, "documents", spread=True).where(
+        F.col("doc_id") % 11 == 0
+    )
+    packed = pack_synthetic_raw(ids, kind="audio")
+    e = audio_energy(packed)
+    return e.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        (F.col("sum_s").cast("double") / F.col("n_samples")).alias("mean_level"),
+        F.sqrt(F.col("sum_s2").cast("double") / F.col("n_samples")).alias(
+            "rms_level"
+        ),
+    ).orderBy("doc_id")

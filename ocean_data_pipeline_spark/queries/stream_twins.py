@@ -227,3 +227,105 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(sink).orderBy("nation")
+
+
+# --- watermark design census ------------------------------------------
+
+_WM_ORACLE = """
+WITH arr AS (  -- event_id is the arrival order; ts is event time
+  SELECT ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS high_watermark
+  FROM events
+),
+late AS (
+  SELECT date_diff('microsecond', ts, high_watermark) AS late_us FROM arr
+),
+g AS (SELECT max(ts) AS max_ts, count(*) AS n FROM events),
+grid AS (SELECT unnest([1, 6, 24]) AS w_hours)
+SELECT w.w_hours,
+       CAST(g.n AS BIGINT) AS n_events,
+       CAST((SELECT count(*) FROM late l
+             WHERE l.late_us > w.w_hours * 3600000000) AS BIGINT)
+         AS n_dropped_late,
+       CAST((SELECT count(*) FROM late l
+             WHERE l.late_us > w.w_hours * 3600000000) AS DOUBLE) / g.n
+         AS dropped_share,
+       CAST((SELECT count(*) FROM events e, g
+             WHERE e.ts > g.max_ts - to_microseconds(w.w_hours * 3600000000))
+            AS BIGINT) AS final_state_rows
+FROM grid w CROSS JOIN g
+ORDER BY w.w_hours
+"""
+
+
+@register("watermark_design_census", oracle=_WM_ORACLE)
+def watermark_design_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing table for the streaming queries: replay the
+    event stream in arrival order (event_id), track the running
+    event-time high watermark, and for candidate delays {1h, 6h, 24h}
+    report how many events a `withWatermark` of that delay would DROP
+    as too-late and how many rows a stream-stream join would still hold
+    in state at stream end — the completeness-vs-state tradeoff read
+    BEFORE picking the delay every `stream_*` query here hardcodes.
+    Exact integer-microsecond arithmetic end to end.
+
+    Plan shape: one arrival-ordered window pass (the replay), then
+    three conditional counts; the candidate grid is a 3-row broadcast.
+    At 100 TB the replay partitions by arrival shard — the census is a
+    one-pass log-analytics job."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    warr = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        (
+            F.unix_micros(F.max("ts").over(warr)) - F.unix_micros("ts")
+        ).alias("late_us")
+    )
+    g = ev.agg(
+        F.max(F.unix_micros("ts")).alias("max_us"), F.count(F.lit(1)).alias("n")
+    )
+    grid = spark.createDataFrame([(1,), (6,), (24,)], "w_hours int")
+    joined = (
+        late.crossJoin(F.broadcast(grid))
+        .groupBy("w_hours")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("late_us") > F.col("w_hours").cast("bigint") * 3600000000,
+                    1,
+                ).otherwise(0)
+            ).alias("n_dropped_late")
+        )
+    )
+    state = (
+        ev.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(g))
+        .groupBy("w_hours")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros("ts")
+                    > F.col("max_us")
+                    - F.col("w_hours").cast("bigint") * 3600000000,
+                    1,
+                ).otherwise(0)
+            ).alias("final_state_rows")
+        )
+    )
+    return (
+        joined.join(state, "w_hours")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "w_hours",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("n_dropped_late").cast("bigint").alias("n_dropped_late"),
+            (F.col("n_dropped_late").cast("double") / F.col("n")).alias(
+                "dropped_share"
+            ),
+            F.col("final_state_rows").cast("bigint").alias("final_state_rows"),
+        )
+        .orderBy("w_hours")
+    )

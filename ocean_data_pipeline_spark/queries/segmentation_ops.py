@@ -802,3 +802,137 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- survey raking (iterative proportional fitting) -------------------
+
+_IPF_ROUNDS = 6
+
+
+def _ipf_oracle() -> str:
+    """Unrolled IPF: 6 full rounds (row-scale then column-scale), each
+    weight re-rounded ONCE per half-round into DECIMAL(28,12) so both
+    engines' margin sums stay exactly associative between rounds.
+    AS MATERIALIZED on every round CTE: each round references its
+    predecessor twice (margin agg + rejoin), so inlining would expand
+    the scan tree 2^rounds-fold — the DuckDB face of the same blow-up
+    the Spark side checkpoints away (embedding_top_component's
+    lesson)."""
+    steps = ["""
+cells AS MATERIALIZED (
+  SELECT c.c_mktsegment AS seg, r.r_name AS region,
+         count(*) AS n
+  FROM customer c
+  JOIN nation na ON na.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = na.n_regionkey
+  GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+  SELECT sum(n) AS big_n, count(DISTINCT seg) AS n_seg,
+         count(DISTINCT region) AS n_reg FROM cells),
+w0 AS MATERIALIZED (
+  SELECT seg, region, n, CAST(n AS DECIMAL(28,12)) AS w FROM cells
+)"""]
+    prev = "w0"
+    for k in range(1, _IPF_ROUNDS + 1):
+        steps.append(f"""
+rm{k} AS (SELECT seg, sum(w) AS ms FROM {prev} GROUP BY seg),
+wr{k} AS MATERIALIZED (
+  SELECT p.seg, p.region, p.n,
+         CAST(round(CAST(p.w AS DOUBLE)
+                    * ((t.big_n / t.n_seg) / CAST(m.ms AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS w
+  FROM {prev} p JOIN rm{k} m ON m.seg = p.seg CROSS JOIN tot t
+),
+cm{k} AS (SELECT region, sum(w) AS ms FROM wr{k} GROUP BY region),
+w{k} AS MATERIALIZED (
+  SELECT p.seg, p.region, p.n,
+         CAST(round(CAST(p.w AS DOUBLE)
+                    * ((t.big_n / t.n_reg) / CAST(m.ms AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS w
+  FROM wr{k} p JOIN cm{k} m ON m.region = p.region CROSS JOIN tot t
+)""")
+        prev = f"w{k}"
+    return (
+        "WITH " + ",".join(steps) + f"""
+SELECT seg, region, CAST(n AS BIGINT) AS n,
+       CAST(w AS DOUBLE) AS raked_weight,
+       CAST(w AS DOUBLE) / n AS weight_factor
+FROM {prev}
+ORDER BY seg, region
+"""
+    )
+
+
+@register("ipf_survey_raking", oracle=_ipf_oracle())
+def ipf_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking by iterative proportional fitting (Deming &
+    Stephan, AMS'40): rake the (segment x region) customer counts to
+    UNIFORM target margins (N/5 per segment, N/5 per region) — the
+    post-stratification weighting every survey/panel pipeline applies
+    when its sample composition drifts from the population. Six full
+    row/column scaling rounds, unrolled in the oracle as generated
+    CTEs (the `bellman_ford`/`kcore` generated-oracle device); each
+    half-round's weights round ONCE into DECIMAL(28,12) so margin sums
+    are exactly associative on both engines and the rounds cannot
+    drift.
+
+    Plan shape: one shuffle to the 25-cell joint table; each
+    half-round is a 5-row margin agg + broadcast rejoin on the cell
+    relation. At 100 TB only the first aggregate is row-scale — IPF
+    itself runs on the contingency table, which is category-bounded."""
+    cust = table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # the raking loop re-reads the cell table
+    )
+    tot = cells.agg(
+        F.sum("n").alias("big_n"),
+        F.countDistinct("seg").alias("n_seg"),
+        F.countDistinct("region").alias("n_reg"),
+    )
+    w = cells.select(
+        "seg", "region", "n", F.col("n").cast("decimal(28,12)").alias("w")
+    )
+    tot = tot.localCheckpoint()  # referenced by every half-round
+    for _ in range(_IPF_ROUNDS):
+        for key, nk in (("seg", "n_seg"), ("region", "n_reg")):
+            m = w.groupBy(key).agg(F.sum("w").alias("ms"))
+            w = (
+                w.join(F.broadcast(m), key)
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "seg",
+                    "region",
+                    "n",
+                    F.round(
+                        F.col("w").cast("double")
+                        * (
+                            (F.col("big_n") / F.col(nk))
+                            / F.col("ms").cast("double")
+                        ),
+                        12,
+                    )
+                    .cast("decimal(28,12)")
+                    .alias("w"),
+                )
+                # w feeds BOTH the next margin agg and the next rejoin:
+                # without a per-half-round checkpoint the lineage doubles
+                # every step and Catalyst analysis dominates wall time
+                # (25-row data; the checkpoint is microseconds).
+                .localCheckpoint()
+            )
+    return w.select(
+        "seg",
+        "region",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("w").cast("double").alias("raked_weight"),
+        (F.col("w").cast("double") / F.col("n")).alias("weight_factor"),
+    ).orderBy("seg", "region")

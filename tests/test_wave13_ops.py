@@ -136,3 +136,33 @@ def test_dp_calibration_scales(spark):
         es.sort()
         scales = [s for _, s in es]
         assert scales == sorted(scales, reverse=True)
+
+
+def test_ipf_margins_converge(spark):
+    """After 6 rounds both margins match the uniform targets to <1e-3."""
+    rows = REGISTRY["ipf_survey_raking"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    total = sum(r.n for r in rows)
+    target = total / 5.0
+    seg = {}
+    reg = {}
+    for r in rows:
+        seg[r.seg] = seg.get(r.seg, 0.0) + r.raked_weight
+        reg[r.region] = reg.get(r.region, 0.0) + r.raked_weight
+        assert r.raked_weight > 0
+    for v in reg.values():  # column pass ran last -> exact-ish
+        assert abs(v - target) < 1e-3 * target
+    for v in seg.values():  # row margins converge, slightly looser
+        assert abs(v - target) < 2e-2 * target
+
+
+def test_watermark_census_monotone(spark):
+    rows = REGISTRY["watermark_design_census"].fn(spark, SF_ORACLE).collect()
+    assert [r.w_hours for r in rows] == [1, 6, 24]
+    drops = [r.n_dropped_late for r in rows]
+    states = [r.final_state_rows for r in rows]
+    assert drops == sorted(drops, reverse=True), "longer delay drops less"
+    assert states == sorted(states), "longer delay holds more state"
+    for r in rows:
+        assert 0 <= r.n_dropped_late <= r.n_events
+        assert abs(r.dropped_share - r.n_dropped_late / r.n_events) < 1e-12

@@ -925,3 +925,81 @@ def bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --- degree assortativity ---------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH {_EDGES_SQL},
+sym AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL
+  SELECT pb, pa FROM edges
+),
+ends AS (
+  SELECT du.degree AS ja, dv.degree AS jb
+  FROM sym s
+  JOIN deg du ON du.node = s.u
+  JOIN deg dv ON dv.node = s.v
+),
+s AS (
+  SELECT count(*) AS m,
+         CAST(sum(ja) AS DOUBLE) AS sj,
+         CAST(CAST(sum(CAST(ja AS DECIMAL(19,0)) * CAST(ja AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sjj,
+         CAST(CAST(sum(CAST(ja AS DECIMAL(19,0)) * CAST(jb AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sjk
+  FROM ends
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m * sjj - sj * sj <> 0
+            THEN (m * sjk - sj * sj) / (m * sjj - sj * sj) END
+         AS degree_assortativity
+FROM s
+"""
+
+
+@register("degree_assortativity", oracle=_ASSORT_ORACLE)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman,
+    PRL'02): the Pearson correlation of endpoint degrees across
+    edges — do hub parts co-purchase with hubs (r>0, social-network
+    shape) or with leaves (r<0, technological/dependency shape)? The
+    structural readout that predicts whether hub-capping or
+    degree-ordering (`copurchase_triangle_census`'s device) will pay.
+    Computed over the symmetrized edge ends, where the assortativity
+    collapses to plain Pearson; all sums are exact integers (int128
+    products, VARCHAR-hop casts), the r chain fixed IEEE with a
+    regular-graph guard.
+
+    Plan shape: the edge list is built once (checkpointed) and joined
+    twice against the degree relation (shuffles keyed on node);
+    everything else is 1-row algebra. At 100 TB: same posture as the
+    triangle census — edges are corpus-linear, degrees are a census."""
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
+    sym = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ends = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("ja")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("jb")), "v")
+        .select("ja", "jb")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ja").cast("double").alias("sj"),
+        F.sum(dec("ja") * dec("ja")).cast("double").alias("sjj"),
+        F.sum(dec("ja") * dec("jb")).cast("double").alias("sjk"),
+    )
+    m = F.col("m")
+    num = m * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = m * F.col("sjj") - F.col("sj") * F.col("sj")
+    return s.select(
+        F.expr("CAST(m div 2 AS BIGINT)").alias("n_edges"),
+        F.when(den != 0, num / den).alias("degree_assortativity"),
+    )

@@ -1946,3 +1946,87 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lv, lt), 4).alias("heaps_beta"),
         F.round(F.exp(F.regr_intercept(lv, lt)), 4).alias("heaps_k"),
     )
+
+
+# --- token burstiness (Fano factor) -----------------------------------
+
+_BURST_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+ndocs AS (SELECT count(*) AS nd FROM d),
+percount AS (  -- per (token, doc) occurrence count
+  SELECT t.w AS token, doc_id, count(*) AS c
+  FROM d, unnest(arr) AS t(w)
+  GROUP BY t.w, doc_id
+),
+tok AS (
+  SELECT token,
+         sum(c) AS total,
+         count(*) AS doc_freq,
+         sum(c * c) AS sc2
+  FROM percount GROUP BY token
+)
+SELECT token,
+       CAST(total AS BIGINT) AS total_count,
+       CAST(doc_freq AS BIGINT) AS doc_freq,
+       (CAST(sc2 AS DOUBLE) - CAST(total AS DOUBLE) * total / nd.nd)
+         / nd.nd
+         / (CAST(total AS DOUBLE) / nd.nd) AS fano_factor
+FROM tok CROSS JOIN ndocs nd
+ORDER BY total DESC, token
+LIMIT 20
+"""
+
+
+@register("token_burstiness", oracle=_BURST_ORACLE)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness via the Fano factor (Church & Gale '95):
+    variance-to-mean ratio of a token's per-document count over ALL
+    documents (absences included via the algebraic expansion — no
+    zero-row materialization): Fano ≈ 1 means Poisson scatter; >> 1
+    means the token clumps into few documents — the content-word vs
+    function-word separation a stopword-learning or keyword-extraction
+    pass runs on, complementing frequency-only views
+    (`top_tokens`, `zipf_token_slope`). Top-20 by total count; all
+    inputs exact integer sums, the Fano chain fixed IEEE.
+
+    Plan shape: one shuffle to the (token, doc) census, one rollup to
+    the token relation, broadcast 1-row doc count; top-20 compiles to
+    TakeOrderedAndProject. spread=True: tokenization dominates a row
+    exchange on degenerate scans."""
+    from ocean_data_pipeline_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("arr"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    percount = (
+        d.select("doc_id", F.explode("arr").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = percount.groupBy("token").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    nd = F.col("nd")
+    mean = F.col("total").cast("double") / nd
+    var = (
+        F.col("sc2").cast("double")
+        - F.col("total").cast("double") * F.col("total") / nd
+    ) / nd
+    return (
+        tok.crossJoin(F.broadcast(ndocs))
+        .select(
+            "token",
+            F.col("total").cast("bigint").alias("total_count"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            (var / mean).alias("fano_factor"),
+        )
+        .orderBy(F.desc("total_count"), "token")
+        .limit(20)
+    )

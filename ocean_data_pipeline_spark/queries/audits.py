@@ -1511,3 +1511,114 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             num * num * n / (r.cast("double") * (n - r) * var_core),
         ).alias("z_squared"),
     )
+
+
+# --- Mantel-Haenszel pooled odds ratio --------------------------------
+
+_MH_ORACLE = """
+WITH t AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_totalprice > 200000 THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS outcome
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS (
+  SELECT segment,
+         sum(exposed * outcome) AS a,
+         sum(exposed * (1 - outcome)) AS b,
+         sum((1 - exposed) * outcome) AS c,
+         sum((1 - exposed) * (1 - outcome)) AS d
+  FROM t GROUP BY segment
+),
+terms AS (  -- per-stratum rational terms rounded ONCE into DECIMAL so
+            -- the cross-stratum sums are exactly associative
+  SELECT segment, a, b, c, d, a + b + c + d AS n,
+         CAST(round(CAST(a AS DOUBLE) * d / (a + b + c + d), 12)
+              AS DECIMAL(28,12)) AS ad_n,
+         CAST(round(CAST(b AS DOUBLE) * c / (a + b + c + d), 12)
+              AS DECIMAL(28,12)) AS bc_n
+  FROM cells
+),
+pooled AS (
+  SELECT sum(ad_n) AS s_ad, sum(bc_n) AS s_bc,
+         sum(a) AS ta, sum(b) AS tb, sum(c) AS tc, sum(d) AS td
+  FROM terms
+)
+SELECT CAST(ta AS BIGINT) AS exposed_cases,
+       CAST(tb AS BIGINT) AS exposed_noncases,
+       CAST(tc AS BIGINT) AS unexposed_cases,
+       CAST(td AS BIGINT) AS unexposed_noncases,
+       CASE WHEN tb * tc <> 0
+            THEN (CAST(ta AS DOUBLE) * td) / (CAST(tb AS DOUBLE) * tc) END
+         AS crude_odds_ratio,
+       CASE WHEN CAST(s_bc AS DOUBLE) <> 0
+            THEN CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE) END
+         AS mh_odds_ratio
+FROM pooled
+"""
+
+
+@register("mantel_haenszel_or", oracle=_MH_ORACLE)
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (JNCI'59): association between
+    high order value (>200k) and completed status, POOLED ACROSS
+    market-segment strata — the confounding-adjusted estimate whose gap
+    from the crude OR is the classic Simpson's-paradox detector.
+    Per-stratum a·d/n and b·c/n terms round ONCE into DECIMAL(28,12) so
+    the cross-stratum sums are exactly associative; both ratios are
+    fixed IEEE chains with empty-margin guards.
+
+    Plan shape: one conditional-agg shuffle to 5 strata x 4 cells;
+    pooling is 5-row algebra. At 100 TB: the one-pass stratified 2x2
+    analysis every observational readout needs."""
+    t = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_totalprice") > 200000, 1).otherwise(0).alias("exposed"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("outcome"),
+        )
+    )
+    cells = t.groupBy("segment").agg(
+        F.sum(F.col("exposed") * F.col("outcome")).alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome"))).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "a", "b", "c", "d",
+        F.round(F.col("a").cast("double") * F.col("d") / n, 12)
+        .cast("decimal(28,12)")
+        .alias("ad_n"),
+        F.round(F.col("b").cast("double") * F.col("c") / n, 12)
+        .cast("decimal(28,12)")
+        .alias("bc_n"),
+    )
+    pooled = terms.agg(
+        F.sum("ad_n").alias("s_ad"),
+        F.sum("bc_n").alias("s_bc"),
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"),
+        F.sum("d").alias("td"),
+    )
+    return pooled.select(
+        F.col("ta").cast("bigint").alias("exposed_cases"),
+        F.col("tb").cast("bigint").alias("exposed_noncases"),
+        F.col("tc").cast("bigint").alias("unexposed_cases"),
+        F.col("td").cast("bigint").alias("unexposed_noncases"),
+        F.when(
+            F.col("tb") * F.col("tc") != 0,
+            (F.col("ta").cast("double") * F.col("td"))
+            / (F.col("tb").cast("double") * F.col("tc")),
+        ).alias("crude_odds_ratio"),
+        F.when(
+            F.col("s_bc").cast("double") != 0,
+            F.col("s_ad").cast("double") / F.col("s_bc").cast("double"),
+        ).alias("mh_odds_ratio"),
+    )

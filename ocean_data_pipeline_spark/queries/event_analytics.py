@@ -1302,3 +1302,190 @@ def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_h")
     )
+
+
+# --- log-rank test ----------------------------------------------------
+
+_LR_U_SQL = """(CAST(('0x' || substr(sha256('lr_' || CAST(user_id AS VARCHAR)),
+      1, 8)) AS BIGINT) + 1) / 4294967297.0"""
+_LR_U_SPARK = """(CAST(conv(substr(sha2(concat('lr_', CAST(user_id AS STRING)), 256),
+      1, 8), 16, 10) AS BIGINT) + 1) / 4294967297.0"""
+
+_LOGRANK_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, min(ts) AS t0,
+         CASE WHEN {_LR_U_SQL} < 0.5 THEN 1 ELSE 0 END AS grp
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT user_id, min(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+life AS (
+  SELECT u.grp,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN CAST(floor(date_diff('microsecond', u.t0, p.tp)
+                              / 3600000000.0) AS BIGINT)
+              ELSE {_KM_HORIZON_H} END AS dur_h,
+         CASE WHEN p.tp IS NOT NULL
+               AND floor(date_diff('microsecond', u.t0, p.tp)
+                         / 3600000000.0) < {_KM_HORIZON_H}
+              THEN 0 ELSE 1 END AS censored
+  FROM u LEFT JOIN p ON p.user_id = u.user_id
+),
+gt AS (SELECT grp, count(*) AS n_g FROM life GROUP BY grp),
+by_tg AS (
+  SELECT dur_h, grp, count(*) AS leaving,
+         CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM life GROUP BY dur_h, grp
+),
+grid AS (  -- every (event time x group), zero-filled
+  SELECT t.dur_h, g.grp,
+         coalesce(b.leaving, 0) AS leaving, coalesce(b.d, 0) AS d
+  FROM (SELECT DISTINCT dur_h FROM by_tg) t
+  CROSS JOIN (SELECT DISTINCT grp FROM gt) g
+  LEFT JOIN by_tg b ON b.dur_h = t.dur_h AND b.grp = g.grp
+),
+risk AS (
+  SELECT dur_h, grp, d,
+         gt.n_g - coalesce(sum(leaving) OVER (PARTITION BY grp ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at
+  FROM grid JOIN gt USING (grp)
+),
+pooled AS (
+  SELECT dur_h,
+         sum(d) AS dt,
+         sum(n_at) AS nt,
+         max(CASE WHEN grp = 1 THEN d END) AS d1,
+         max(CASE WHEN grp = 1 THEN n_at END) AS n1
+  FROM risk GROUP BY dur_h
+),
+terms AS (
+  SELECT dur_h,
+         CAST(round(d1 - dt * (CAST(n1 AS DOUBLE) / nt), 12)
+              AS DECIMAL(28,12)) AS ome,
+         CAST(round(CASE WHEN nt > 1 THEN
+                dt * (CAST(n1 AS DOUBLE) / nt) * (1 - CAST(n1 AS DOUBLE) / nt)
+                   * (nt - dt) / (nt - 1) ELSE 0 END, 12)
+              AS DECIMAL(28,12)) AS v
+  FROM pooled WHERE dt > 0
+),
+s AS (SELECT sum(ome) AS s_ome, sum(v) AS s_v FROM terms)
+SELECT CAST((SELECT n_g FROM gt WHERE grp = 1) AS BIGINT) AS n_group1,
+       CAST((SELECT n_g FROM gt WHERE grp = 0) AS BIGINT) AS n_group0,
+       CAST(s_ome AS DOUBLE) AS observed_minus_expected,
+       CAST(s_v AS DOUBLE) AS variance,
+       CASE WHEN CAST(s_v AS DOUBLE) <> 0
+            THEN CAST(s_ome AS DOUBLE) * CAST(s_ome AS DOUBLE)
+                 / CAST(s_v AS DOUBLE) END AS logrank_chi2
+FROM s
+"""
+
+
+@register("logrank_test", oracle=_LOGRANK_ORACLE)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel '66, Peto-Peto '72) between two sha-split
+    user cohorts' time-to-first-purchase under the shared 48 h
+    censoring horizon — the hypothesis-test leg that completes the
+    survival family (KM curve, Nelson-Aalen hazard, RMST area): at
+    every pooled event time the observed group-1 events are compared
+    to the hypergeometric expectation d_t·n1/n, with the standard
+    variance. Being an A/A split, the honest expectation is chi2 ~ 1.
+    Per-time O-E and V terms round ONCE into DECIMAL(28,12) → exact
+    cross-time sums; the chi2 is a fixed chain.
+
+    Plan shape: the same two per-user aggregates as KM, a zero-filled
+    (time x group) grid (horizon-bounded), per-group cumulative risk
+    windows, one 1-row reduce. At 100 TB only the per-user aggs are
+    row-scale."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0")).select(
+        "user_id", "t0",
+        F.when(F.expr(_LR_U_SPARK) < 0.5, 1).otherwise(0).alias("grp"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    hours = F.floor((F.unix_micros("tp") - F.unix_micros("t0")) / 3600000000.0)
+    converted = F.col("tp").isNotNull() & (hours < _KM_HORIZON_H)
+    life = u.join(p, "user_id", "left").select(
+        "grp",
+        F.when(converted, hours.cast("bigint"))
+        .otherwise(F.lit(_KM_HORIZON_H))
+        .alias("dur_h"),
+        F.when(converted, 0).otherwise(1).alias("censored"),
+    )
+    gt = life.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g")).localCheckpoint()
+    by_tg = life.groupBy("dur_h", "grp").agg(
+        F.count(F.lit(1)).alias("leaving"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+    )
+    times = by_tg.select("dur_h").distinct()
+    grid = (
+        times.crossJoin(F.broadcast(gt.select("grp")))
+        .join(by_tg, ["dur_h", "grp"], "left")
+        .select(
+            "dur_h", "grp",
+            F.coalesce(F.col("leaving"), F.lit(0)).alias("leaving"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+    )
+    wprev = Window.partitionBy("grp").orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.join(F.broadcast(gt), "grp").select(
+        "dur_h", "grp", "d",
+        (
+            F.col("n_g")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_at"),
+    )
+    pooled = risk.groupBy("dur_h").agg(
+        F.sum("d").alias("dt"),
+        F.sum("n_at").alias("nt"),
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_at"))).alias("n1"),
+    )
+    share = F.col("n1").cast("double") / F.col("nt")
+    terms = pooled.filter(F.col("dt") > 0).select(
+        F.round(F.col("d1") - F.col("dt") * share, 12)
+        .cast("decimal(28,12)")
+        .alias("ome"),
+        F.round(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt")
+                * share
+                * (1 - share)
+                * (F.col("nt") - F.col("dt"))
+                / (F.col("nt") - 1),
+            ).otherwise(F.lit(0.0)),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("v"),
+    )
+    s = terms.agg(F.sum("ome").alias("s_ome"), F.sum("v").alias("s_v"))
+    counts = gt.groupBy().pivot("grp", [0, 1]).sum("n_g")
+    return (
+        s.crossJoin(F.broadcast(counts))
+        .select(
+            F.col("1").cast("bigint").alias("n_group1"),
+            F.col("0").cast("bigint").alias("n_group0"),
+            F.col("s_ome").cast("double").alias("observed_minus_expected"),
+            F.col("s_v").cast("double").alias("variance"),
+            F.when(
+                F.col("s_v").cast("double") != 0,
+                F.col("s_ome").cast("double")
+                * F.col("s_ome").cast("double")
+                / F.col("s_v").cast("double"),
+            ).alias("logrank_chi2"),
+        )
+    )

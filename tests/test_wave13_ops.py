@@ -166,3 +166,42 @@ def test_watermark_census_monotone(spark):
     for r in rows:
         assert 0 <= r.n_dropped_late <= r.n_events
         assert abs(r.dropped_share - r.n_dropped_late / r.n_events) < 1e-12
+
+
+def test_mh_or_within_stratum_envelope(spark):
+    """The pooled MH odds ratio must lie inside the per-stratum OR
+    envelope (it is a weighted average of stratum ORs)."""
+    r = REGISTRY["mantel_haenszel_or"].fn(spark, SF_ORACLE).collect()[0]
+    orders = (
+        table(spark, SF_ORACLE, "orders")
+        .join(
+            table(spark, SF_ORACLE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_totalprice", "o_orderstatus")
+        .toPandas()
+    )
+    orders["e"] = orders.o_totalprice > 200000
+    orders["y"] = orders.o_orderstatus == "F"
+    ors = []
+    for seg, g in orders.groupby("c_mktsegment"):
+        a = int((g.e & g.y).sum())
+        b = int((g.e & ~g.y).sum())
+        c = int((~g.e & g.y).sum())
+        d = int((~g.e & ~g.y).sum())
+        if b * c > 0 and a * d > 0:
+            ors.append((a * d) / (b * c))
+    assert ors
+    assert min(ors) - 1e-9 <= r.mh_odds_ratio <= max(ors) + 1e-9
+    assert r.crude_odds_ratio > 0
+
+
+def test_logrank_aa_split_is_null(spark):
+    """A sha A/A split carries no real effect: chi2 should be small
+    (P(chi2_1 > 11) < 0.001 — a deterministic one-off draw)."""
+    r = REGISTRY["logrank_test"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.variance > 0
+    assert r.logrank_chi2 < 11.0, r.logrank_chi2
+    assert abs(r.n_group1 + r.n_group0 - (
+        table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    )) == 0

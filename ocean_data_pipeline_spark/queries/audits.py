@@ -1622,3 +1622,132 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_ad").cast("double") / F.col("s_bc").cast("double"),
         ).alias("mh_odds_ratio"),
     )
+
+
+# --- Kendall's tau-b ---------------------------------------------------
+
+_KENDALL_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (  -- concordant/discordant pair mass over the cell census
+  SELECT sum(CASE WHEN (a.q < b.q AND a.d < b.d) OR (a.q > b.q AND a.d > b.d)
+                  THEN CAST(a.cnt AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
+                  ELSE CAST(0 AS DECIMAL(19,0)) END) AS conc2,
+         sum(CASE WHEN (a.q < b.q AND a.d > b.d) OR (a.q > b.q AND a.d < b.d)
+                  THEN CAST(a.cnt AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
+                  ELSE CAST(0 AS DECIMAL(19,0)) END) AS disc2
+  FROM cells a JOIN cells b
+    ON a.q <> b.q OR a.d <> b.d
+),
+ties AS (
+  SELECT sum(cnt) AS n,
+         CAST(CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS scell2
+  FROM cells
+),
+tx AS (  -- pairs tied on q
+  SELECT CAST(CAST(sum(CAST(cq AS DECIMAL(19,0)) * CAST(cq AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sq2
+  FROM (SELECT q, sum(cnt) AS cq FROM cells GROUP BY q)
+),
+ty AS (
+  SELECT CAST(CAST(sum(CAST(cd AS DECIMAL(19,0)) * CAST(cd AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sd2
+  FROM (SELECT d, sum(cnt) AS cd FROM cells GROUP BY d)
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(p.conc2 / 2 AS BIGINT) AS concordant,
+       CAST(p.disc2 / 2 AS BIGINT) AS discordant,
+       (CAST(p.conc2 AS DOUBLE) / 2 - CAST(p.disc2 AS DOUBLE) / 2)
+         / (sqrt((CAST(t.n AS DOUBLE) * t.n - tx.sq2) / 2)
+            * sqrt((CAST(t.n AS DOUBLE) * t.n - ty.sd2) / 2)) AS tau_b
+FROM pairs p, ties t, tx, ty
+"""
+
+
+@register("kendall_tau_b", oracle=_KENDALL_ORACLE)
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount level (Kendall '38,
+    tie-corrected '45) — the concordance-based rank correlation beside
+    `spearman_rank_correlation` (tau is more robust to outlying ranks
+    and directly interpretable as P(concordant) - P(discordant)).
+    Concordant/discordant pair mass is computed EXACTLY over the joint
+    value census (C(cells,2) algebra — never row pairs); tie
+    corrections come from the marginal censuses; tau-b is a fixed IEEE
+    chain over exact-integer inputs (VARCHAR-hop casts for the big
+    squares).
+
+    Plan shape: one shuffle to the ~550-cell census; the cell
+    self-join is census²-bounded. At 100 TB only the first aggregate
+    is row-scale — exact tau over any corpus whose value domains are
+    bounded."""
+    cells = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.round("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        )
+        .groupBy("q", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # consumed by 4 subtrees (pair join ×2, margins)
+    )
+    a = cells.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = cells.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("cnt").alias("cb")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mass = dec("ca") * dec("cb")
+    conc = (
+        ((F.col("qa") < F.col("qb")) & (F.col("da") < F.col("db")))
+        | ((F.col("qa") > F.col("qb")) & (F.col("da") > F.col("db")))
+    )
+    disc = (
+        ((F.col("qa") < F.col("qb")) & (F.col("da") > F.col("db")))
+        | ((F.col("qa") > F.col("qb")) & (F.col("da") < F.col("db")))
+    )
+    pairs = (
+        a.join(b, (F.col("qa") != F.col("qb")) | (F.col("da") != F.col("db")))
+        .agg(
+            F.sum(F.when(conc, mass).otherwise(F.lit(0).cast("decimal(19,0)"))).alias(
+                "conc2"
+            ),
+            F.sum(F.when(disc, mass).otherwise(F.lit(0).cast("decimal(19,0)"))).alias(
+                "disc2"
+            ),
+        )
+    )
+    ties = cells.agg(F.sum("cnt").alias("n"))
+    tx = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").alias("cq"))
+        .agg(F.sum(dec("cq") * dec("cq")).cast("double").alias("sq2"))
+    )
+    ty = (
+        cells.groupBy("d")
+        .agg(F.sum("cnt").alias("cd"))
+        .agg(F.sum(dec("cd") * dec("cd")).cast("double").alias("sd2"))
+    )
+    nD = F.col("n").cast("double")
+    return (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(conc2 / 2 AS BIGINT)").alias("concordant"),
+            F.expr("CAST(disc2 / 2 AS BIGINT)").alias("discordant"),
+            (
+                (F.col("conc2").cast("double") / 2 - F.col("disc2").cast("double") / 2)
+                / (
+                    F.sqrt((nD * F.col("n") - F.col("sq2")) / 2)
+                    * F.sqrt((nD * F.col("n") - F.col("sd2")) / 2)
+                )
+            ).alias("tau_b"),
+        )
+    )

@@ -205,3 +205,32 @@ def test_logrank_aa_split_is_null(spark):
     assert abs(r.n_group1 + r.n_group0 - (
         table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
     )) == 0
+
+
+def test_kendall_tau_matches_numpy(spark):
+    r = REGISTRY["kendall_tau_b"].fn(spark, SF_SMOKE).collect()[0]
+    li = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+    )
+    q = np.round(li.l_quantity.to_numpy()).astype(np.int64)
+    d = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    n = len(q)
+    # O(n^2) reference on the small scale
+    conc = disc = 0
+    for i in range(n):
+        dq = q[i + 1 :] - q[i]
+        dd = d[i + 1 :] - d[i]
+        s = np.sign(dq) * np.sign(dd)
+        conc += int((s > 0).sum())
+        disc += int((s < 0).sum())
+    assert r.concordant == conc and r.discordant == disc
+    n0 = n * (n - 1) / 2
+    tx = sum(c * (c - 1) / 2 for c in np.bincount(q) if c > 1)
+    ty = sum(c * (c - 1) / 2 for c in np.bincount(d) if c > 1)
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(r.tau_b - tau) < 1e-12
+    # same monotone direction as Spearman
+    rs = REGISTRY["spearman_rank_correlation"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.tau_b >= 0) == (rs.rho_spearman >= 0)

@@ -117,6 +117,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         dedup_pipeline,
         dtw_ops,
         embedding_decomp,
+        eval_ops,
         event_analytics,
         flagship,
         fuzzy_ops,

@@ -1751,3 +1751,244 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --- Kruskal–Wallis H --------------------------------------------------
+
+_KW_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r AS (  -- midranks: ties share the average rank (exact .5 decimals)
+  SELECT event_type, v,
+         avg(CAST(rn AS DECIMAL(18,1))) OVER (PARTITION BY v) AS midrank
+  FROM (SELECT event_type, v, row_number() OVER (ORDER BY v) AS rn FROM s)
+),
+grp AS (
+  SELECT event_type, count(*) AS n_j, sum(midrank) AS r_j FROM r
+  GROUP BY event_type
+),
+terms AS (
+  SELECT CAST(round(CAST(r_j AS DOUBLE) * CAST(r_j AS DOUBLE) / n_j, 6)
+              AS DECIMAL(38,6)) AS term,
+         n_j
+  FROM grp
+),
+ties AS (
+  SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie_mass,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM (SELECT count(*) AS t FROM s GROUP BY v)
+),
+agg AS (
+  SELECT (SELECT count(*) FROM grp) AS k,
+         (SELECT CAST(sum(term) AS DOUBLE) FROM terms) AS sum_terms,
+         n, CAST(tie_mass AS DOUBLE) AS tie_mass
+  FROM ties
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       n AS n_total,
+       round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_terms - 3.0 * (n + 1), 6)
+         AS h_stat,
+       round(1.0 - tie_mass / (CAST(n AS DOUBLE) * n * n - n), 9)
+         AS tie_correction,
+       round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_terms - 3.0 * (n + 1))
+             / (1.0 - tie_mass / (CAST(n AS DOUBLE) * n * n - n)), 6)
+         AS h_adj
+FROM agg
+"""
+
+
+@register("kruskal_wallis_event_values", oracle=_KW_ORACLE)
+def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL event types (the k-sample extension
+    of `mannwhitney_u_event_values`; the nonparametric one-way ANOVA
+    beside `anova_oneway_event_values`): H = 12/(N(N+1)) Σ R_j²/n_j −
+    3(N+1), with the standard tie correction C = 1 − Σ(t³−t)/(N³−N)
+    and H_adj = H/C.
+
+    Determinism: midranks are exact decimals (the MWU discipline), so
+    R_j is exact; each group's R_j²/n_j rounds ONCE into DECIMAL(38,6)
+    before the cross-group sum; tie mass is pure integer arithmetic in
+    DECIMAL(38,0). The only doubles are fixed per-row chains.
+
+    Plan shape: one global sort for ranks (small-k exact formulation —
+    at real scale the same statistic runs on per-range partial ranks),
+    one tie window, two tiny aggregates."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+    )
+    rn = F.row_number().over(
+        Window.orderBy("v", "event_type", F.monotonically_increasing_id())
+    )
+    ranked = s.select("event_type", "v", rn.alias("rn"))
+    mid = ranked.select(
+        "event_type",
+        "v",
+        F.avg(F.col("rn").cast("decimal(18,1)"))
+        .over(Window.partitionBy("v"))
+        .alias("midrank"),
+    )
+    grp = mid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_j"), F.sum("midrank").alias("r_j")
+    )
+    terms = grp.select(
+        F.round(
+            F.col("r_j").cast("double") * F.col("r_j").cast("double") / F.col("n_j"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("term")
+    ).agg(F.sum("term").cast("double").alias("sum_terms"))
+    k_cnt = grp.agg(F.count(F.lit(1)).alias("k"))
+    t3 = F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+    ties = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(t3).cast("double").alias("tie_mass"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    h = 12.0 / (nD * (F.col("n") + 1)) * F.col("sum_terms") - 3.0 * (F.col("n") + 1)
+    c = 1.0 - F.col("tie_mass") / (nD * F.col("n") * F.col("n") - F.col("n"))
+    return (
+        ties.crossJoin(F.broadcast(k_cnt))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("k").cast("bigint").alias("n_groups"),
+            F.col("n").alias("n_total"),
+            F.round(h, 6).alias("h_stat"),
+            F.round(c, 9).alias("tie_correction"),
+            F.round(h / c, 6).alias("h_adj"),
+        )
+    )
+
+
+# --- Benjamini–Hochberg FDR over a family of proportion tests ----------
+
+# Abramowitz & Stegun 26.2.17 normal-CDF tail (|err| < 7.5e-8), written
+# ONCE as a SQL expression template shared verbatim by both engines so
+# the p-value chain is bit-identical. {z} must be a non-negative value.
+_PHI_K = "(1 / (1 + 0.2316419 * ({z})))"
+_PHI_TAIL = (
+    "(exp(-({z}) * ({z}) / 2) / sqrt(2 * pi()) * " + _PHI_K + " * "
+    "(0.319381530 + " + _PHI_K + " * (-0.356563782 + " + _PHI_K + " * "
+    "(1.781477937 + " + _PHI_K + " * (-1.821255978 + " + _PHI_K
+    + " * 1.330274429)))))"
+)
+
+_BH_ORACLE = f"""
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         count(*) AS n,
+         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM customer GROUP BY 1
+),
+pooled AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS n_all, CAST(sum(neg) AS DOUBLE) AS neg_all
+  FROM seg
+),
+z AS (
+  SELECT segment, n, neg,
+         (CAST(neg AS DOUBLE) / n - neg_all / n_all)
+           / sqrt((neg_all / n_all) * (1 - neg_all / n_all) / n) AS z
+  FROM seg, pooled
+),
+p AS (
+  SELECT segment, n, neg, z,
+         2 * {_PHI_TAIL.format(z="abs(z)")} AS p_value,
+         (SELECT count(*) FROM seg) AS m
+  FROM z
+),
+q AS (
+  SELECT segment, n, neg, z, p_value,
+         row_number() OVER (ORDER BY p_value, segment) AS rnk, m
+  FROM p
+),
+adj AS (
+  SELECT segment, n, neg, z, p_value,
+         least(min(p_value * m / rnk)
+                 OVER (ORDER BY rnk DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1.0) AS q_value
+  FROM q
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers, neg AS n_negative,
+       round(z, 6) AS z_score,
+       round(p_value, 9) AS p_value,
+       round(q_value, 9) AS bh_q_value,
+       CASE WHEN q_value < 0.1 THEN 1 ELSE 0 END AS reject_fdr10
+FROM adj ORDER BY segment
+"""
+
+
+@register("bh_fdr_segment_tests", oracle=_BH_ORACLE)
+def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a family of per-segment
+    two-sided proportion tests (is this segment's negative-balance
+    rate different from the pooled rate?) — the multiple-comparisons
+    control every per-slice dashboard needs before flagging segments.
+    p-values come from the A&S 26.2.17 normal-tail polynomial (shared
+    verbatim between engines via one expression template, so the
+    doubles are bit-identical); the BH step-up q_i = min_{j>=i}
+    (p_j·m/j) is the reverse-running-min window, capped at 1.
+
+    Plan shape: one grouped aggregate to k segment rows, a broadcast
+    1-row global, and two windows over k rows. At 100 TB only the
+    first aggregate touches data — the test family is metadata-sized,
+    which is exactly when FDR control (not Bonferroni-on-3-slices)
+    becomes the right tool."""
+    seg = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("neg"),
+        )
+    )
+    glob = seg.agg(
+        F.sum("n").cast("double").alias("n_all"),
+        F.sum("neg").cast("double").alias("neg_all"),
+    )
+    m_cnt = seg.agg(F.count(F.lit(1)).alias("m"))
+    p0 = F.col("neg_all") / F.col("n_all")
+    z = (F.col("neg").cast("double") / F.col("n") - p0) / F.sqrt(
+        p0 * (1 - p0) / F.col("n")
+    )
+    zd = (
+        seg.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(m_cnt))
+        .select("segment", "n", "neg", "m", z.alias("z"))
+    )
+    p = zd.withColumn(
+        "p_value", F.expr("2 * " + _PHI_TAIL.format(z="abs(z)"))
+    )
+    w_rank = Window.orderBy("p_value", "segment")
+    w_rev = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = (
+        p.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "q_value",
+            F.least(
+                F.min(F.col("p_value") * F.col("m") / F.col("rnk")).over(w_rev),
+                F.lit(1.0),
+            ),
+        )
+    )
+    return q.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("neg").alias("n_negative"),
+        F.round("z", 6).alias("z_score"),
+        F.round("p_value", 9).alias("p_value"),
+        F.round("q_value", 9).alias("bh_q_value"),
+        F.when(F.col("q_value") < 0.1, 1).otherwise(0).alias("reject_fdr10"),
+    ).orderBy("segment")

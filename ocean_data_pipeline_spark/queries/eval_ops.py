@@ -1,0 +1,583 @@
+"""Corpus / embedding evaluation queries (wave 16): the measurement
+side of a training-data pipeline — benchmark contamination, embedding
+compaction quality (Matryoshka prefixes, int8 quantization), and
+retrieval-quality metrics (NDCG/MRR/P@k) over the ANN stack.
+
+These generalize the reference's validation posture (run_pipeline.py's
+post-load checks) from schema assertions to the corpus-level evals an
+LLM-data pipeline runs before shipping a dataset: "is the test split
+leaked into train?", "how much retrieval quality survives 4x embedding
+compression?", "is the retriever actually good, measured properly?".
+
+Float discipline (suite-wide pattern): every cross-row float sum
+rounds ONCE into DECIMAL(28,12) per row first, so the aggregate is
+exactly associative and partitioning-invariant on both engines; pair
+scores rank on raw doubles whose fold order bit-matches DuckDB's
+list_dot_product (see operators/similarity.dot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.operators.similarity import dot
+from ocean_data_pipeline_spark.queries import register
+
+# --- benchmark contamination census ------------------------------------
+
+_CONTAMINATION_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         ('0x' || substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 100 < 10 AS is_test,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(1, length(text) - 7)),
+           i -> substr(text, i, 8)))) AS gram
+  FROM documents
+),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE NOT is_test),
+test_hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS shared
+  FROM grams g JOIN train_grams t USING (gram)
+  WHERE g.is_test GROUP BY 1
+),
+tst AS (SELECT count(DISTINCT doc_id) AS n_test FROM grams WHERE is_test)
+SELECT CAST(n_test AS BIGINT) AS n_test_docs,
+       (SELECT count(*) FROM test_hits) AS n_contaminated_docs,
+       round(CAST((SELECT count(*) FROM test_hits) AS DOUBLE)
+             / nullif(n_test, 0), 6) AS contamination_rate,
+       (SELECT CAST(coalesce(sum(shared), 0) AS BIGINT) FROM test_hits)
+         AS shared_gram_doc_pairs
+FROM tst
+"""
+
+
+@register("contamination_ngram_census", oracle=_CONTAMINATION_ORACLE)
+def contamination_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: does the held-out split share
+    verbatim character 8-grams with the training split? (The
+    train/test membership is the same sha2('split:'||id) bucket as
+    `train_test_split_deterministic`, so this audits exactly the split
+    the pipeline ships.) A test doc counts as contaminated if ANY of
+    its distinct 8-grams occurs anywhere in train — the n-gram-overlap
+    decontamination rule of GPT-3 appendix C / PaLM, scaled down to
+    the synthetic corpus's 8-char shingles.
+
+    Plan shape: one explode to distinct (doc, gram), a semi-joinable
+    equi-join on the gram hash space, two scalar aggregates. At 100 TB
+    the gram join is the standard bucketed-shuffle; nothing quadratic,
+    no driver data. Dedup-by-doc first (list_distinct) bounds the join
+    input by corpus gram mass."""
+    docs = table(spark, sf_dir, "documents")
+    is_test = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 10
+    )
+    grams = docs.select(
+        "doc_id",
+        is_test.alias("is_test"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+                    lambda i: F.substring(F.col("text"), i, F.lit(8)),
+                )
+            )
+        ).alias("gram"),
+    )
+    train_grams = grams.filter(~F.col("is_test")).select("gram").distinct()
+    test_hits = (
+        grams.filter(F.col("is_test"))
+        .join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("shared"))
+    )
+    tst = grams.filter(F.col("is_test")).agg(
+        F.countDistinct("doc_id").alias("n_test")
+    )
+    hits = test_hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.coalesce(F.sum("shared"), F.lit(0)).cast("bigint").alias("pairs"),
+    )
+    return tst.crossJoin(F.broadcast(hits)).select(
+        F.col("n_test").cast("bigint").alias("n_test_docs"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated_docs"),
+        F.round(
+            F.col("n_contaminated").cast("double")
+            / F.nullif(F.col("n_test"), F.lit(0)).cast("double"),
+            6,
+        ).alias("contamination_rate"),
+        F.col("pairs").alias("shared_gram_doc_pairs"),
+    )
+
+
+# --- Matryoshka prefix quality ------------------------------------------
+
+_MATRYOSHKA_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+widths AS (SELECT unnest([8, 16, 32]) AS width),
+energy AS (
+  SELECT w.width,
+         CAST(round(list_dot_product(list_slice(c.v, 1, w.width),
+                                     list_slice(c.v, 1, w.width))
+                    / list_dot_product(c.v, c.v), 12) AS DECIMAL(28,12)) AS frac
+  FROM corpus c CROSS JOIN widths w
+),
+energy_agg AS (
+  SELECT width, CAST(sum(frac) AS DOUBLE) / count(*) AS energy_frac_mean
+  FROM energy GROUP BY width
+),
+probes AS (SELECT vec_id, v FROM corpus WHERE vec_id < 20),
+full_top1 AS (
+  SELECT probe_id, neighbor_id AS full_nb FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.v, c.v)
+                      / (sqrt(list_dot_product(p.v, p.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rnk
+    FROM probes p JOIN corpus c ON c.vec_id != p.vec_id
+  ) WHERE rnk = 1
+),
+prefix_top1 AS (
+  SELECT width, probe_id, neighbor_id AS pref_nb FROM (
+    SELECT w.width, p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY w.width, p.vec_id
+             ORDER BY list_dot_product(list_slice(p.v, 1, w.width),
+                                       list_slice(c.v, 1, w.width))
+                      / (sqrt(list_dot_product(list_slice(p.v, 1, w.width),
+                                               list_slice(p.v, 1, w.width)))
+                         * sqrt(list_dot_product(list_slice(c.v, 1, w.width),
+                                                 list_slice(c.v, 1, w.width)))) DESC,
+                      c.vec_id) AS rnk
+    FROM probes p JOIN corpus c ON c.vec_id != p.vec_id
+    CROSS JOIN widths w
+  ) WHERE rnk = 1
+),
+agreement AS (
+  SELECT pt.width,
+         CAST(sum(CASE WHEN pt.pref_nb = ft.full_nb THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS top1_agreement
+  FROM prefix_top1 pt JOIN full_top1 ft USING (probe_id)
+  GROUP BY pt.width
+)
+SELECT e.width AS prefix_width,
+       round(e.energy_frac_mean, 6) AS energy_frac_mean,
+       round(a.top1_agreement, 6) AS top1_agreement
+FROM energy_agg e JOIN agreement a ON e.width = a.width
+ORDER BY prefix_width
+"""
+
+
+@register("matryoshka_prefix_quality", oracle=_MATRYOSHKA_ORACLE)
+def matryoshka_prefix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation quality (Kusupati et al. '22): how
+    much of the embedding's energy and retrieval behavior survives
+    truncation to a prefix of 8/16/32 of the 64 dims? Reports, per
+    width, the mean fraction of squared norm captured by the prefix
+    and the top-1-neighbor agreement (prefix-cosine top-1 == full-
+    cosine top-1) over 20 probes — the go/no-go table for shipping a
+    4x-cheaper ANN index.
+
+    Plan shape: energy is one scan with a 3-width expand; agreement is
+    the standard broadcast-probes x corpus scored scan (3 widths in
+    the same pass) with a rank-1 window per (width, probe). At 100 TB
+    the probe panel is fixed-size, so agreement cost is one corpus
+    scan; energy stays scan-bound. Per-row energy fractions round once
+    into DECIMAL(28,12) so the means are partitioning-invariant."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    widths = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("width")
+    )
+    pref = lambda c, w: F.slice(c, 1, w)  # noqa: E731
+
+    energy = (
+        emb.crossJoin(F.broadcast(widths))
+        .select(
+            "width",
+            F.round(
+                dot(pref(F.col("v"), F.col("width")), pref(F.col("v"), F.col("width")))
+                / dot(F.col("v"), F.col("v")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("frac"),
+        )
+        .groupBy("width")
+        .agg(
+            (F.sum("frac").cast("double") / F.count(F.lit(1))).alias(
+                "energy_frac_mean"
+            )
+        )
+    )
+
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = F.broadcast(probes).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+        F.col("neighbor_id") != F.col("probe_id"),
+    )
+    cos = lambda a, b: dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))  # noqa: E731
+    w_full = Window.partitionBy("probe_id").orderBy(
+        F.col("full_sim").desc(), F.col("neighbor_id")
+    )
+    full_top1 = (
+        scored.select(
+            "probe_id",
+            "neighbor_id",
+            cos(F.col("pv"), F.col("cv")).alias("full_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_full))
+        .filter(F.col("rnk") == 1)
+        .select("probe_id", F.col("neighbor_id").alias("full_nb"))
+    )
+    w_pref = Window.partitionBy("width", "probe_id").orderBy(
+        F.col("pref_sim").desc(), F.col("neighbor_id")
+    )
+    prefix_top1 = (
+        scored.crossJoin(F.broadcast(widths))
+        .select(
+            "width",
+            "probe_id",
+            "neighbor_id",
+            cos(
+                pref(F.col("pv"), F.col("width")), pref(F.col("cv"), F.col("width"))
+            ).alias("pref_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_pref))
+        .filter(F.col("rnk") == 1)
+        .select("width", "probe_id", F.col("neighbor_id").alias("pref_nb"))
+    )
+    agreement = (
+        prefix_top1.join(F.broadcast(full_top1), "probe_id")
+        .groupBy("width")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("pref_nb") == F.col("full_nb"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("top1_agreement")
+        )
+    )
+    return (
+        energy.join(agreement, "width")
+        .select(
+            F.col("width").alias("prefix_width"),
+            F.round("energy_frac_mean", 6).alias("energy_frac_mean"),
+            F.round("top1_agreement", 6).alias("top1_agreement"),
+        )
+        .orderBy("prefix_width")
+    )
+
+
+# --- int8 scalar quantization error ------------------------------------
+
+_QUANT_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT pos, max(abs(val)) AS scale FROM (
+    SELECT unnest(v) AS val, unnest(generate_series(1, len(v))) AS pos FROM corpus
+  ) GROUP BY pos
+),
+scales AS (
+  SELECT list(scale ORDER BY pos) AS s FROM dims
+),
+deq AS (
+  SELECT c.vec_id, c.label, c.v,
+         list_transform(generate_series(1, len(c.v)),
+           i -> CASE WHEN s.s[i] = 0 THEN 0.0
+                     ELSE round(c.v[i] * 127.0 / s.s[i]) * s.s[i] / 127.0 END) AS d
+  FROM corpus c CROSS JOIN scales s
+),
+per_row AS (
+  SELECT label,
+         CAST(round(list_dot_product(
+                 list_transform(generate_series(1, len(v)), i -> v[i] - d[i]),
+                 list_transform(generate_series(1, len(v)), i -> v[i] - d[i]))
+               / len(v), 12) AS DECIMAL(28,12)) AS mse,
+         CAST(round(list_dot_product(v, d)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(d, d))),
+               12) AS DECIMAL(28,12)) AS cos_sim
+  FROM deq
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(CAST(sum(mse) AS DOUBLE) / count(*), 9) AS mse_mean,
+       round(CAST(sum(cos_sim) AS DOUBLE) / count(*), 6) AS cosine_mean
+FROM per_row GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_int8_quant_error", oracle=_QUANT_ORACLE)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-dimension quantization audit: scale each dim
+    by its corpus max-|x|, quantize to round(127x/s), dequantize, and
+    report per-label reconstruction MSE and cosine(original,
+    dequantized) — the quality table behind a 4x-smaller vector store
+    (FAISS SQ8 posture). Per-dim scales are a 64-float array computed
+    in one aggregate and broadcast back; per-row MSE/cosine round once
+    into DECIMAL(28,12) so label means are partitioning-invariant.
+
+    Plan shape: posexplode -> 64-group aggregate -> 1-row array
+    rebuild (sorted collect, never driver-side) -> broadcast join ->
+    scan-bound zip_with arithmetic. At 100 TB: two corpus scans and a
+    64-row shuffle; the quantization itself is embarrassingly
+    parallel."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("val"))).alias("scale"))
+    )
+    scales = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "scale"))),
+            lambda s: s["scale"],
+        ).alias("s")
+    )
+    deq = emb.crossJoin(F.broadcast(scales)).select(
+        "label",
+        "v",
+        F.zip_with(
+            "v",
+            "s",
+            lambda x, s: F.when(s == 0, F.lit(0.0)).otherwise(
+                F.round(x * 127.0 / s) * s / 127.0
+            ),
+        ).alias("d"),
+    )
+    diff = F.zip_with("v", "d", lambda x, y: x - y)
+    per_row = deq.select(
+        "label",
+        F.round(dot(diff, diff) / F.size("v"), 12)
+        .cast("decimal(28,12)")
+        .alias("mse"),
+        F.round(
+            dot(F.col("v"), F.col("d"))
+            / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("d"), F.col("d")))),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("cos_sim"),
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("mse").cast("double") / F.count(F.lit(1)), 9).alias(
+                "mse_mean"
+            ),
+            F.round(F.sum("cos_sim").cast("double") / F.count(F.lit(1)), 6).alias(
+                "cosine_mean"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --- retrieval quality metrics (NDCG / MRR / P@10) ----------------------
+
+# Cumulative ideal DCG for k relevant items in the top 10, with each
+# term rounded once to 12 decimals (shared literal so both engines sum
+# the exact same decimals): idcg[k] = sum_{i=1..k} round(1/log2(i+1), 12).
+_IDCG_AT = [
+    "1.0",
+    "1.630929753571",
+    "2.130929753571",
+    "2.561606311644",
+    "2.948459118879",
+    "3.304666305987",
+    "3.637999639320",
+    "3.953464516106",
+    "4.254494511770",
+    "4.543559338088",
+]
+
+_IDCG_SQL_ARRAY = "[" + ", ".join(_IDCG_AT) + "]"
+
+_RETRIEVAL_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+label_cnt AS (SELECT label, count(*) AS cnt FROM corpus GROUP BY label),
+probes AS (
+  SELECT c.vec_id, c.label, c.v, lc.cnt - 1 AS n_rel
+  FROM corpus c JOIN label_cnt lc USING (label)
+  WHERE c.vec_id < 20
+),
+ranked AS (
+  SELECT p.vec_id AS probe_id, p.label AS probe_label, p.n_rel,
+         CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_dot_product(p.v, c.v)
+                    / (sqrt(list_dot_product(p.v, p.v))
+                       * sqrt(list_dot_product(c.v, c.v))) DESC,
+                    c.vec_id) AS rnk
+  FROM probes p JOIN corpus c ON c.vec_id != p.vec_id
+),
+top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+per_probe AS (
+  SELECT probe_id, probe_label, any_value(n_rel) AS n_rel,
+         coalesce(sum(CASE WHEN rel = 1
+             THEN CAST(round(1.0 / log2(rnk + 1.0), 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END),
+           CAST(0 AS DECIMAL(28,12))) AS dcg,
+         min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         CAST(sum(rel) AS DOUBLE) / 10 AS p_at_10
+  FROM top10 GROUP BY probe_id, probe_label
+),
+scored AS (
+  SELECT probe_label,
+         CAST(round(CAST(dcg AS DOUBLE)
+              / CAST(({_IDCG_SQL_ARRAY})[least(greatest(n_rel, 1), 10)] AS DOUBLE), 12)
+           AS DECIMAL(28,12)) AS ndcg,
+         CASE WHEN first_rel IS NULL THEN CAST(0 AS DECIMAL(28,12))
+              ELSE CAST(round(1.0 / first_rel, 12) AS DECIMAL(28,12)) END AS rr,
+         CAST(round(p_at_10, 12) AS DECIMAL(28,12)) AS p10
+  FROM per_probe
+)
+SELECT probe_label,
+       count(*) AS n_probes,
+       round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_10,
+       round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr_at_10,
+       round(CAST(sum(p10) AS DOUBLE) / count(*), 6) AS precision_at_10
+FROM scored GROUP BY probe_label ORDER BY probe_label
+"""
+
+
+@register("retrieval_metrics_eval", oracle=_RETRIEVAL_ORACLE)
+def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard for the brute-force cosine retriever:
+    NDCG@10, MRR@10, and precision@10 per probe label, with relevance =
+    same-label (the standard labeled-ANN eval). IDCG comes from a
+    shared 10-entry cumulative literal (each 1/log2(i+1) term rounded
+    once to 12 decimals), so ideal normalization is bit-identical on
+    both engines; per-probe DCG/RR/P@10 round once into
+    DECIMAL(28,12) before label-mean aggregation.
+
+    Plan shape: broadcast 20-probe panel x corpus scan -> rank window
+    -> top-10 filter -> two small aggregates. At 100 TB the eval panel
+    is fixed, so cost is one corpus scan regardless of corpus size —
+    the eval you run after every index rebuild."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    label_cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (
+        emb.filter(F.col("vec_id") < 20)
+        .join(F.broadcast(label_cnt), "label")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            F.col("v").alias("pv"),
+            (F.col("cnt") - 1).alias("n_rel"),
+        )
+    )
+    cos = dot(F.col("pv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("pv"), F.col("pv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    ranked = (
+        F.broadcast(probes)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+                F.col("v").alias("cv"),
+            ),
+            F.col("neighbor_id") != F.col("probe_id"),
+        )
+        .select(
+            "probe_id",
+            "probe_label",
+            "n_rel",
+            "neighbor_id",
+            F.when(F.col("nb_label") == F.col("probe_label"), 1).otherwise(0).alias(
+                "rel"
+            ),
+            cos.alias("sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+    dec0 = F.lit(0).cast("decimal(28,12)")
+    per_probe = ranked.groupBy("probe_id", "probe_label").agg(
+        F.first("n_rel").alias("n_rel"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.round(1.0 / F.log2(F.col("rnk") + 1.0), 12).cast(
+                        "decimal(28,12)"
+                    ),
+                ).otherwise(dec0)
+            ),
+            dec0,
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        (F.sum("rel").cast("double") / 10).alias("p_at_10"),
+    )
+    idcg_arr = F.array(*[F.lit(s).cast("double") for s in _IDCG_AT])
+    scored = per_probe.select(
+        "probe_label",
+        F.round(
+            F.col("dcg").cast("double")
+            / F.element_at(
+                idcg_arr,
+                F.least(F.greatest(F.col("n_rel"), F.lit(1)), F.lit(10)).cast("int"),
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("ndcg"),
+        F.when(F.col("first_rel").isNull(), dec0)
+        .otherwise(F.round(1.0 / F.col("first_rel"), 12).cast("decimal(28,12)"))
+        .alias("rr"),
+        F.round("p_at_10", 12).cast("decimal(28,12)").alias("p10"),
+    )
+    return (
+        scored.groupBy("probe_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.sum("ndcg").cast("double") / F.count(F.lit(1)), 6).alias(
+                "ndcg_at_10"
+            ),
+            F.round(F.sum("rr").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mrr_at_10"
+            ),
+            F.round(F.sum("p10").cast("double") / F.count(F.lit(1)), 6).alias(
+                "precision_at_10"
+            ),
+        )
+        .orderBy("probe_label")
+    )

@@ -1080,3 +1080,222 @@ def rolling_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("double").alias("revenue"),
         F.when(den != 0, (n * F.col("stx") - st * sx) / den).alias("trend_slope"),
     ).orderBy("month_index")
+
+
+# --- Theil–Sen robust trend --------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS idx,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT a.idx AS i, b.idx AS j,
+         CAST(b.rev - a.rev AS DOUBLE) / (b.idx - a.idx) AS slope
+  FROM m a JOIN m b ON b.idx > a.idx
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, i, j) AS rn,
+         count(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_months,
+       CAST(max(n) AS BIGINT) AS n_pairs,
+       round((min(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+              + min(CASE WHEN rn = n // 2 + 1 THEN slope END)) / 2, 4)
+         AS ts_slope,
+       round(min(slope), 4) AS min_slope,
+       round(max(slope), 4) AS max_slope
+FROM ranked
+"""
+
+
+@register("theil_sen_monthly_trend", oracle=_THEILSEN_ORACLE)
+def theil_sen_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator ('50/'68) of the monthly-revenue trend: the
+    median of all pairwise slopes — the robust (29%-breakdown) twin of
+    `rolling_ols_trend`'s least-squares slope, immune to the revenue
+    spikes that drag OLS. Median = average of the two middle slopes
+    selected by EXACT integer rank (rn == (n+1)//2 and n//2+1, which
+    coincide for odd n), never by float quantile interpolation.
+
+    Determinism: monthly revenues are exact DECIMAL partials; each
+    slope is one double division; selection is integer arithmetic with
+    a total (slope, i, j) order, and the two selected doubles average
+    identically on both engines.
+
+    Plan shape: facts collapse to ~80 month rows first, so the
+    pairwise self-join is calendar²-bounded (~3k pairs at any corpus
+    size) — the classic "aggregate first, then the O(k²) statistic is
+    free" posture."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("idx")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    a = m.select(F.col("idx").alias("i"), F.col("rev").alias("rev_a"))
+    b = m.select(F.col("idx").alias("j"), F.col("rev").alias("rev_b"))
+    slopes = a.join(b, F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("rev_b") - F.col("rev_a")).cast("double")
+            / (F.col("j") - F.col("i"))
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "i", "j")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return (
+        ranked.agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.round(
+                (
+                    F.min(
+                        F.when(
+                            F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                            F.col("slope"),
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.col("rn") == F.floor(F.col("n") / 2) + 1,
+                            F.col("slope"),
+                        )
+                    )
+                )
+                / 2,
+                4,
+            ).alias("ts_slope"),
+            F.round(F.min("slope"), 4).alias("min_slope"),
+            F.round(F.max("slope"), 4).alias("max_slope"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select("n_months", "n_pairs", "ts_slope", "min_slope", "max_slope")
+    )
+
+
+# --- Holt linear (double-exponential) smoothing ------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT month, rev, row_number() OVER (ORDER BY month) AS t,
+         count(*) OVER () AS n
+  FROM m
+),
+hw AS (
+  SELECT t, month, rev, rev AS lvl, CAST(0.0 AS DOUBLE) AS trd
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.t, i.month, i.rev,
+         {_HOLT_ALPHA} * i.rev + {1 - _HOLT_ALPHA} * (hw.lvl + hw.trd) AS lvl,
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * i.rev
+                          + {1 - _HOLT_ALPHA} * (hw.lvl + hw.trd)) - hw.lvl)
+           + {1 - _HOLT_BETA} * hw.trd AS trd
+  FROM hw JOIN idx i ON i.t = hw.t + 1
+)
+SELECT month,
+       round(rev, 2) AS revenue,
+       round(lvl, 4) AS level,
+       round(trd, 4) AS trend,
+       round(lvl + trd, 4) AS forecast_next
+FROM hw ORDER BY month
+"""
+
+
+@register("holt_linear_smoothing", oracle=_HOLT_ORACLE)
+def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of monthly revenue
+    (alpha=0.5, beta=0.3, l_1=y_1, b_1=0): level l_t = a·y_t +
+    (1-a)(l+b), trend b_t = B(l_t - l) + (1-B)b, forecast_next =
+    l_t + b_t — the trend-aware sibling of `ewma_monthly_revenue`.
+    Unlike EWMA there is NO closed-form prefix-sum rewrite (the two
+    recursions are coupled), so this is the honest sequential-state
+    case: an Arrow-batched applyInPandas over the aggregated series,
+    the batch twin of applyInPandasWithState.
+
+    Determinism: the Python loop and DuckDB's recursive CTE evaluate
+    the IDENTICAL float chain in the identical order (alpha literals
+    match textually), so doubles agree bit-for-bit before the display
+    round.
+
+    Plan shape: facts collapse to ~80 month rows first; the grouped-map
+    UDF sees one calendar-sized group (documented single-group bound —
+    a per-entity variant would group by the entity key). At 100 TB the
+    recursion cost is invariant."""
+    import pandas as pd
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        a, b = _HOLT_ALPHA, _HOLT_BETA
+        lvl, trd = [], []
+        for i, y in enumerate(pdf.rev):
+            if i == 0:
+                l_new, t_new = y, 0.0
+            else:
+                l_prev, t_prev = lvl[-1], trd[-1]
+                l_new = a * y + (1 - a) * (l_prev + t_prev)
+                t_new = b * (l_new - l_prev) + (1 - b) * t_prev
+            lvl.append(l_new)
+            trd.append(t_new)
+        # no rounding here: Python round() is half-even, the engines'
+        # round() is half-away — display rounding happens Spark-side.
+        return pd.DataFrame(
+            {
+                "month": pdf.month,
+                "revenue": pdf.rev,
+                "level": lvl,
+                "trend": trd,
+                "forecast_next": [l + t for l, t in zip(lvl, trd)],
+            }
+        )
+
+    out = m.groupBy(F.lit(1).alias("g")).applyInPandas(
+        holt,
+        schema="month string, revenue double, level double, trend double, "
+        "forecast_next double",
+    )
+    return out.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("forecast_next", 4).alias("forecast_next"),
+    ).orderBy("month")

@@ -733,3 +733,204 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("g_chars").cast("bigint").alias("norm_chars"),
     ).orderBy("doc_id")
+
+
+# --- sequence-length bucketing efficiency -------------------------------
+
+_BUCKETING_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+b AS (  -- next power-of-2 capacity, floor 16
+  SELECT doc_id, n_tokens,
+         greatest(16, CAST(power(2, ceil(log2(n_tokens))) AS BIGINT)) AS cap
+  FROM d WHERE n_tokens > 0
+),
+per_bucket AS (
+  SELECT cap, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         CAST(sum(cap - n_tokens) AS BIGINT) AS padding
+  FROM b GROUP BY cap
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS DOUBLE) AS all_tokens,
+         CAST(sum(padding) AS DOUBLE) AS all_padding,
+         CAST(max(cap) AS DOUBLE) AS max_cap,
+         CAST(sum(n_docs) AS DOUBLE) AS n
+  FROM per_bucket
+)
+SELECT cap AS bucket_cap, n_docs, tokens, padding,
+       round(CAST(tokens AS DOUBLE) / (tokens + padding), 6) AS bucket_efficiency,
+       round((SELECT all_tokens / (all_tokens + all_padding) FROM tot), 6)
+         AS bucketed_efficiency,
+       round((SELECT all_tokens / (max_cap * n) FROM tot), 6)
+         AS unbucketed_efficiency
+FROM per_bucket ORDER BY bucket_cap
+"""
+
+
+@register("length_bucketing_efficiency", oracle=_BUCKETING_ORACLE)
+def length_bucketing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit: assign each document to the
+    next power-of-2 token capacity (floor 16) and report per-bucket
+    padding waste, plus the corpus-level packing efficiency of the
+    bucketed layout vs padding everything to the global max — the
+    table that justifies length-bucketed batching in a training data
+    loader (padding tokens are wasted FLOPs).
+
+    Plan shape: one scan computes token counts (the suite's standard
+    whitespace tokenizer), one small groupBy on ~8 capacity levels,
+    one broadcast 1-row total. All integer arithmetic except the final
+    display ratios. At 100 TB: scan-bound, shuffle of 8 rows."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    b = docs.select(n_tokens.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    cap = F.greatest(
+        F.lit(16),
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tokens")))).cast("bigint"),
+    )
+    per_bucket = (
+        b.select(cap.alias("cap"), "n_tokens")
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.sum(F.col("cap") - F.col("n_tokens")).cast("bigint").alias("padding"),
+        )
+    )
+    tot = per_bucket.agg(
+        F.sum("tokens").cast("double").alias("all_tokens"),
+        F.sum("padding").cast("double").alias("all_padding"),
+        F.max("cap").cast("double").alias("max_cap"),
+        F.sum("n_docs").cast("double").alias("n"),
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cap").alias("bucket_cap"),
+            "n_docs",
+            "tokens",
+            "padding",
+            F.round(
+                F.col("tokens").cast("double") / (F.col("tokens") + F.col("padding")),
+                6,
+            ).alias("bucket_efficiency"),
+            F.round(
+                F.col("all_tokens") / (F.col("all_tokens") + F.col("all_padding")), 6
+            ).alias("bucketed_efficiency"),
+            F.round(F.col("all_tokens") / (F.col("max_cap") * F.col("n")), 6).alias(
+                "unbucketed_efficiency"
+            ),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+# --- per-epoch hash-shuffle shard balance --------------------------------
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH assign AS (
+  SELECT e.epoch, d.doc_id,
+         ('0x' || substring(sha256('epoch' || CAST(e.epoch AS VARCHAR)
+                                   || ':' || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 16 AS shard
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+),
+per_shard AS (
+  SELECT epoch, shard, count(*) AS n FROM assign GROUP BY epoch, shard
+),
+stats AS (
+  SELECT epoch,
+         count(*) AS n_shards,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         min(n) AS min_shard,
+         max(n) AS max_shard,
+         CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE) AS sum_sq
+  FROM per_shard GROUP BY epoch
+)
+SELECT epoch, n_shards, n_docs, min_shard, max_shard,
+       round(CAST(max_shard AS DOUBLE) / min_shard, 6) AS balance_ratio,
+       round((sum_sq - CAST(n_docs AS DOUBLE) * n_docs / n_shards)
+             / (CAST(n_docs AS DOUBLE) / n_shards), 6) AS chi_sq_uniform
+FROM stats ORDER BY epoch
+"""
+
+
+@register("epoch_shuffle_balance", oracle=_EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic shuffle audit: shard =
+    sha256('epoch<e>:<doc_id>') % 16 gives every epoch an independent,
+    reproducible permutation of the corpus into data-loader shards
+    (the salted-sha2 discipline of `train_test_split_deterministic` —
+    no rand(), no global sort, re-derivable by any worker). Reports
+    per-epoch shard min/max, balance ratio, and the chi-square
+    uniformity statistic Σ(o-e)²/e — the check that the "shuffle" is
+    actually uniform and epochs are decorrelated.
+
+    Plan shape: a 3-epoch expand on the scan, one groupBy to 48 cells,
+    one 3-row aggregate. At 100 TB: one map-side-combining shuffle of
+    48 rows; the epoch "reshuffle" costs zero data movement because
+    membership is computed, not materialized."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    shard = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("epoch"),
+                        F.col("epoch").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    per_shard = (
+        docs.crossJoin(F.broadcast(epochs))
+        .select("epoch", shard.alias("shard"))
+        .groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = per_shard.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.min("n").alias("min_shard"),
+        F.max("n").alias("max_shard"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("double")
+        .alias("sum_sq"),
+    )
+    nD = F.col("n_docs").cast("double")
+    expected = nD / F.col("n_shards")
+    return stats.select(
+        "epoch",
+        "n_shards",
+        "n_docs",
+        "min_shard",
+        "max_shard",
+        F.round(F.col("max_shard").cast("double") / F.col("min_shard"), 6).alias(
+            "balance_ratio"
+        ),
+        F.round((F.col("sum_sq") - nD * F.col("n_docs") / F.col("n_shards")) / expected, 6).alias(
+            "chi_sq_uniform"
+        ),
+    ).orderBy("epoch")

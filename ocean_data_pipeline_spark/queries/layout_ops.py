@@ -428,3 +428,120 @@ def skew_salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recommended_salt"
         ),
     )
+
+
+# --- zone-map (min/max) pruning audit ------------------------------------
+
+#: File count and the audited date-range predicate (one quarter).
+_ZM_FILES = 32
+_ZM_LO = "1995-01-01"
+_ZM_HI = "1995-04-01"
+
+_ZONEMAP_ORACLE = f"""
+WITH layouts AS (
+  SELECT 'insertion' AS layout,
+         ntile({_ZM_FILES}) OVER (ORDER BY o_orderkey) AS file_id,
+         o_orderdate
+  FROM orders
+  UNION ALL
+  SELECT 'date_clustered' AS layout,
+         ntile({_ZM_FILES}) OVER (ORDER BY o_orderdate, o_orderkey) AS file_id,
+         o_orderdate
+  FROM orders
+),
+zones AS (  -- per-file zone map: min/max of the predicate column
+  SELECT layout, file_id, count(*) AS n_rows,
+         min(o_orderdate) AS d_min, max(o_orderdate) AS d_max,
+         CAST(sum(CASE WHEN o_orderdate >= DATE '{_ZM_LO}'
+                        AND o_orderdate < DATE '{_ZM_HI}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matching
+  FROM layouts GROUP BY layout, file_id
+),
+audit AS (
+  SELECT layout,
+         count(*) AS n_files,
+         CAST(sum(CASE WHEN d_max >= DATE '{_ZM_LO}'
+                        AND d_min < DATE '{_ZM_HI}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         CAST(sum(CASE WHEN d_max >= DATE '{_ZM_LO}'
+                        AND d_min < DATE '{_ZM_HI}'
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         CAST(sum(matching) AS BIGINT) AS matching_rows
+  FROM zones GROUP BY layout
+)
+SELECT layout, n_files, files_scanned, rows_scanned, matching_rows,
+       round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 6) AS prune_fraction,
+       round(CAST(rows_scanned AS DOUBLE) / matching_rows, 4) AS scan_amplification
+FROM audit ORDER BY layout
+"""
+
+
+@register("zonemap_pruning_audit", oracle=_ZONEMAP_ORACLE)
+def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) pruning effectiveness under two
+    physical layouts: `insertion` (files cut by order key — arrival
+    order) vs `date_clustered` (files cut by a date sort), audited
+    against a one-quarter date predicate. A file must be scanned iff
+    its [min,max] date range overlaps the predicate; the clustered
+    layout concentrates the quarter into few files (prune_fraction
+    near 1, scan_amplification near 1) while insertion order scans
+    everything — the quantified case for clustering/Z-ORDER before a
+    100 TB table meets its dominant filter column. Sibling of
+    `zorder_layout_stats` (multi-column interleave) and
+    `compaction_plan`.
+
+    Determinism: ntile over a UNIQUE total order (orderkey; date+
+    orderkey) is identical on both engines; everything else is integer
+    arithmetic until the two display ratios.
+
+    Plan shape: two window passes over the scan (one per layout), one
+    groupBy to 64 zone rows, one 2-row aggregate. The audit itself is
+    the cheap part; it prices the expensive decision (rewriting the
+    table layout)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo, hi = F.lit(_ZM_LO).cast("date"), F.lit(_ZM_HI).cast("date")
+    ins = o.select(
+        F.lit("insertion").alias("layout"),
+        F.ntile(_ZM_FILES).over(Window.orderBy("o_orderkey")).alias("file_id"),
+        "o_orderdate",
+    )
+    clu = o.select(
+        F.lit("date_clustered").alias("layout"),
+        F.ntile(_ZM_FILES)
+        .over(Window.orderBy("o_orderdate", "o_orderkey"))
+        .alias("file_id"),
+        "o_orderdate",
+    )
+    match = (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    zones = (
+        ins.unionByName(clu)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderdate").alias("d_min"),
+            F.max("o_orderdate").alias("d_max"),
+            F.sum(F.when(match, 1).otherwise(0)).cast("bigint").alias("matching"),
+        )
+    )
+    overlaps = (F.col("d_max") >= lo) & (F.col("d_min") < hi)
+    audit = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(overlaps, 1).otherwise(0)).cast("bigint").alias("files_scanned"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("matching").cast("bigint").alias("matching_rows"),
+    )
+    return audit.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_scanned",
+        "matching_rows",
+        F.round(
+            1.0 - F.col("files_scanned").cast("double") / F.col("n_files"), 6
+        ).alias("prune_fraction"),
+        F.round(
+            F.col("rows_scanned").cast("double") / F.col("matching_rows"), 4
+        ).alias("scan_amplification"),
+    ).orderBy("layout")

@@ -613,3 +613,161 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_j")
         .orderBy("id_a", "id_b")
     )
+
+
+# --- MMR diversified top-k ----------------------------------------------
+
+#: MMR trade-off: score = LAMBDA*sim(query,c) - (1-LAMBDA)*max sim(c,S).
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 12
+_MMR_K = 4
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection: one MATERIALIZED CTE per round (the
+    AS MATERIALIZED discipline from `ipf_survey_raking` — DuckDB
+    inlines CTEs by default, which goes exponential on chained
+    self-references)."""
+    head = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM corpus WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, c.v, {_COS_SQL.format(a='q.v', b='c.v')} AS sim_q
+  FROM corpus c, q WHERE c.vec_id != 0
+  ORDER BY sim_q DESC, c.vec_id LIMIT {_MMR_POOL}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         {_COS_SQL.format(a='a.v', b='b.v')} AS sim_ab
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, sim_q, 1 AS sel_round, sim_q AS mmr_score
+  FROM cand ORDER BY sim_q DESC, vec_id LIMIT 1
+)"""
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        rounds.append(f""",
+s{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.sim_q, {r} AS sel_round,
+         {_MMR_LAMBDA} * c.sim_q - {round(1 - _MMR_LAMBDA, 12)} * m.mx AS mmr_score
+  FROM (SELECT p.ia AS vec_id, max(p.sim_ab) AS mx
+        FROM pairs p JOIN ({prev_union}) s ON p.ib = s.vec_id
+        GROUP BY p.ia) m
+  JOIN cand c ON c.vec_id = m.vec_id
+  WHERE c.vec_id NOT IN ({prev_union})
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+)""")
+    tail_union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+SELECT sel_round, vec_id,
+       round(sim_q, 6) AS sim_to_query,
+       round(mmr_score, 6) AS mmr_score
+FROM ({tail_union}) ORDER BY sel_round"""
+    )
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    '98): greedily pick {k} of the top-{pool} cosine candidates for
+    probe vec_id=0, each round maximizing lambda*sim(q,c) -
+    (1-lambda)*max_s sim(c,selected) — the diversity-aware top-k every
+    RAG retriever bolts onto plain ANN. Round 1 score = sim(q,c) (the
+    standard convention: no selected set yet).
+
+    Determinism: candidate/pair cosines are the shared sequential-fold
+    dot products; each round's argmax breaks ties by vec_id; the MMR
+    chain is one fixed IEEE expression over <= pool doubles; max over
+    the selected set is order-independent.
+
+    Plan shape: one corpus scan scores the probe (broadcast 1-row q),
+    TakeOrdered caps the pool at {pool}; the pool and its pool^2 pair
+    grid are localCheckpointed once; each greedy round is joins over
+    <= {pool} rows. At 100 TB only the first scan is corpus-scale —
+    the greedy loop runs on a fixed-size candidate relation (same
+    bounded-iteration posture as `ipf_survey_raking`)."""
+    from ocean_data_pipeline_spark.operators.similarity import dot
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos_q = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", cos_q.alias("sim_q"))
+        .orderBy(F.col("sim_q").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()  # pool + pair grid feed every greedy round
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    cos_ab = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cos_ab.alias("sim_ab"))
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.col("sim_q").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "sim_q",
+            F.lit(1).alias("sel_round"),
+            F.col("sim_q").alias("mmr_score"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        chosen = sel.select("vec_id")
+        mx = (
+            pairs.join(F.broadcast(chosen), pairs.ib == chosen.vec_id)
+            .groupBy("ia")
+            .agg(F.max("sim_ab").alias("mx"))
+        )
+        pick = (
+            cand.join(F.broadcast(chosen), "vec_id", "left_anti")
+            .join(mx, cand.vec_id == mx.ia)
+            .select(
+                "vec_id",
+                "sim_q",
+                F.lit(r).alias("sel_round"),
+                (
+                    _MMR_LAMBDA * F.col("sim_q")
+                    - round(1 - _MMR_LAMBDA, 12) * F.col("mx")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "sel_round",
+        "vec_id",
+        F.round("sim_q", 6).alias("sim_to_query"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("sel_round")
+
+
+mmr_diversified_topk.__doc__ = mmr_diversified_topk.__doc__.format(
+    k=_MMR_K, pool=_MMR_POOL
+)

@@ -1299,3 +1299,112 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 4).alias("trend"),
         F.round("forecast_next", 4).alias("forecast_next"),
     ).orderBy("month")
+
+
+# --- periodogram (DFT power spectrum) ------------------------------------
+
+_PERIODOGRAM_ORACLE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS idx,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT rev, row_number() OVER (ORDER BY idx) AS t,
+         count(*) OVER () AS n, avg(rev) OVER () AS mu
+  FROM m
+),
+freqs AS (SELECT unnest(generate_series(1, 12)) AS k),
+terms AS (
+  SELECT f.k, t.n,
+         CAST(round((t.rev - t.mu) * cos(2 * pi() * f.k * t.t / t.n), 4)
+              AS DECIMAL(28,4)) AS c_term,
+         CAST(round((t.rev - t.mu) * sin(2 * pi() * f.k * t.t / t.n), 4)
+              AS DECIMAL(28,4)) AS s_term
+  FROM t CROSS JOIN freqs f
+),
+spec AS (
+  SELECT k, max(n) AS n,
+         CAST(sum(c_term) AS DOUBLE) AS c_k,
+         CAST(sum(s_term) AS DOUBLE) AS s_k
+  FROM terms GROUP BY k
+)
+SELECT k AS harmonic,
+       round(CAST(n AS DOUBLE) / k, 2) AS period_months,
+       round(sqrt(c_k * c_k + s_k * s_k) / n, 2) AS amplitude,
+       CAST(row_number() OVER (ORDER BY sqrt(c_k * c_k + s_k * s_k) DESC, k)
+            AS BIGINT) AS power_rank
+FROM spec ORDER BY harmonic
+"""
+
+
+@register("periodogram_monthly", oracle=_PERIODOGRAM_ORACLE)
+def periodogram_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of monthly revenue: DFT power at harmonics k=1..12
+    of the mean-centered series (amplitude_k = |Σ y_t e^{-2πikt/n}|/n),
+    ranked so the dominant seasonal cycle reads off the power_rank=1
+    row — the spectral twin of `seasonal_indices_monthly` and
+    `acf_monthly_revenue`.
+
+    Determinism: monthly revenues are exact DECIMAL partials cast to
+    double once; each cos/sin term rounds ONCE into DECIMAL(28,4) so
+    the per-harmonic sums are associative (cos/sin inputs are
+    identical doubles on both engines; the term rounding absorbs any
+    last-ulp libm divergence). Amplitude is a fixed IEEE chain on the
+    exact sums.
+
+    Plan shape: facts collapse to ~80 month rows, a 12-frequency
+    expand makes ~960 term rows, one groupBy to 12 harmonics. At
+    100 TB only the first aggregate is corpus-scale — the spectrum is
+    calendar-sized arithmetic."""
+    import math
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("idx")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w_all = Window.partitionBy()
+    t = m.select(
+        "rev",
+        F.row_number().over(Window.orderBy("idx")).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.avg("rev").over(w_all).alias("mu"),
+    )
+    freqs = spark.range(1, 13).select(F.col("id").cast("int").alias("k"))
+    ang = 2 * F.lit(math.pi) * F.col("k") * F.col("t") / F.col("n")
+    terms = t.crossJoin(F.broadcast(freqs)).select(
+        "k",
+        "n",
+        F.round((F.col("rev") - F.col("mu")) * F.cos(ang), 4)
+        .cast("decimal(28,4)")
+        .alias("c_term"),
+        F.round((F.col("rev") - F.col("mu")) * F.sin(ang), 4)
+        .cast("decimal(28,4)")
+        .alias("s_term"),
+    )
+    spec = terms.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum("c_term").cast("double").alias("c_k"),
+        F.sum("s_term").cast("double").alias("s_k"),
+    )
+    amp = F.sqrt(F.col("c_k") * F.col("c_k") + F.col("s_k") * F.col("s_k"))
+    return spec.select(
+        F.col("k").alias("harmonic"),
+        F.round(F.col("n").cast("double") / F.col("k"), 2).alias("period_months"),
+        F.round(amp / F.col("n"), 2).alias("amplitude"),
+        F.row_number()
+        .over(Window.orderBy(amp.desc(), "k"))
+        .cast("bigint")
+        .alias("power_rank"),
+    ).orderBy("harmonic")

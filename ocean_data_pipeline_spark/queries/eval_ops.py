@@ -581,3 +581,197 @@ def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_label")
     )
+
+
+# --- embedding isotropy audit --------------------------------------------
+
+_ISOTROPY_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cells AS (  -- exact cross-moment sums over the 64x64 grid
+  SELECT i, j,
+         CAST(sum(CAST(round(v[i] * v[j], 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS s_ij,
+         count(*) AS n
+  FROM corpus
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+  GROUP BY i, j
+),
+mu AS (
+  SELECT pos, CAST(sum(CAST(round(val, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                / max(n) AS m
+  FROM (
+    SELECT unnest(v) AS val, unnest(generate_series(1, len(v))) AS pos,
+           (SELECT count(*) FROM corpus) AS n
+    FROM corpus
+  ) GROUP BY pos
+),
+cov AS (
+  SELECT c.i, c.j, c.n,
+         c.s_ij / c.n - mi.m * mj.m AS c_ij
+  FROM cells c JOIN mu mi ON mi.pos = c.i JOIN mu mj ON mj.pos = c.j
+),
+diag AS (SELECT i, c_ij AS var_i FROM cov WHERE i = j),
+corr AS (
+  SELECT c.i, c.j, c.n, c.c_ij,
+         c.c_ij / sqrt(di.var_i * dj.var_i) AS rho
+  FROM cov c JOIN diag di ON di.i = c.i JOIN diag dj ON dj.i = c.j
+  WHERE c.i <> c.j
+),
+summary AS (
+  SELECT max(n) AS n,
+         (SELECT CAST(sum(CAST(round(var_i, 12) AS DECIMAL(28,12)))
+                 AS DOUBLE) FROM diag) AS trace,
+         (SELECT max(var_i) FROM diag) AS max_var,
+         CAST(sum(CAST(round(c_ij * c_ij, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS off_frob2,
+         (SELECT CAST(sum(CAST(round(var_i * var_i, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE) FROM diag) AS diag_frob2,
+         CAST(sum(CAST(round(abs(rho), 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / count(*) AS mean_abs_corr
+  FROM corr
+),
+top AS (
+  SELECT i, j, rho FROM corr
+  ORDER BY abs(rho) DESC, i, j LIMIT 1
+)
+SELECT CAST(s.n AS BIGINT) AS n_vectors,
+       64 AS dims,
+       round(s.trace, 6) AS total_variance,
+       round(s.max_var / s.trace, 6) AS max_dim_var_share,
+       round(s.off_frob2 / (s.off_frob2 + s.diag_frob2), 6)
+         AS offdiag_frob_share,
+       round(s.mean_abs_corr, 6) AS mean_abs_corr_offdiag,
+       t.i AS top_corr_i, t.j AS top_corr_j,
+       round(t.rho, 6) AS top_corr
+FROM summary s CROSS JOIN top t
+"""
+
+
+@register("embedding_isotropy_audit", oracle=_ISOTROPY_ORACLE)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit (Ethayarajh '19 / whitening-for-
+    retrieval posture): exact covariance of the 64-dim embedding
+    cloud, summarized as total variance (trace), the largest single
+    dimension's variance share, the off-diagonal Frobenius share, the
+    mean |correlation| off the diagonal, and the most-correlated
+    dimension pair — anisotropy here predicts degraded cosine
+    retrieval and motivates whitening before the ANN index is built.
+
+    Determinism: every cross-row sum (cross-moments, means, Frobenius
+    masses, |corr| mean) rounds ONCE into DECIMAL before aggregation;
+    covariance/correlation are fixed IEEE chains on those exact sums;
+    the top pair breaks ties by (i, j).
+
+    Plan shape: one scan expands to the 64x64 cross-moment cells
+    (map-side partial aggregate -> 4096-row shuffle), one 64-row mean
+    aggregate, then cell-grid algebra. At 100 TB: a single pass with a
+    4096-cell combine — the covariance never materializes row pairs."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    # (i, j, x_i*x_j) cells via a flattened per-row outer product
+    outer = F.flatten(
+        F.transform(
+            F.col("v"),
+            lambda x, i: F.transform(
+                F.col("v"),
+                lambda y, j: F.struct(
+                    (i + 1).alias("i"),
+                    (j + 1).alias("j"),
+                    F.round(x * y, 12).cast("decimal(28,12)").alias("xy"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        emb.select(F.explode(outer).alias("c"))
+        .select("c.i", "c.j", "c.xy")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("xy").cast("double").alias("s_ij"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mu = (
+        emb.select(F.posexplode("v").alias("pos0", "val"))
+        .select((F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    mi = mu.select(F.col("pos").alias("i"), F.col("m").alias("m_i"))
+    mj = mu.select(F.col("pos").alias("j"), F.col("m").alias("m_j"))
+    cov = (
+        cells.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i", "j", "n",
+            (F.col("s_ij") / F.col("n") - F.col("m_i") * F.col("m_j")).alias("c_ij"),
+        )
+    )
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("c_ij").alias("var_i")
+    )
+    di = diag.select(F.col("d").alias("i"), F.col("var_i").alias("var_a"))
+    dj = diag.select(F.col("d").alias("j"), F.col("var_i").alias("var_b"))
+    corr = (
+        cov.filter(F.col("i") != F.col("j"))
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i", "j", "n", "c_ij",
+            (F.col("c_ij") / F.sqrt(F.col("var_a") * F.col("var_b"))).alias("rho"),
+        )
+    )
+    diag_agg = diag.agg(
+        F.sum(F.round(F.col("var_i"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("trace"),
+        F.max("var_i").alias("max_var"),
+        F.sum(F.round(F.col("var_i") * F.col("var_i"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("diag_frob2"),
+    )
+    summary = corr.agg(
+        F.max("n").alias("n"),
+        F.sum(F.round(F.col("c_ij") * F.col("c_ij"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("off_frob2"),
+        (
+            F.sum(F.round(F.abs(F.col("rho")), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_abs_corr"),
+    )
+    top = (
+        corr.orderBy(F.abs(F.col("rho")).desc(), "i", "j")
+        .limit(1)
+        .select(
+            F.col("i").alias("top_corr_i"),
+            F.col("j").alias("top_corr_j"),
+            F.col("rho").alias("top_rho"),
+        )
+    )
+    return (
+        summary.crossJoin(F.broadcast(diag_agg))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.lit(64).alias("dims"),
+            F.round("trace", 6).alias("total_variance"),
+            F.round(F.col("max_var") / F.col("trace"), 6).alias("max_dim_var_share"),
+            F.round(
+                F.col("off_frob2") / (F.col("off_frob2") + F.col("diag_frob2")), 6
+            ).alias("offdiag_frob_share"),
+            F.round("mean_abs_corr", 6).alias("mean_abs_corr_offdiag"),
+            "top_corr_i",
+            "top_corr_j",
+            F.round("top_rho", 6).alias("top_corr"),
+        )
+    )

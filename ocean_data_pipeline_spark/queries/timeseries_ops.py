@@ -1408,3 +1408,180 @@ def periodogram_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("power_rank"),
     ).orderBy("harmonic")
+
+
+# --- PACF via Durbin–Levinson -------------------------------------------
+
+_PACF_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1
+),
+g AS (  -- see acf_monthly_revenue for the (19,2)/VARCHAR-hop rationale
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS sxx
+  FROM m
+),
+lags AS (SELECT * FROM (VALUES (1),(2),(3)) l(k)),
+p AS (
+  SELECT l.k,
+         count(*) AS npairs,
+         CAST(CAST(sum(CAST(a.x AS DECIMAL(19,2)) * CAST(b.x AS DECIMAL(19,2)))
+                   AS VARCHAR) AS DOUBLE) AS spk,
+         CAST(sum(a.x) AS DOUBLE) AS shead,
+         CAST(sum(b.x) AS DOUBLE) AS stail
+  FROM lags l
+  JOIN m a ON true
+  JOIN m b ON b.t = a.t + l.k
+  GROUP BY l.k
+),
+acfs AS (
+  SELECT p.k,
+         (p.spk - (g.sx / g.n) * p.shead - (g.sx / g.n) * p.stail
+          + p.npairs * (g.sx / g.n) * (g.sx / g.n))
+         / (g.sxx - g.n * (g.sx / g.n) * (g.sx / g.n)) AS acf,
+         g.n AS n
+  FROM p CROSS JOIN g
+),
+wide AS (
+  SELECT max(n) AS n,
+         max(CASE WHEN k = 1 THEN acf END) AS r1,
+         max(CASE WHEN k = 2 THEN acf END) AS r2,
+         max(CASE WHEN k = 3 THEN acf END) AS r3
+  FROM acfs
+),
+dl AS (  -- Durbin-Levinson closed forms for levels 1..3
+  SELECT n, r1, r2, r3,
+         r1 AS phi11,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+  FROM wide
+),
+dl2 AS (
+  SELECT n, r1, r2, r3, phi11, phi22,
+         phi11 - phi22 * phi11 AS phi21
+  FROM dl
+),
+dl3 AS (
+  SELECT n, r1, r2, r3, phi11, phi22,
+         (r3 - phi21 * r2 - phi22 * r1)
+           / (1 - phi21 * r1 - phi22 * r2) AS phi33
+  FROM dl2
+)
+SELECT k AS lag,
+       round(CASE k WHEN 1 THEN r1 WHEN 2 THEN r2 ELSE r3 END, 6) AS acf,
+       round(CASE k WHEN 1 THEN phi11 WHEN 2 THEN phi22 ELSE phi33 END, 6)
+         AS pacf,
+       round(1.96 / sqrt(n), 6) AS conf_band
+FROM dl3 CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+ORDER BY lag
+"""
+
+
+@register("pacf_durbin_levinson", oracle=_PACF_ORACLE)
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of monthly revenue at lags 1-3 via the
+    Durbin-Levinson recursion unrolled to closed forms (phi11 = r1,
+    phi22 = (r2-r1^2)/(1-r1^2), phi33 from the level-2 coefficients) —
+    the AR-order diagnostic beside `acf_monthly_revenue` and
+    `yule_walker_ar2_forecast`, with the +/-1.96/sqrt(n) significance
+    band.
+
+    Determinism: the autocorrelations reuse the ACF query's exact-
+    decimal sum-of-products identity (same INT128/VARCHAR-hop
+    discipline); the DL chain is one fixed IEEE tree per lag over
+    those three doubles.
+
+    Plan shape: facts collapse to ~80 month rows; three self-joins on
+    the month spine; everything after is 1-row algebra. At 100 TB the
+    only corpus-scale work is the first aggregate."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy((F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    x19 = F.col("x").cast("decimal(19,2)")
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(x19 * x19).cast("string").cast("double").alias("sxx"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    a = m.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = m.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    p = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("npairs"),
+            F.sum(F.col("xa").cast("decimal(19,2)") * F.col("xb").cast("decimal(19,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("spk"),
+            F.sum("xa").cast("double").alias("shead"),
+            F.sum("xb").cast("double").alias("stail"),
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    denom = F.col("sxx") - F.col("n") * mu * mu
+    acfs = p.crossJoin(F.broadcast(g)).select(
+        "k",
+        "n",
+        (
+            (
+                F.col("spk")
+                - mu * F.col("shead")
+                - mu * F.col("stail")
+                + F.col("npairs") * mu * mu
+            )
+            / denom
+        ).alias("acf"),
+    )
+    wide = acfs.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("k") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    dl2 = wide.select(
+        "n", "r1", "r2", "r3",
+        phi11.alias("phi11"),
+        phi22.alias("phi22"),
+        (phi11 - phi22 * phi11).alias("phi21"),
+    )
+    phi33 = (r3 - F.col("phi21") * r2 - F.col("phi22") * r1) / (
+        1 - F.col("phi21") * r1 - F.col("phi22") * r2
+    )
+    dl3 = dl2.select("n", "r1", "r2", "r3", "phi11", "phi22", phi33.alias("phi33"))
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    return (
+        dl3.crossJoin(F.broadcast(ks))
+        .select(
+            "lag",
+            F.round(
+                F.when(F.col("lag") == 1, r1)
+                .when(F.col("lag") == 2, r2)
+                .otherwise(r3),
+                6,
+            ).alias("acf"),
+            F.round(
+                F.when(F.col("lag") == 1, F.col("phi11"))
+                .when(F.col("lag") == 2, F.col("phi22"))
+                .otherwise(F.col("phi33")),
+                6,
+            ).alias("pacf"),
+            F.round(F.lit(1.96) / F.sqrt(F.col("n")), 6).alias("conf_band"),
+        )
+        .orderBy("lag")
+    )

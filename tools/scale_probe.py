@@ -817,6 +817,176 @@ def main() -> None:
 
         return build
 
+    # wave 16-19 probes: contamination gram join (gram contraction
+    # absorbs copies — grams repeat verbatim across replicas), int8
+    # quantization (posexplode + 64-cell agg + scan-bound dequant),
+    # fixed-probe retrieval panel (panel size is constant, so 10x
+    # corpus = 10x scored rows, one scan), zone-map audit (two global
+    # sort windows — the deliberately sort-bound probe), periodogram
+    # (month contraction absorbs nearly everything).
+    def contamination_probe(d):
+        def build():
+            is_test = (
+                F.conv(
+                    F.substring(
+                        F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                        1, 6,
+                    ), 16, 10,
+                ).cast("bigint") % 100 < 10
+            )
+            grams = d.select(
+                "doc_id",
+                is_test.alias("is_test"),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+                            lambda i: F.substring(F.col("text"), i, F.lit(8)),
+                        )
+                    )
+                ).alias("gram"),
+            )
+            train = grams.filter(~F.col("is_test")).select("gram").distinct()
+            return (
+                grams.filter(F.col("is_test"))
+                .join(train, "gram")
+                .groupBy()
+                .agg(F.countDistinct("doc_id"))
+            )
+
+        return build
+
+    def quant_probe(e):
+        def build():
+            from ocean_data_pipeline_spark.operators.similarity import dot
+
+            v = F.col("embedding").cast("array<double>")
+            base = e.select("vec_id", "label", v.alias("v"))
+            dims = (
+                base.select(F.posexplode("v").alias("pos", "val"))
+                .groupBy("pos")
+                .agg(F.max(F.abs(F.col("val"))).alias("scale"))
+            )
+            scales = dims.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "scale"))),
+                    lambda s: s["scale"],
+                ).alias("s")
+            )
+            deq = base.crossJoin(F.broadcast(scales)).select(
+                "label",
+                "v",
+                F.zip_with(
+                    "v", "s",
+                    lambda x, s: F.when(s == 0, F.lit(0.0)).otherwise(
+                        F.round(x * 127.0 / s) * s / 127.0
+                    ),
+                ).alias("d"),
+            )
+            diff = F.zip_with("v", "d", lambda x, y: x - y)
+            return deq.groupBy("label").agg(F.avg(dot(diff, diff)))
+
+        return build
+
+    def retrieval_panel_probe(e):
+        def build():
+            from pyspark.sql import Window as W
+
+            from ocean_data_pipeline_spark.operators.similarity import dot
+
+            v = F.col("embedding").cast("array<double>")
+            base = e.select("vec_id", "label", v.alias("v"))
+            probes = base.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("pid"),
+                F.col("label").alias("pl"),
+                F.col("v").alias("pv"),
+            )
+            cos = dot(F.col("pv"), F.col("v")) / (
+                F.sqrt(dot(F.col("pv"), F.col("pv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+            )
+            ranked = (
+                F.broadcast(probes)
+                .join(base, F.col("vec_id") != F.col("pid"))
+                .select("pid", "pl", "label", cos.alias("sim"))
+                .withColumn(
+                    "rnk",
+                    F.row_number().over(
+                        W.partitionBy("pid").orderBy(F.col("sim").desc())
+                    ),
+                )
+                .filter(F.col("rnk") <= 10)
+            )
+            return ranked.groupBy("pl").agg(
+                F.avg(F.when(F.col("label") == F.col("pl"), 1.0).otherwise(0.0))
+            )
+
+        return build
+
+    def zonemap_probe(o):
+        def build():
+            from pyspark.sql import Window as W
+
+            lo = F.lit("1995-01-01").cast("date")
+            hi = F.lit("1995-04-01").cast("date")
+            ins = o.select(
+                F.lit("ins").alias("layout"),
+                F.ntile(32).over(W.orderBy("o_orderkey")).alias("fid"),
+                "o_orderdate",
+            )
+            clu = o.select(
+                F.lit("clu").alias("layout"),
+                F.ntile(32).over(W.orderBy("o_orderdate", "o_orderkey")).alias("fid"),
+                "o_orderdate",
+            )
+            zones = (
+                ins.unionByName(clu)
+                .groupBy("layout", "fid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("o_orderdate").alias("dmin"),
+                    F.max("o_orderdate").alias("dmax"),
+                )
+            )
+            ov = (F.col("dmax") >= lo) & (F.col("dmin") < hi)
+            return zones.groupBy("layout").agg(
+                F.sum(F.when(ov, F.col("n")).otherwise(0))
+            )
+
+        return build
+
+    def periodogram_probe(o):
+        def build():
+            import math
+
+            from pyspark.sql import Window as W
+
+            m = (
+                o.groupBy(
+                    (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
+                )
+                .agg(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("rev")
+                )
+            )
+            t = m.select(
+                "rev",
+                F.row_number().over(W.orderBy("idx")).alias("t"),
+                F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+                F.avg("rev").over(W.partitionBy()).alias("mu"),
+            )
+            freqs = t.sparkSession.range(1, 13).select(F.col("id").alias("k"))
+            ang = 2 * F.lit(math.pi) * F.col("k") * F.col("t") / F.col("n")
+            return (
+                t.crossJoin(F.broadcast(freqs))
+                .select("k", ((F.col("rev") - F.col("mu")) * F.cos(ang)).alias("c"))
+                .groupBy("k")
+                .agg(F.sum("c"))
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -913,6 +1083,21 @@ def main() -> None:
         "simhash_band_join(documents)": (
             simhash_band_probe(docs1),
             simhash_band_probe(docs10),
+        ),
+        # wave 16-19
+        "contamination_grams(documents)": (
+            contamination_probe(docs1),
+            contamination_probe(docs10),
+        ),
+        "int8_quant(embeddings)": (quant_probe(emb1), quant_probe(emb10)),
+        "retrieval_panel(embeddings)": (
+            retrieval_panel_probe(emb1),
+            retrieval_panel_probe(emb10),
+        ),
+        "zonemap_audit(orders)": (zonemap_probe(ord1), zonemap_probe(ord10)),
+        "periodogram_terms(orders)": (
+            periodogram_probe(ord1),
+            periodogram_probe(ord10),
         ),
     }
 

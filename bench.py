@@ -243,6 +243,23 @@ HEADLINE = [
     "diff_in_diff_estimator",
     "chao1_vocab_richness",
     "stream_hll_registers",
+    # waves 16-20: corpus eval (contamination, embedding compression,
+    # retrieval metrics), stats (KW/BH-FDR/Theil-Sen/Holt/PACF),
+    # training-loader audits, MMR, spectrum, layout pruning, isotropy
+    "contamination_ngram_census",
+    "matryoshka_prefix_quality",
+    "embedding_int8_quant_error",
+    "retrieval_metrics_eval",
+    "kruskal_wallis_event_values",
+    "bh_fdr_segment_tests",
+    "holt_linear_smoothing",
+    "length_bucketing_efficiency",
+    "epoch_shuffle_balance",
+    "mmr_diversified_topk",
+    "periodogram_monthly",
+    "zonemap_pruning_audit",
+    "embedding_isotropy_audit",
+    "pacf_durbin_levinson",
 ]
 
 

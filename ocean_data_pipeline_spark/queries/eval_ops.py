@@ -775,3 +775,101 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("top_rho", 6).alias("top_corr"),
         )
     )
+
+
+# --- reciprocal nearest-neighbor pairs ------------------------------------
+
+_RNN_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+top1 AS (
+  SELECT vec_id, nb, sim FROM (
+    SELECT a.vec_id, b.vec_id AS nb,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS sim,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) DESC,
+                      b.vec_id) AS rnk
+    FROM corpus a JOIN corpus b ON b.vec_id != a.vec_id
+  ) WHERE rnk = 1
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, x.nb AS id_b, x.sim
+  FROM top1 x JOIN top1 y ON y.vec_id = x.nb AND y.nb = x.vec_id
+  WHERE x.vec_id < x.nb
+),
+lbl AS (
+  SELECT p.id_a, p.id_b, p.sim,
+         CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same_label
+  FROM pairs p
+  JOIN corpus la ON la.vec_id = p.id_a
+  JOIN corpus lb ON lb.vec_id = p.id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim, same_label
+FROM lbl ORDER BY id_a
+"""
+
+
+@register("reciprocal_nn_pairs", oracle=_RNN_ORACLE)
+def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: (a, b) where b is a's cosine
+    top-1 AND a is b's — the high-precision mutual-match rule used for
+    bitext mining and conservative near-dup confirmation (a one-sided
+    top-1 is noisy; a mutual one rarely is). Emits each pair once with
+    its similarity and a same-label flag (the label acting as ground
+    truth for the precision claim).
+
+    Determinism: top-1 per node ranks the shared sequential-fold
+    cosine with a vec_id tie-break; the mutual join and label flags
+    are exact.
+
+    Plan shape: one all-pairs scored scan (n^2 bounded — the honest
+    exact formulation at eval scale; at 100 TB the same mutual-match
+    rule runs over ANN candidate lists from `sim_topk_ivf`), one rank
+    window, one self-join on the two top-1 relations, two broadcast
+    label joins."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    top1 = (
+        a.join(b, F.col("ib") != F.col("ia"))
+        .select("ia", "ib", cos.alias("sim"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("ia").orderBy(F.col("sim").desc(), F.col("ib"))
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("ia", "ib", "sim")
+    )
+    x = top1.select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim"
+    )
+    y = top1.select(F.col("ia").alias("y_a"), F.col("ib").alias("y_b"))
+    pairs = x.join(
+        y, (F.col("y_a") == F.col("id_b")) & (F.col("y_b") == F.col("id_a"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    la = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("l_a"))
+    lb = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("l_b"))
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("sim", 6).alias("cosine_sim"),
+            F.when(F.col("l_a") == F.col("l_b"), 1).otherwise(0).alias("same_label"),
+        )
+        .orderBy("id_a")
+    )

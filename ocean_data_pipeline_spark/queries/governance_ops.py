@@ -523,3 +523,136 @@ def dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "epsilon")
     )
+
+
+# --- functional-dependency violation census --------------------------------
+
+_FD_ORACLE = """
+WITH fd1 AS (  -- customer: name -> nationkey (names are key-like: holds)
+  SELECT 'customer: name -> nationkey' AS fd,
+         c_name AS det, CAST(c_nationkey AS VARCHAR) AS dep
+  FROM customer
+),
+fd2 AS (  -- lineitem: orderkey -> returnflag (lines of one order differ)
+  SELECT 'lineitem: orderkey -> returnflag' AS fd,
+         CAST(l_orderkey AS VARCHAR) AS det, l_returnflag AS dep
+  FROM lineitem
+),
+fd3 AS (  -- orders: custkey -> orderpriority (false: customers vary)
+  SELECT 'orders: custkey -> orderpriority' AS fd,
+         CAST(o_custkey AS VARCHAR) AS det, o_orderpriority AS dep
+  FROM orders
+),
+fd4 AS (  -- nation: name -> regionkey (holds: names unique)
+  SELECT 'nation: name -> regionkey' AS fd,
+         n_name AS det, CAST(n_regionkey AS VARCHAR) AS dep
+  FROM nation
+),
+all_fds AS (
+  SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+  UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+),
+cells AS (
+  SELECT fd, det, dep, count(*) AS cnt FROM all_fds GROUP BY fd, det, dep
+),
+groups AS (
+  SELECT fd, det, sum(cnt) AS n, count(*) AS n_dep, max(cnt) AS maj
+  FROM cells GROUP BY fd, det
+)
+SELECT fd,
+       count(*) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(n - maj) AS BIGINT) AS min_repair_rows,
+       round(1.0 - CAST(sum(n - maj) AS DOUBLE) / sum(n), 6) AS fd_support
+FROM groups GROUP BY fd ORDER BY fd
+"""
+
+
+@register("fd_violation_census", oracle=_FD_ORACLE)
+def fd_violation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over four declared candidate FDs
+    (two that hold — key-like names determine their row's attributes —
+    and two deliberately violated): per FD, the determinant-group
+    count, groups violating X -> Y (more than one distinct Y), the
+    MINIMUM repair size (rows outside each group's majority value —
+    the Holoclean-style repair cost), and the resulting FD support.
+    This is the dependency-profiling sibling of
+    `candidate_key_profile` / `dq_constraint_census`: keys are the
+    FD's degenerate case.
+
+    Determinism: pure integer counting end to end; the one double is
+    the display support ratio.
+
+    Plan shape: each FD is one (det, dep) cell census — map-side
+    combining shuffles on value-domain-bounded cells — then a per-det
+    rollup and a 4-row report. At 100 TB: four independent
+    partial-agg scans, no joins, nothing row-scale past the first
+    aggregate."""
+    def fd(name, df, det, dep):
+        return df.select(
+            F.lit(name).alias("fd"),
+            det.alias("det"),
+            dep.cast("string").alias("dep"),
+        )
+
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    nat = table(spark, sf_dir, "nation")
+    all_fds = (
+        fd(
+            "customer: name -> nationkey",
+            cust,
+            F.col("c_name"),
+            F.col("c_nationkey"),
+        )
+        .unionByName(
+            fd(
+                "lineitem: orderkey -> returnflag",
+                li,
+                F.col("l_orderkey").cast("string"),
+                F.col("l_returnflag"),
+            )
+        )
+        .unionByName(
+            fd(
+                "orders: custkey -> orderpriority",
+                orders,
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+        .unionByName(
+            fd(
+                "nation: name -> regionkey",
+                nat,
+                F.col("n_name"),
+                F.col("n_regionkey"),
+            )
+        )
+    )
+    cells = all_fds.groupBy("fd", "det", "dep").agg(F.count(F.lit(1)).alias("cnt"))
+    groups = cells.groupBy("fd", "det").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_dep"),
+        F.max("cnt").alias("maj"),
+    )
+    return (
+        groups.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.col("n") - F.col("maj")).cast("bigint").alias("min_repair_rows"),
+            F.round(
+                1.0
+                - F.sum(F.col("n") - F.col("maj")).cast("double") / F.sum("n"),
+                6,
+            ).alias("fd_support"),
+        )
+        .orderBy("fd")
+    )

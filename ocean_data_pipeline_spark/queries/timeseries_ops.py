@@ -1585,3 +1585,125 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --- rolling-origin forecast backtest ------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT rev, row_number() OVER (ORDER BY idx) AS t,
+         count(*) OVER () AS n,
+         lag(rev, 1) OVER (ORDER BY idx) AS y_1,
+         lag(rev, 12) OVER (ORDER BY idx) AS y_12,
+         first_value(rev) OVER (ORDER BY idx) AS y_first
+  FROM m
+),
+origins AS (  -- last 12 months, each forecast from info strictly before t
+  SELECT t, rev,
+         y_1 AS f_naive,
+         y_12 AS f_seasonal,
+         y_1 + (y_1 - y_first) / (t - 2.0) AS f_drift
+  FROM s
+  WHERE t > n - 12 AND y_12 IS NOT NULL AND t > 2
+),
+long AS (
+  SELECT method, rev, f FROM origins
+  UNPIVOT (f FOR method IN (f_naive AS 'naive', f_seasonal AS 'seasonal_naive',
+                            f_drift AS 'drift'))
+),
+err AS (
+  SELECT method,
+         CAST(round(abs(rev - f) / abs(rev), 12) AS DECIMAL(28,12)) AS ape,
+         CAST(round((rev - f) * (rev - f), 4) AS DECIMAL(38,4)) AS se
+  FROM long
+)
+SELECT method,
+       count(*) AS n_origins,
+       round(CAST(sum(ape) AS DOUBLE) / count(*) * 100, 4) AS mape_pct,
+       round(sqrt(CAST(sum(se) AS DOUBLE) / count(*)), 2) AS rmse
+FROM err GROUP BY method ORDER BY method
+"""
+
+
+@register("forecast_backtest_mape", oracle=_BACKTEST_ORACLE)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest over the last 12 months of the
+    monthly-revenue series: MAPE and RMSE for the three closed-form
+    baselines every forecasting workflow must beat — naive (y_{t-1}),
+    seasonal naive (y_{t-12}), and drift (y_{t-1} + average historical
+    increment). Each origin's forecast uses only information strictly
+    before t (lag windows), so the backtest is leakage-free by
+    construction — the evaluation harness that grades
+    `holt_linear_smoothing` / `yule_walker_ar2_forecast` outputs.
+
+    Determinism: monthly revenues are exact DECIMAL partials; each
+    origin's APE / squared error rounds ONCE into DECIMAL before the
+    per-method mean; forecasts are fixed IEEE chains on lag values.
+
+    Plan shape: facts collapse to ~80 month rows; three lag windows
+    over ONE sort; a 3-method expand of 12 origin rows; one 3-row
+    aggregate. At 100 TB only the first aggregate sees data."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy((F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("idx")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = m.select(
+        "rev",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.lag("rev", 1).over(w).alias("y_1"),
+        F.lag("rev", 12).over(w).alias("y_12"),
+        F.first("rev").over(w_run).alias("y_first"),
+    )
+    origins = s.filter(
+        (F.col("t") > F.col("n") - 12) & F.col("y_12").isNotNull() & (F.col("t") > 2)
+    ).select(
+        "t",
+        "rev",
+        F.col("y_1").alias("f_naive"),
+        F.col("y_12").alias("f_seasonal"),
+        (F.col("y_1") + (F.col("y_1") - F.col("y_first")) / (F.col("t") - 2.0)).alias(
+            "f_drift"
+        ),
+    )
+    long = origins.selectExpr(
+        "rev",
+        "stack(3, 'naive', f_naive, 'seasonal_naive', f_seasonal, "
+        "'drift', f_drift) AS (method, f)",
+    )
+    err = long.select(
+        "method",
+        F.round(F.abs(F.col("rev") - F.col("f")) / F.abs(F.col("rev")), 12)
+        .cast("decimal(28,12)")
+        .alias("ape"),
+        F.round((F.col("rev") - F.col("f")) * (F.col("rev") - F.col("f")), 4)
+        .cast("decimal(38,4)")
+        .alias("se"),
+    )
+    return (
+        err.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_origins"),
+            F.round(F.sum("ape").cast("double") / F.count(F.lit(1)) * 100, 4).alias(
+                "mape_pct"
+            ),
+            F.round(F.sqrt(F.sum("se").cast("double") / F.count(F.lit(1))), 2).alias(
+                "rmse"
+            ),
+        )
+        .orderBy("method")
+    )

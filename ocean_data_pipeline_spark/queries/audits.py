@@ -1992,3 +1992,162 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_value", 9).alias("bh_q_value"),
         F.when(F.col("q_value") < 0.1, 1).otherwise(0).alias("reject_fdr10"),
     ).orderBy("segment")
+
+
+# --- Poisson GLM via unrolled IRLS --------------------------------------
+
+_IRLS_ROUNDS = 4
+
+
+def _poisson_oracle() -> str:
+    """Unrolled IRLS: one MATERIALIZED CTE pair per round (the
+    `ipf_survey_raking` discipline — default CTE inlining goes
+    exponential on chained self-references). Per-row weighted terms
+    round ONCE into DECIMAL(38,9) so the normal-equation sums are
+    exactly associative; the 2x2 solve is a fixed IEEE chain."""
+    head = """
+WITH base AS MATERIALIZED (
+  SELECT c.c_custkey,
+         CAST(coalesce(o.y, 0) AS DOUBLE) AS y,
+         CAST(c.c_acctbal AS DOUBLE) / 10000 AS x
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS y FROM orders GROUP BY 1) o
+    ON o.o_custkey = c.c_custkey
+),
+b0r AS MATERIALIZED (
+  SELECT ln(CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+            / count(*)) AS b0,
+         CAST(0.0 AS DOUBLE) AS b1
+  FROM base
+)"""
+    rounds = []
+    prev = "b0r"
+    for r in range(1, _IRLS_ROUNDS + 1):
+        rounds.append(f""",
+s{r} AS MATERIALIZED (
+  SELECT sum(CAST(round(mu, 9) AS DECIMAL(38,9))) AS sw,
+         sum(CAST(round(mu * x, 9) AS DECIMAL(38,9))) AS swx,
+         sum(CAST(round(mu * x * x, 9) AS DECIMAL(38,9))) AS swxx,
+         sum(CAST(round(mu * z, 9) AS DECIMAL(38,9))) AS swz,
+         sum(CAST(round(mu * x * z, 9) AS DECIMAL(38,9))) AS swxz
+  FROM (
+    SELECT x, exp(p.b0 + p.b1 * x) AS mu,
+           (p.b0 + p.b1 * x) + (y - exp(p.b0 + p.b1 * x))
+             / exp(p.b0 + p.b1 * x) AS z
+    FROM base, {prev} p
+  )
+),
+b{r} AS MATERIALIZED (
+  SELECT (CAST(swxx AS DOUBLE) * CAST(swz AS DOUBLE)
+          - CAST(swx AS DOUBLE) * CAST(swxz AS DOUBLE))
+         / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b0,
+         (CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+          - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE))
+         / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b1
+  FROM s{r}
+)""")
+        prev = f"b{r}"
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+SELECT (SELECT count(*) FROM base) AS n_customers,
+       round(p.b0, 6) AS intercept,
+       round(p.b1, 6) AS slope_per_10k,
+       round(exp(p.b1), 6) AS rate_ratio_per_10k,
+       round((SELECT 2 * CAST(sum(CAST(round(
+                CASE WHEN y > 0 THEN y * ln(y / exp(p.b0 + p.b1 * x)) ELSE 0 END
+                - (y - exp(p.b0 + p.b1 * x)), 9) AS DECIMAL(38,9))) AS DOUBLE)
+              FROM base), 4) AS deviance
+FROM {prev} p"""
+    )
+
+
+@register("poisson_glm_irls", oracle=_poisson_oracle())
+def poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression of per-customer order counts on account
+    balance (log link), fit by {rounds} unrolled IRLS rounds — the GLM
+    the OLS family (`ols_price_regression`) can't express for count
+    outcomes. Each round is ONE aggregate over the per-customer
+    relation (weighted normal-equation sums, rounded once into
+    DECIMAL(38,9)) followed by a 1-row 2x2 solve; zero-order customers
+    enter via the LEFT JOIN with y=0, exactly as the likelihood
+    requires. Reports the fitted coefficients, the rate ratio per 10k
+    balance, and the model deviance.
+
+    Determinism: b0 seeds at ln(mean y) from an exact decimal sum;
+    each round's per-row exp/z chains run on identical doubles because
+    the previous round's coefficients come from exactly-associative
+    decimal sums — the engines stay in lockstep round by round.
+
+    Plan shape: orders collapse to per-customer counts once
+    (localCheckpointed base, consumed by {rounds}+2 subtrees), then
+    {rounds} scans of the customer-sized relation each ending in a
+    5-cell aggregate broadcast back as scalars. At 100 TB: IRLS cost
+    is {rounds} x (scan + tiny shuffle) — the aggregate-only GLM."""
+    y_counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("y0"))
+    )
+    base = (
+        table(spark, sf_dir, "customer")
+        .join(y_counts, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            F.coalesce(F.col("y0"), F.lit(0)).cast("double").alias("y"),
+            (F.col("c_acctbal").cast("double") / 10000).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    coeffs = base.agg(
+        F.log(F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    for _ in range(_IRLS_ROUNDS):
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = F.exp(eta)
+        z = eta + (F.col("y") - mu) / mu
+        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+            F.sum(dec(mu)).cast("double").alias("sw"),
+            F.sum(dec(mu * F.col("x"))).cast("double").alias("swx"),
+            F.sum(dec(mu * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
+            F.sum(dec(mu * z)).cast("double").alias("swz"),
+            F.sum(dec(mu * F.col("x") * z)).cast("double").alias("swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        coeffs = sums.select(
+            ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
+                "b0"
+            ),
+            ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
+                "b1"
+            ),
+        )
+    n_row = base.agg(F.count(F.lit(1)).alias("n_customers"))
+    eta_f = F.col("b0") + F.col("b1") * F.col("x")
+    mu_f = F.exp(eta_f)
+    dev_term = (
+        F.when(F.col("y") > 0, F.col("y") * F.log(F.col("y") / mu_f)).otherwise(0.0)
+        - (F.col("y") - mu_f)
+    )
+    dev = (
+        base.crossJoin(F.broadcast(coeffs))
+        .agg((2 * F.sum(dec(dev_term)).cast("double")).alias("dev"))
+    )
+    return (
+        coeffs.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(dev))
+        .select(
+            "n_customers",
+            F.round("b0", 6).alias("intercept"),
+            F.round("b1", 6).alias("slope_per_10k"),
+            F.round(F.exp(F.col("b1")), 6).alias("rate_ratio_per_10k"),
+            F.round("dev", 4).alias("deviance"),
+        )
+    )
+
+
+poisson_glm_irls.__doc__ = poisson_glm_irls.__doc__.format(rounds=_IRLS_ROUNDS)

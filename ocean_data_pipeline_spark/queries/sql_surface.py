@@ -559,3 +559,33 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort plan as an explicit column list."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GROUP_ALL)
+
+
+# LATERAL correlated subquery — per-region top-2 nations by customer
+# count, the "top-N per group without a window function" idiom. One
+# verbatim string through both parsers: Spark lowers the LATERAL to a
+# correlated join it decorrelates; DuckDB executes it natively. The
+# inner ORDER BY ties off on n_name so top-2 is deterministic.
+_SQL_LATERAL = """
+SELECT r.r_name AS region_name, t.nation_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name AS nation_name, count(*) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+ORDER BY region_name, n_customers DESC, nation_name
+"""
+
+
+@register("sql_lateral_topn_per_region", oracle=_SQL_LATERAL)
+def sql_lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL top-N-per-group through the SQL parser (16th verbatim
+    string): Catalyst decorrelates the LATERAL into a ranked join —
+    at scale the same physical shape as the window formulation
+    (`latest_order_per_customer`), reached from ANSI text."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)

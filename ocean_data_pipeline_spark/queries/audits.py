@@ -2151,3 +2151,282 @@ def poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 poisson_glm_irls.__doc__ = poisson_glm_irls.__doc__.format(rounds=_IRLS_ROUNDS)
+
+
+# --- logistic GLM via unrolled IRLS --------------------------------------
+
+
+def _logistic_oracle() -> str:
+    """Unrolled logit-link IRLS, same MATERIALIZED-CTE and
+    round-once-into-DECIMAL discipline as `poisson_glm_irls` (w =
+    mu(1-mu), z = eta + (y-mu)/w)."""
+    head = """
+WITH base AS MATERIALIZED (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(o_totalprice AS DOUBLE) / 100000 AS x
+  FROM orders
+),
+b0r AS MATERIALIZED (
+  SELECT ln((CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*))
+            / (1 - CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / count(*))) AS b0,
+         CAST(0.0 AS DOUBLE) AS b1
+  FROM base
+)"""
+    rounds = []
+    prev = "b0r"
+    for r in range(1, _IRLS_ROUNDS + 1):
+        rounds.append(f""",
+s{r} AS MATERIALIZED (
+  SELECT sum(CAST(round(w, 9) AS DECIMAL(38,9))) AS sw,
+         sum(CAST(round(w * x, 9) AS DECIMAL(38,9))) AS swx,
+         sum(CAST(round(w * x * x, 9) AS DECIMAL(38,9))) AS swxx,
+         sum(CAST(round(w * z, 9) AS DECIMAL(38,9))) AS swz,
+         sum(CAST(round(w * x * z, 9) AS DECIMAL(38,9))) AS swxz
+  FROM (
+    SELECT x, mu * (1 - mu) AS w,
+           eta + (y - mu) / (mu * (1 - mu)) AS z
+    FROM (
+      SELECT x, y, p.b0 + p.b1 * x AS eta,
+             1 / (1 + exp(-(p.b0 + p.b1 * x))) AS mu
+      FROM base, {prev} p
+    )
+  )
+),
+b{r} AS MATERIALIZED (
+  SELECT (CAST(swxx AS DOUBLE) * CAST(swz AS DOUBLE)
+          - CAST(swx AS DOUBLE) * CAST(swxz AS DOUBLE))
+         / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b0,
+         (CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+          - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE))
+         / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b1
+  FROM s{r}
+)""")
+        prev = f"b{r}"
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+SELECT (SELECT count(*) FROM base) AS n_orders,
+       round(p.b0, 6) AS intercept,
+       round(p.b1, 6) AS slope_per_100k,
+       round(exp(p.b1), 6) AS odds_ratio_per_100k,
+       round((SELECT -CAST(sum(CAST(round(
+                y * ln(1 / (1 + exp(-(p.b0 + p.b1 * x))))
+                + (1 - y) * ln(1 - 1 / (1 + exp(-(p.b0 + p.b1 * x)))), 9)
+              AS DECIMAL(38,9))) AS DOUBLE) / count(*) FROM base), 6)
+         AS mean_log_loss
+FROM {prev} p"""
+    )
+
+
+@register("logistic_glm_irls", oracle=_logistic_oracle())
+def logistic_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of order completion (status = 'F') on total
+    price, fit by {rounds} unrolled IRLS rounds — the logit-link
+    sibling of `poisson_glm_irls` completing the GLM pair (OLS /
+    Poisson / logistic) as aggregate-only passes. Reports
+    coefficients, the odds ratio per 100k price, and mean log-loss.
+
+    Determinism: b0 seeds at the exact-decimal log-odds of the base
+    rate; per-round weighted sums (w = mu(1-mu)) round once into
+    DECIMAL(38,9); sigmoid chains run on identical doubles both
+    engines.
+
+    Plan shape: one scan to the (y, x) projection (localCheckpointed),
+    then {rounds} scans each ending in a 5-cell aggregate — IRLS as
+    map-reduce, nothing row-scale retained between rounds."""
+    base = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+            (F.col("o_totalprice").cast("double") / 100000).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    p_base = F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))
+    coeffs = base.agg(
+        F.log(p_base / (1 - p_base)).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_IRLS_ROUNDS):
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = 1 / (1 + F.exp(-eta))
+        w = mu * (1 - mu)
+        z = eta + (F.col("y") - mu) / w
+        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+            F.sum(dec(w)).cast("double").alias("sw"),
+            F.sum(dec(w * F.col("x"))).cast("double").alias("swx"),
+            F.sum(dec(w * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
+            F.sum(dec(w * z)).cast("double").alias("swz"),
+            F.sum(dec(w * F.col("x") * z)).cast("double").alias("swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        coeffs = sums.select(
+            ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
+                "b0"
+            ),
+            ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
+                "b1"
+            ),
+        )
+    n_row = base.agg(F.count(F.lit(1)).alias("n_orders"))
+    eta_f = F.col("b0") + F.col("b1") * F.col("x")
+    mu_f = 1 / (1 + F.exp(-eta_f))
+    ll_term = F.col("y") * F.log(mu_f) + (1 - F.col("y")) * F.log(1 - mu_f)
+    ll = base.crossJoin(F.broadcast(coeffs)).agg(
+        (-F.sum(dec(ll_term)).cast("double") / F.count(F.lit(1))).alias("mll")
+    )
+    return (
+        coeffs.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(ll))
+        .select(
+            "n_orders",
+            F.round("b0", 6).alias("intercept"),
+            F.round("b1", 6).alias("slope_per_100k"),
+            F.round(F.exp(F.col("b1")), 6).alias("odds_ratio_per_100k"),
+            F.round("mll", 6).alias("mean_log_loss"),
+        )
+    )
+
+
+logistic_glm_irls.__doc__ = logistic_glm_irls.__doc__.format(rounds=_IRLS_ROUNDS)
+
+
+# --- empirical-Bayes shrinkage of segment means ----------------------------
+
+_EB_ORACLE = """
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(19,2))
+                       * CAST(c_acctbal AS DECIMAL(19,2))) AS VARCHAR)
+              AS DOUBLE) AS s2
+  FROM customer GROUP BY 1
+),
+stats AS (
+  SELECT segment, n, s1 / n AS xbar,
+         (s2 - s1 * s1 / n) / (n - 1) AS s2w
+  FROM seg
+),
+grand AS (
+  SELECT CAST(sum(CAST(round(xbar, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           / count(*) AS gmean,
+         CAST(sum(CAST(round(xbar * xbar, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           AS sxb2,
+         count(*) AS k,
+         CAST(sum(CAST(round(s2w / n, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           / count(*) AS mean_se2
+  FROM stats
+),
+tau AS (
+  SELECT gmean, k, mean_se2,
+         greatest((sxb2 - k * gmean * gmean) / (k - 1) - mean_se2, 0.0)
+           AS tau2
+  FROM grand
+)
+SELECT s.segment,
+       CAST(s.n AS BIGINT) AS n_customers,
+       round(s.xbar, 4) AS raw_mean,
+       round(CASE WHEN t.tau2 + s.s2w / s.n = 0 THEN 1.0
+                  ELSE (s.s2w / s.n) / (t.tau2 + s.s2w / s.n) END, 6)
+         AS shrink_factor,
+       round(CASE WHEN t.tau2 + s.s2w / s.n = 0 THEN t.gmean
+                  ELSE (s.s2w / s.n) / (t.tau2 + s.s2w / s.n) * t.gmean
+                       + (1 - (s.s2w / s.n) / (t.tau2 + s.s2w / s.n)) * s.xbar
+             END, 4) AS eb_mean,
+       round(t.gmean, 4) AS grand_mean
+FROM stats s CROSS JOIN tau t
+ORDER BY s.segment
+"""
+
+
+@register("eb_shrinkage_segments", oracle=_EB_ORACLE)
+def eb_shrinkage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-segment
+    mean balances toward the grand mean: B_j = (s²_j/n_j) /
+    (tau² + s²_j/n_j) with tau² from the method of moments
+    (between-segment variance minus average squared standard error,
+    floored at 0) — the partial-pooling estimator every per-slice
+    dashboard should use before ranking small slices.
+
+    Determinism: per-segment moments are exact decimal sums (int128
+    products, VARCHAR-hop casts — the `skew_kurtosis_exact`
+    discipline); cross-segment reductions round once into DECIMAL;
+    the shrinkage algebra is a fixed chain per row.
+
+    Plan shape: one grouped aggregate to k segment rows, two 1-row
+    reductions, a broadcast cross join. Only the first aggregate sees
+    data."""
+    c19 = F.col("c_acctbal").cast("decimal(19,2)")
+    seg = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum(c19 * c19).cast("string").cast("double").alias("s2"),
+        )
+    )
+    stats = seg.select(
+        "segment",
+        "n",
+        (F.col("s1") / F.col("n")).alias("xbar"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "s2w"
+        ),
+    )
+    grand = stats.agg(
+        (
+            F.sum(F.round(F.col("xbar"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gmean"),
+        F.sum(F.round(F.col("xbar") * F.col("xbar"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxb2"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum(F.round(F.col("s2w") / F.col("n"), 9).cast("decimal(38,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_se2"),
+    )
+    tau = grand.select(
+        "gmean",
+        "k",
+        "mean_se2",
+        F.greatest(
+            (F.col("sxb2") - F.col("k") * F.col("gmean") * F.col("gmean"))
+            / (F.col("k") - 1)
+            - F.col("mean_se2"),
+            F.lit(0.0),
+        ).alias("tau2"),
+    )
+    se2 = F.col("s2w") / F.col("n")
+    b = se2 / (F.col("tau2") + se2)
+    return (
+        stats.crossJoin(F.broadcast(tau))
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round("xbar", 4).alias("raw_mean"),
+            F.round(
+                F.when(F.col("tau2") + se2 == 0, F.lit(1.0)).otherwise(b), 6
+            ).alias("shrink_factor"),
+            F.round(
+                F.when(F.col("tau2") + se2 == 0, F.col("gmean")).otherwise(
+                    b * F.col("gmean") + (1 - b) * F.col("xbar")
+                ),
+                4,
+            ).alias("eb_mean"),
+            F.round("gmean", 4).alias("grand_mean"),
+        )
+        .orderBy("segment")
+    )

@@ -2030,3 +2030,109 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), "token")
         .limit(20)
     )
+
+
+# --- Zipf rank-frequency slope --------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+census AS (
+  SELECT token, count(*) AS freq FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM census
+),
+top AS (SELECT * FROM ranked WHERE rank <= 1000),
+terms AS (
+  SELECT CAST(round(ln(rank), 9) AS DECIMAL(38,9)) AS lx,
+         CAST(round(ln(freq), 9) AS DECIMAL(38,9)) AS ly,
+         CAST(round(ln(rank) * ln(rank), 9) AS DECIMAL(38,9)) AS lxx,
+         CAST(round(ln(rank) * ln(freq), 9) AS DECIMAL(38,9)) AS lxy,
+         CAST(round(ln(freq) * ln(freq), 9) AS DECIMAL(38,9)) AS lyy
+  FROM top
+),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+         CAST(sum(lxx) AS DOUBLE) AS sxx, CAST(sum(lxy) AS DOUBLE) AS sxy,
+         CAST(sum(lyy) AS DOUBLE) AS syy
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS log_intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM sums
+"""
+
+
+@register("zipf_slope_fit", oracle=_ZIPF_ORACLE)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token census: OLS of ln(freq) on
+    ln(rank) for the top-1000 ranks — slope near -1 is the natural-
+    language signature; a flat or broken slope flags synthetic or
+    template-heavy corpora. The frequency-side companion of
+    `heaps_law_fit` (vocabulary growth) and `token_burstiness`.
+
+    Determinism: the census is exact; ranks come from a total
+    (freq desc, token) order; each log term rounds ONCE into
+    DECIMAL(38,9) so the regression sums are associative; the OLS
+    chain is one fixed IEEE tree.
+
+    Plan shape: one explode scan -> token census shuffle -> top-1000
+    rank window -> 1-row regression sums. Census-bounded after the
+    scan at any corpus size."""
+    from ocean_data_pipeline_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    census = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = census.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "token"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 1000)
+    lx, ly = F.log(F.col("rank")), F.log(F.col("freq"))
+    dec = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(lx)).cast("double").alias("sx"),
+        F.sum(dec(ly)).cast("double").alias("sy"),
+        F.sum(dec(lx * lx)).cast("double").alias("sxx"),
+        F.sum(dec(lx * ly)).cast("double").alias("sxy"),
+        F.sum(dec(ly * ly)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("log_intercept"),
+        F.round(
+            (
+                (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r_squared"),
+    )

@@ -1234,7 +1234,11 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike EWMA there is NO closed-form prefix-sum rewrite (the two
     recursions are coupled), so this is the honest sequential-state
     case: an Arrow-batched applyInPandas over the aggregated series,
-    the batch twin of applyInPandasWithState.
+    the batch twin of applyInPandasWithState. Deliberate third
+    execution path for the same recurrence family:
+    `sql_recursive_holt_smoothing` steps it through Spark's recursive
+    CTE engine (different alphas), this one through a grouped-map UDF —
+    the pair pins Python-vs-engine float lockstep.
 
     Determinism: the Python loop and DuckDB's recursive CTE evaluate
     the IDENTICAL float chain in the identical order (alpha literals

@@ -260,6 +260,18 @@ HEADLINE = [
     "zonemap_pruning_audit",
     "embedding_isotropy_audit",
     "pacf_durbin_levinson",
+    # waves 21-24: graph cohesion, forecast eval, mutual matching,
+    # FD repair audit, aggregate-only GLMs, EB pooling, Zipf, causal
+    "clustering_coefficient_census",
+    "forecast_backtest_mape",
+    "reciprocal_nn_pairs",
+    "fd_violation_census",
+    "poisson_glm_irls",
+    "logistic_glm_irls",
+    "eb_shrinkage_segments",
+    "zipf_slope_fit",
+    "sql_lateral_topn_per_region",
+    "propensity_stratified_ate",
 ]
 
 

@@ -2430,3 +2430,250 @@ def eb_shrinkage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- propensity-stratified ATE composite -----------------------------------
+
+
+def _propensity_oracle() -> str:
+    """Unrolled propensity IRLS (logit of treatment on balance) +
+    quintile stratification — the same MATERIALIZED-CTE / DECIMAL
+    disciplines as the GLM queries above."""
+    head = """
+WITH base AS MATERIALIZED (
+  SELECT c.c_custkey,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS t,
+         CAST(c.c_acctbal AS DOUBLE) / 10000 AS x,
+         CAST(coalesce(o.spend, 0) AS DOUBLE) AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(28,2)) AS spend
+             FROM orders GROUP BY 1) o
+    ON o.o_custkey = c.c_custkey
+),
+b0r AS MATERIALIZED (
+  SELECT ln((CAST(sum(CAST(round(t, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*))
+            / (1 - CAST(sum(CAST(round(t, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / count(*))) AS b0,
+         CAST(0.0 AS DOUBLE) AS b1
+  FROM base
+)"""
+    rounds = []
+    prev = "b0r"
+    for r in range(1, _IRLS_ROUNDS + 1):
+        rounds.append(f""",
+s{r} AS MATERIALIZED (
+  SELECT sum(CAST(round(w, 9) AS DECIMAL(38,9))) AS sw,
+         sum(CAST(round(w * x, 9) AS DECIMAL(38,9))) AS swx,
+         sum(CAST(round(w * x * x, 9) AS DECIMAL(38,9))) AS swxx,
+         sum(CAST(round(w * z, 9) AS DECIMAL(38,9))) AS swz,
+         sum(CAST(round(w * x * z, 9) AS DECIMAL(38,9))) AS swxz
+  FROM (
+    SELECT x, mu * (1 - mu) AS w, eta + (t - mu) / (mu * (1 - mu)) AS z
+    FROM (SELECT x, t, p.b0 + p.b1 * x AS eta,
+                 1 / (1 + exp(-(p.b0 + p.b1 * x))) AS mu
+          FROM base, {prev} p)
+  )
+),
+b{r} AS MATERIALIZED (
+  SELECT (CAST(swxx AS DOUBLE) * CAST(swz AS DOUBLE)
+          - CAST(swx AS DOUBLE) * CAST(swxz AS DOUBLE))
+         / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b0,
+         (CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+          - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE))
+         / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b1
+  FROM s{r}
+)"""
+        )
+        prev = f"b{r}"
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+, scored AS MATERIALIZED (
+  SELECT c_custkey, t, y,
+         1 / (1 + exp(-(p.b0 + p.b1 * x))) AS e
+  FROM base, {prev} p
+),
+strata AS (
+  SELECT ntile(5) OVER (ORDER BY e, c_custkey) AS q, t, y
+  FROM scored
+),
+cells AS (
+  SELECT q,
+         count(*) AS n,
+         CAST(sum(CAST(round(t, 0) AS DECIMAL(19,0))) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN t = 1 THEN CAST(round(y, 2) AS DECIMAL(28,2))
+                       ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS sy_t,
+         CAST(sum(CASE WHEN t = 0 THEN CAST(round(y, 2) AS DECIMAL(28,2))
+                       ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS sy_c
+  FROM strata GROUP BY q
+),
+diffs AS (
+  SELECT q, n, n_t, n - n_t AS n_c,
+         sy_t / n_t AS ybar_t, sy_c / (n - n_t) AS ybar_c,
+         CASE WHEN n_t > 0 AND n - n_t > 0
+              THEN sy_t / n_t - sy_c / (n - n_t) END AS diff
+  FROM cells
+),
+pooled AS (
+  SELECT CAST(sum(CASE WHEN diff IS NOT NULL
+               THEN CAST(round(n * diff, 6) AS DECIMAL(38,6))
+               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / sum(CASE WHEN diff IS NOT NULL THEN n ELSE 0 END) AS ate
+  FROM diffs
+)
+SELECT d.q AS propensity_quintile,
+       CAST(d.n AS BIGINT) AS n_customers,
+       d.n_t AS n_treated, CAST(d.n_c AS BIGINT) AS n_control,
+       round(d.ybar_t, 2) AS mean_spend_treated,
+       round(d.ybar_c, 2) AS mean_spend_control,
+       round(d.diff, 2) AS stratum_diff,
+       round(p.ate, 2) AS stratified_ate
+FROM diffs d CROSS JOIN pooled p
+ORDER BY propensity_quintile"""
+    )
+
+
+@register("propensity_stratified_ate", oracle=_propensity_oracle())
+def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score stratification composite (Rosenbaum & Rubin
+    '83): fit a logistic propensity of treatment (BUILDING segment) on
+    account balance by the unrolled-IRLS device of
+    `logistic_glm_irls`, cut the population into propensity quintiles,
+    and report per-stratum treated/control spend means plus the
+    weighted stratified ATE — the standard observational-causal
+    pipeline as ONE lazy plan. (With a single covariate the quintiles
+    coincide with balance quintiles — the point here is the composed
+    machinery: GLM fit -> score -> stratify -> weighted contrast.)
+
+    Determinism: propensity scores are sigmoid chains on coefficients
+    from exactly-associative decimal sums; ntile runs over the total
+    (e, custkey) order; spend sums are cents-exact DECIMAL; the ATE
+    pools n*diff terms rounded once into DECIMAL(38,6), skipping (and
+    renormalizing over) strata missing a group.
+
+    Plan shape: orders collapse to per-customer spend once; the IRLS
+    rounds are aggregate-only; scoring is one map-side expression; one
+    ntile window over customers; a 5-cell aggregate. At 100 TB the
+    only row-scale sort is the quintile ntile — replaceable by
+    approx-quantile cut points without changing the estimator."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("spend")
+        )
+    )
+    base = (
+        table(spark, sf_dir, "customer")
+        .join(spend, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+            .otherwise(0.0)
+            .alias("t"),
+            (F.col("c_acctbal").cast("double") / 10000).alias("x"),
+            F.coalesce(F.col("spend"), F.lit(0)).cast("double").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    p_base = F.sum(dec9(F.col("t"))).cast("double") / F.count(F.lit(1))
+    coeffs = base.agg(
+        F.log(p_base / (1 - p_base)).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_IRLS_ROUNDS):
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = 1 / (1 + F.exp(-eta))
+        w = mu * (1 - mu)
+        z = eta + (F.col("t") - mu) / w
+        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+            F.sum(dec9(w)).cast("double").alias("sw"),
+            F.sum(dec9(w * F.col("x"))).cast("double").alias("swx"),
+            F.sum(dec9(w * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
+            F.sum(dec9(w * z)).cast("double").alias("swz"),
+            F.sum(dec9(w * F.col("x") * z)).cast("double").alias("swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        coeffs = sums.select(
+            ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
+                "b0"
+            ),
+            ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
+                "b1"
+            ),
+        )
+    scored = base.crossJoin(F.broadcast(coeffs)).select(
+        "c_custkey",
+        "t",
+        "y",
+        (1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))).alias("e"),
+    )
+    strata = scored.select(
+        F.ntile(5).over(Window.orderBy("e", "c_custkey")).alias("q"), "t", "y"
+    )
+    dec2 = lambda c: F.round(c, 2).cast("decimal(28,2)")  # noqa: E731
+    cells = strata.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("t"), 0).cast("decimal(19,0)"))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(
+            F.when(F.col("t") == 1, dec2(F.col("y"))).otherwise(
+                F.lit(0).cast("decimal(28,2)")
+            )
+        )
+        .cast("double")
+        .alias("sy_t"),
+        F.sum(
+            F.when(F.col("t") == 0, dec2(F.col("y"))).otherwise(
+                F.lit(0).cast("decimal(28,2)")
+            )
+        )
+        .cast("double")
+        .alias("sy_c"),
+    )
+    n_c = F.col("n") - F.col("n_t")
+    ybar_t = F.col("sy_t") / F.col("n_t")
+    ybar_c = F.col("sy_c") / n_c
+    diffs = cells.select(
+        "q",
+        "n",
+        "n_t",
+        n_c.alias("n_c"),
+        ybar_t.alias("ybar_t"),
+        ybar_c.alias("ybar_c"),
+        F.when((F.col("n_t") > 0) & (n_c > 0), ybar_t - ybar_c).alias("diff"),
+    )
+    pooled = diffs.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("diff").isNotNull(),
+                    F.round(F.col("n") * F.col("diff"), 6).cast("decimal(38,6)"),
+                ).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).cast("double")
+            / F.sum(F.when(F.col("diff").isNotNull(), F.col("n")).otherwise(0))
+        ).alias("ate")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("q").alias("propensity_quintile"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("n_t").alias("n_treated"),
+            F.col("n_c").cast("bigint").alias("n_control"),
+            F.round("ybar_t", 2).alias("mean_spend_treated"),
+            F.round("ybar_c", 2).alias("mean_spend_control"),
+            F.round("diff", 2).alias("stratum_diff"),
+            F.round("ate", 2).alias("stratified_ate"),
+        )
+        .orderBy("propensity_quintile")
+    )

@@ -589,10 +589,12 @@ _ISOTROPY_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
-cells AS (  -- exact cross-moment sums over the 64x64 grid
+cells AS (  -- exact cross-moment sums over the 64x64 grid: each term
+  -- rounds ONCE into a picounit BIGINT (round(x*y*1e12) — both engines
+  -- round the identical double), so sums are exact integer arithmetic
   SELECT i, j,
-         CAST(sum(CAST(round(v[i] * v[j], 12) AS DECIMAL(28,12))) AS DOUBLE)
-           AS s_ij,
+         CAST(sum(CAST(round(v[i] * v[j] * 1000000000000.0) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0 AS s_ij,
          count(*) AS n
   FROM corpus
   CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
@@ -672,27 +674,39 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    # (i, j, x_i*x_j) cells via a flattened per-row outer product
+    # Upper-triangle (i <= j) cross-moment cells via a flattened outer
+    # product, each term rounded ONCE into a picounit BIGINT
+    # (round(x*y*1e12) of the identical double on both engines); the
+    # lower triangle is mirrored afterward — exactly equal because
+    # multiplication commutes. Halves the expression work vs the full
+    # grid; integer sums beat decimal aggregation. Scale note: long
+    # partials hold to ~1e5 x |x*y|<=25; past that the scale path is
+    # the same sums in DECIMAL(38,0).
     outer = F.flatten(
         F.transform(
             F.col("v"),
             lambda x, i: F.transform(
-                F.col("v"),
-                lambda y, j: F.struct(
+                F.slice(F.col("v"), i + 1, F.size(F.col("v"))),
+                lambda y, j0: F.struct(
                     (i + 1).alias("i"),
-                    (j + 1).alias("j"),
-                    F.round(x * y, 12).cast("decimal(28,12)").alias("xy"),
+                    (i + 1 + j0).alias("j"),
+                    F.round(x * y * F.lit(1e12)).cast("long").alias("xy"),
                 ),
             ),
         )
     )
-    cells = (
+    cells_tri = (
         emb.select(F.explode(outer).alias("c"))
         .select("c.i", "c.j", "c.xy")
         .groupBy("i", "j")
         .agg(
-            F.sum("xy").cast("double").alias("s_ij"),
+            (F.sum("xy").cast("double") / F.lit(1e12)).alias("s_ij"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cells = cells_tri.unionByName(
+        cells_tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s_ij", "n"
         )
     )
     mu = (

@@ -1,0 +1,75 @@
+"""Invariant + reference-recompute test for wave 24: propensity-score
+stratified ATE composite.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ocean_data_pipeline_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def _fit_logistic(y, x, rounds=4):
+    p = y.mean()
+    b0, b1 = math.log(p / (1 - p)), 0.0
+    for _ in range(rounds):
+        eta = b0 + b1 * x
+        mu = 1 / (1 + np.exp(-eta))
+        w = mu * (1 - mu)
+        z = eta + (y - mu) / w
+        sw, swx = w.sum(), (w * x).sum()
+        swxx, swz, swxz = (w * x * x).sum(), (w * z).sum(), (w * x * z).sum()
+        det = sw * swxx - swx * swx
+        b0, b1 = (swxx * swz - swx * swxz) / det, (sw * swxz - swx * swz) / det
+    return b0, b1
+
+
+def test_propensity_ate_matches_numpy(spark):
+    out = (
+        REGISTRY["propensity_stratified_ate"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("propensity_quintile")
+    )
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .toPandas()
+    )
+    spend = orders.assign(p=orders.o_totalprice.round(2)).groupby("o_custkey").p.sum()
+    t = (cust.c_mktsegment == "BUILDING").to_numpy(dtype=np.float64)
+    x = cust.c_acctbal.to_numpy(dtype=np.float64) / 10000
+    y = cust.c_custkey.map(spend).fillna(0).to_numpy(dtype=np.float64)
+    b0, b1 = _fit_logistic(t, x)
+    e = 1 / (1 + np.exp(-(b0 + b1 * x)))
+    order = np.lexsort((cust.c_custkey.to_numpy(), e))
+    n = len(order)
+    base, extra = divmod(n, 5)
+    sizes = [base + 1] * extra + [base] * (5 - extra)
+    pos = 0
+    num = den = 0.0
+    for q, sz in enumerate(sizes, start=1):
+        idx = order[pos : pos + sz]
+        pos += sz
+        ti, yi = t[idx], y[idx]
+        n_t = int(ti.sum())
+        assert out.loc[q, "n_customers"] == sz
+        assert out.loc[q, "n_treated"] == n_t
+        assert out.loc[q, "n_control"] == sz - n_t
+        if n_t > 0 and n_t < sz:
+            diff = yi[ti == 1].mean() - yi[ti == 0].mean()
+            assert abs(out.loc[q, "stratum_diff"] - diff) < 0.5, q
+            num += sz * diff
+            den += sz
+    ate = num / den
+    assert abs(out["stratified_ate"].iloc[0] - ate) < 0.5
+    # pooled column constant across rows
+    assert out["stratified_ate"].nunique() == 1
+    # counts conserve the population
+    assert out["n_customers"].sum() == n

@@ -264,7 +264,10 @@ HEADLINE = [
     # FD repair audit, aggregate-only GLMs, EB pooling, Zipf, causal
     "clustering_coefficient_census",
     "forecast_backtest_mape",
-    "reciprocal_nn_pairs",
+    # reciprocal_nn_pairs is deliberately exact-quadratic (mutual
+    # top-1 over ALL pairs) — registered + verified, but not a
+    # headliner: its n² scan would dominate the wall-clock total
+    # without measuring anything the scored-scan headliners don't.
     "fd_violation_census",
     "poisson_glm_irls",
     "logistic_glm_irls",

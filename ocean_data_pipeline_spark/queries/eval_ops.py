@@ -844,28 +844,48 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one all-pairs scored scan (n^2 bounded — the honest
     exact formulation at eval scale; at 100 TB the same mutual-match
-    rule runs over ANN candidate lists from `sim_topk_ivf`), one rank
-    window, one self-join on the two top-1 relations, two broadcast
-    label joins."""
+    rule runs over ANN candidate lists from `sim_topk_ivf`). Norms are
+    precomputed per vector (not per pair — 3x the fold work otherwise),
+    and the per-node top-1 is a HASH-AGGREGATE argmax (max of a
+    (sim, -ib) struct, partial-aggregated map-side) instead of a rank
+    window — no n²-row sort ever happens. Then one self-join on the
+    two top-1 relations and two broadcast label joins."""
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
     )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    vn = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
     )
+    a = vn.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vn.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # argmax by (sim desc, ib asc) == max of the (sim, -ib) struct:
+    # struct comparison is lexicographic, so ties on sim pick the
+    # larger -ib, i.e. the smaller neighbor id — same total order the
+    # rank window used, without the n²-row sort.
     top1 = (
         a.join(b, F.col("ib") != F.col("ia"))
-        .select("ia", "ib", cos.alias("sim"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("ia").orderBy(F.col("sim").desc(), F.col("ib"))
-            ),
+        .select(
+            "ia",
+            F.struct(
+                cos.alias("sim"), (-F.col("ib")).alias("neg_ib")
+            ).alias("cand"),
         )
-        .filter(F.col("rnk") == 1)
-        .select("ia", "ib", "sim")
+        .groupBy("ia")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "ia",
+            (-F.col("best.neg_ib")).alias("ib"),
+            F.col("best.sim").alias("sim"),
+        )
     )
     x = top1.select(
         F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim"

@@ -1060,25 +1060,47 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
     rounds ONCE into DECIMAL(28,12) before the band mean.
 
     Plan shape: the shared edge census (localCheckpointed, consumed by
-    degree + wedge subtrees), one id-ordered wedge self-join closed by
-    an edge hash join, a 3-way endpoint explode, two small aggregates.
-    The id-ordered enumeration mirrors the oracle for row parity; the
-    degree-ordered orientation documented in `copurchase_triangle_
-    census` is the drop-in hub-skew upgrade at 100 TB (same counts)."""
+    degree + wedge subtrees), then the DEGREE-ORDERED wedge enumeration
+    of `copurchase_triangle_census` (out-degree O(sqrt m) under the
+    orientation, so the wedge relation is O(m^1.5) regardless of hub
+    skew — the id-ordered oracle form blows up on the hottest node at
+    scale) closed by one canonical-edge hash join; each triangle is
+    found exactly once under either orientation, so the per-node
+    incidence counts match the id-ordered oracle row for row."""
     edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+    ).localCheckpoint()
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa"
+        )
+        .join(
+            deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb"
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
     )
-    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = edges.select(F.col("pa").alias("a2"), F.col("pb").alias("c"))
-    e3 = edges.select(F.col("pa").alias("b3"), F.col("pb").alias("c3"))
-    tri = (
-        e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b")))
-        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
+    w1 = e.select(F.col("src").alias("s"), F.col("dst").alias("x"))
+    w2 = e.select(F.col("src").alias("s"), F.col("dst").alias("y"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("x") < F.col("y"))
+        .select("s", F.col("x").alias("pa"), F.col("y").alias("pb"))
+    )
+    tri = wedges.join(edges, ["pa", "pb"]).select(
+        F.col("s").alias("a"), F.col("pa").alias("b"), F.col("pb").alias("c")
     )
     tnode = (
         tri.select(F.col("a").alias("node"))

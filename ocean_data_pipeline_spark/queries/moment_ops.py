@@ -278,3 +278,109 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "lo_value", "hi_value", "n_rows", "n_distinct_values")
         .orderBy("bin")
     )
+
+
+# --- Gaussian KDE on a fixed grid ------------------------------------------
+
+_KDE_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+),
+mom AS (  -- exact decimal moments for sigma (the skew_kurtosis device)
+  SELECT count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,2))
+                       * CAST(o_totalprice AS DECIMAL(19,2))) AS VARCHAR)
+              AS DOUBLE) AS s2
+  FROM orders
+),
+band AS (
+  SELECT n,
+         1.06 * sqrt((s2 - s1 * s1 / n) / (n - 1)) * pow(n, -0.2) AS h,
+         s1 / n AS mu,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+  FROM mom
+),
+grid AS (  -- 32 evaluation points at mu + k*sigma/4, k = -16..15
+  SELECT g AS gi, b.mu + (g - 16) * b.sigma / 4 AS gx, b.h, b.n
+  FROM (SELECT unnest(generate_series(0, 31)) AS g), band b
+),
+dens AS (
+  SELECT g.gi, g.gx,
+         CAST(sum(CAST(round(
+           exp(-((g.gx - t.x) / g.h) * ((g.gx - t.x) / g.h) / 2), 12)
+           AS DECIMAL(38,12))) AS DOUBLE)
+           / (g.n * g.h * sqrt(2 * pi())) AS f
+  FROM grid g CROSS JOIN base t
+  GROUP BY g.gi, g.gx, g.n, g.h
+)
+SELECT gi AS grid_index,
+       round(gx, 2) AS x,
+       round(f, 12) AS density
+FROM dens ORDER BY grid_index
+"""
+
+
+@register("gaussian_kde_grid", oracle=_KDE_ORACLE)
+def gaussian_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of the order-price distribution
+    on a fixed 32-point grid (mu ± 4 sigma), bandwidth by Silverman's
+    rule h = 1.06 sigma n^(-1/5) — the smooth-density sibling of
+    `equi_depth_histogram` / `value_histogram_events`, and the standard
+    visual-diagnostics panel behind every distribution dashboard.
+
+    Determinism: sigma comes from exact decimal power sums (int128
+    products, VARCHAR-hop cast); each kernel evaluation rounds ONCE
+    into DECIMAL(38,12) before the per-grid-point sum, so the density
+    is partitioning-invariant; grid points are fixed chains of (mu,
+    sigma).
+
+    Plan shape: one exact-moment aggregate broadcast back, then ONE
+    scan evaluates all 32 kernels per row (grid broadcast,
+    map-side-combined into 32 cells). At 100 TB: a single pass, 32-row
+    shuffle — KDE as partial aggregation, never a row-pair join."""
+    o = table(spark, sf_dir, "orders")
+    x19 = F.col("o_totalprice").cast("decimal(19,2)")
+    mom = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum(x19 * x19).cast("string").cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    band = mom.select(
+        "n",
+        (1.06 * F.sqrt(var) * F.pow(F.col("n"), -0.2)).alias("h"),
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(var).alias("sigma"),
+    )
+    grid = (
+        spark.range(32)
+        .select(F.col("id").cast("int").alias("gi"))
+        .crossJoin(F.broadcast(band))
+        .select(
+            "gi",
+            (F.col("mu") + (F.col("gi") - 16) * F.col("sigma") / 4).alias("gx"),
+            "h",
+            "n",
+        )
+    )
+    base = o.select(F.col("o_totalprice").cast("double").alias("x"))
+    u = (F.col("gx") - F.col("x")) / F.col("h")
+    kern = F.round(F.exp(-u * u / 2), 12).cast("decimal(38,12)")
+    import math
+
+    dens = (
+        base.crossJoin(F.broadcast(grid))
+        .groupBy("gi", "gx", "n", "h")
+        .agg(F.sum(kern).cast("double").alias("ksum"))
+        .select(
+            F.col("gi").alias("grid_index"),
+            F.round("gx", 2).alias("x"),
+            F.round(
+                F.col("ksum")
+                / (F.col("n") * F.col("h") * F.lit(math.sqrt(2 * math.pi))),
+                12,
+            ).alias("density"),
+        )
+    )
+    return dens.orderBy("grid_index")

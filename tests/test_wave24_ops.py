@@ -73,3 +73,34 @@ def test_propensity_ate_matches_numpy(spark):
     assert out["stratified_ate"].nunique() == 1
     # counts conserve the population
     assert out["n_customers"].sum() == n
+
+
+def test_kde_matches_numpy(spark):
+    out = (
+        REGISTRY["gaussian_kde_grid"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("grid_index")
+    )
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_totalprice")
+        .toPandas()
+    )
+    x = o.o_totalprice.to_numpy(dtype=np.float64)
+    n = len(x)
+    mu, sigma = x.mean(), x.std(ddof=1)
+    h = 1.06 * sigma * n ** (-0.2)
+    for gi in range(32):
+        gx = mu + (gi - 16) * sigma / 4
+        f = float(np.exp(-(((gx - x) / h) ** 2) / 2).sum()) / (
+            n * h * math.sqrt(2 * math.pi)
+        )
+        assert abs(out.loc[gi, "density"] - f) < 1e-9, gi
+        assert abs(out.loc[gi, "x"] - gx) < 0.5
+    # density integrates to ~1 over the grid span (trapezoid, sigma/4 step)
+    approx_mass = float(out.density.sum()) * sigma / 4
+    assert 0.8 < approx_mass < 1.1
+    assert (out.density >= 0).all()
+    # unimodal-ish synthetic prices: peak near the center of the grid
+    assert 4 <= out.density.idxmax() <= 28

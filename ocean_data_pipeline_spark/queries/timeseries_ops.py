@@ -1711,3 +1711,143 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# --- Wald–Wolfowitz runs test ---------------------------------------------
+
+# A&S 26.2.17 tail template shared with audits.bh_fdr_segment_tests —
+# duplicated literally here to keep each module's oracle self-contained.
+_RT_PHI_K = "(1 / (1 + 0.2316419 * ({z})))"
+_RT_PHI_TAIL = (
+    "(exp(-({z}) * ({z}) / 2) / sqrt(2 * pi()) * " + _RT_PHI_K + " * "
+    "(0.319381530 + " + _RT_PHI_K + " * (-0.356563782 + " + _RT_PHI_K + " * "
+    "(1.781477937 + " + _RT_PHI_K + " * (-1.821255978 + " + _RT_PHI_K
+    + " * 1.330274429)))))"
+)
+
+_RUNS_ORACLE = f"""
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+  FROM orders GROUP BY 1
+),
+med AS (  -- exact lower median by integer rank over the month series
+  SELECT rev AS med FROM (
+    SELECT rev, row_number() OVER (ORDER BY rev, idx) AS rn,
+           count(*) OVER () AS n
+    FROM m
+  ) WHERE rn = (n + 1) // 2
+),
+s AS (
+  SELECT idx, CASE WHEN m.rev > med.med THEN 1 ELSE 0 END AS above
+  FROM m, med
+),
+flips AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY idx) IS NULL THEN 1
+              WHEN lag(above) OVER (ORDER BY idx) <> above THEN 1
+              ELSE 0 END AS new_run
+  FROM s
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(above) AS BIGINT) AS n1,
+         CAST(count(*) - sum(above) AS BIGINT) AS n2,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM flips
+),
+z AS (
+  SELECT n, n1, n2, runs,
+         1 + 2.0 * n1 * n2 / n AS e_runs,
+         (runs - (1 + 2.0 * n1 * n2 / n))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                  / (CAST(n AS DOUBLE) * n * (n - 1))) AS z
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_months, n1 AS n_above, n2 AS n_below,
+       runs AS n_runs,
+       round(e_runs, 4) AS expected_runs,
+       round(z, 6) AS z_score,
+       round(2 * {_RT_PHI_TAIL.format(z="abs(z)")}, 9) AS p_value
+FROM z
+"""
+
+
+@register("runs_test_monthly", oracle=_RUNS_ORACLE)
+def runs_test_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of the monthly-revenue series against
+    its exact median: too FEW sign runs means trend/level shifts, too
+    MANY means oscillation — the randomness diagnostic that complements
+    `mann_kendall_trend` (monotonic trend) and `cusum_changepoint`
+    (level shift). Normal approximation with the shared A&S 26.2.17
+    tail template (bit-identical p-values on both engines).
+
+    Determinism: the median is exact integer-rank selection over the
+    decimal month series (ties broken by month index); signs, run
+    boundaries (lag window), and counts are pure integers; z and p are
+    fixed IEEE chains.
+
+    Plan shape: facts collapse to ~80 month rows; one rank window, one
+    lag window, a 1-row report. At 100 TB only the first aggregate
+    sees data."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy((F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("rev", "idx")
+    med = (
+        m.select(
+            "rev",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("rev").alias("med"))
+    )
+    s = m.crossJoin(F.broadcast(med)).select(
+        "idx", F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("above")
+    )
+    lag = F.lag("above").over(Window.orderBy("idx"))
+    flips = s.select(
+        "above",
+        F.when(lag.isNull(), 1).when(lag != F.col("above"), 1).otherwise(0).alias(
+            "new_run"
+        ),
+    )
+    agg = flips.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("above").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("bigint").alias("n2"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    nD = F.col("n").cast("double")
+    two_n1n2 = 2.0 * F.col("n1") * F.col("n2")
+    e_runs = 1 + two_n1n2 / F.col("n")
+    z = (F.col("runs") - e_runs) / F.sqrt(
+        two_n1n2 * (two_n1n2 - F.col("n")) / (nD * F.col("n") * (F.col("n") - 1))
+    )
+    out = agg.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("runs").alias("n_runs"),
+        F.round(e_runs, 4).alias("expected_runs"),
+        F.round(z, 6).alias("z_score"),
+        z.alias("_z"),
+    )
+    return out.select(
+        "n_months",
+        "n_above",
+        "n_below",
+        "n_runs",
+        "expected_runs",
+        "z_score",
+        F.round(F.expr("2 * " + _RT_PHI_TAIL.format(z="abs(_z)")), 9).alias(
+            "p_value"
+        ),
+    )

@@ -104,3 +104,36 @@ def test_kde_matches_numpy(spark):
     assert (out.density >= 0).all()
     # unimodal-ish synthetic prices: peak near the center of the grid
     assert 4 <= out.density.idxmax() <= 28
+
+
+def test_runs_test_matches_pure_python(spark):
+    row = REGISTRY["runs_test_monthly"].fn(spark, SF_SMOKE).collect()[0]
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    o["idx"] = o.o_orderdate.map(lambda d: d.year * 12 + d.month)
+    m = (
+        o.groupby("idx")
+        .o_totalprice.apply(lambda s: float(sum(round(v, 2) for v in s)))
+        .sort_index()
+    )
+    vals = list(m.items())  # (idx, rev) sorted by month
+    by_rev = sorted(vals, key=lambda kv: (kv[1], kv[0]))
+    n = len(by_rev)
+    med = by_rev[(n + 1) // 2 - 1][1]
+    signs = [1 if rev > med else 0 for _, rev in vals]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), n - sum(signs)
+    e = 1 + 2.0 * n1 * n2 / n
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n**2 * (n - 1))
+    z = (runs - e) / math.sqrt(var)
+    assert row.n_months == n
+    assert row.n_above == n1 and row.n_below == n2
+    assert row.n_runs == runs
+    assert abs(row.expected_runs - e) < 1e-4
+    assert abs(row.z_score - z) < 1e-6
+    p_exact = 2 * 0.5 * math.erfc(abs(z) / math.sqrt(2))
+    assert abs(row.p_value - p_exact) < 2e-7  # A&S tail error bound
+    assert 0 <= row.p_value <= 1

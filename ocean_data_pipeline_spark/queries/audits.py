@@ -2677,3 +2677,137 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("propensity_quintile")
     )
+
+
+# --- delete-one-group jackknife for a ratio estimator -----------------------
+
+_JACKKNIFE_ORACLE = """
+WITH g AS (
+  SELECT n.n_name AS grp,
+         count(*) AS n_g,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS s_g
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+         CAST(sum(s_g) AS DECIMAL(38,2)) AS s_all,
+         count(*) AS k
+  FROM g
+),
+loo AS (  -- leave-one-group-out ratios from totals minus the group
+  SELECT g.grp,
+         CAST(t.s_all - g.s_g AS DOUBLE) / (t.n_all - g.n_g) AS theta_g
+  FROM g CROSS JOIN tot t
+),
+jk AS (
+  SELECT CAST(sum(CAST(round(theta_g, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           / count(*) AS theta_bar,
+         count(*) AS k
+  FROM loo
+),
+var_ AS (
+  SELECT CAST(sum(CAST(round((l.theta_g - j.theta_bar)
+                             * (l.theta_g - j.theta_bar), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE)
+           * (j.k - 1.0) / j.k AS jk_var,
+         max(j.theta_bar) AS theta_bar,
+         max(j.k) AS k
+  FROM loo l CROSS JOIN jk j
+  GROUP BY j.k
+)
+SELECT CAST(t.k AS BIGINT) AS n_groups,
+       t.n_all AS n_orders,
+       round(CAST(t.s_all AS DOUBLE) / t.n_all, 6) AS ratio_estimate,
+       round(sqrt(v.jk_var), 6) AS jackknife_se,
+       round(CAST(t.s_all AS DOUBLE) / t.n_all - 1.96 * sqrt(v.jk_var), 4)
+         AS ci_lo,
+       round(CAST(t.s_all AS DOUBLE) / t.n_all + 1.96 * sqrt(v.jk_var), 4)
+         AS ci_hi
+FROM tot t CROSS JOIN var_ v
+"""
+
+
+@register("jackknife_ratio_variance", oracle=_JACKKNIFE_ORACLE)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife (Quenouille/Tukey; the survey-
+    statistics standard for clustered data) for the mean-order-value
+    ratio estimator, with customer NATION as the resampling group:
+    each leave-one-out ratio comes from group totals subtracted from
+    the grand totals — no data is ever re-scanned per replicate — and
+    SE² = (G-1)/G · Σ(θ₍₋g₎ − θ̄)². The variance machinery every ratio
+    metric needs when observations cluster (bootstrap's deterministic
+    cousin; cf `poisson_bootstrap_ci`).
+
+    Determinism: group sums are cents-exact DECIMAL; leave-one-out
+    ratios and squared deviations round ONCE into DECIMAL(38,9) before
+    cross-group sums; the CI chain is fixed IEEE.
+
+    Plan shape: one star-join aggregate to 25 nation rows, then pure
+    1-row/25-row algebra. At 100 TB: the jackknife costs ONE grouped
+    aggregate regardless of replicate count — the whole point of the
+    totals-subtraction formulation."""
+    g = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("s_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n_all"),
+        F.sum("s_g").cast("decimal(38,2)").alias("s_all"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        (
+            (F.col("s_all") - F.col("s_g")).cast("double")
+            / (F.col("n_all") - F.col("n_g"))
+        ).alias("theta_g"),
+    )
+    dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    jk = loo.agg(
+        (F.sum(dec9(F.col("theta_g"))).cast("double") / F.count(F.lit(1))).alias(
+            "theta_bar"
+        ),
+        F.count(F.lit(1)).alias("k"),
+    )
+    dev = F.col("theta_g") - F.col("theta_bar")
+    var_ = (
+        loo.crossJoin(F.broadcast(jk))
+        .agg(
+            (
+                F.sum(dec9(dev * dev)).cast("double")
+                * (F.max("k") - 1.0)
+                / F.max("k")
+            ).alias("jk_var")
+        )
+    )
+    ratio = F.col("s_all").cast("double") / F.col("n_all")
+    se = F.sqrt(F.col("jk_var"))
+    return (
+        tot.crossJoin(F.broadcast(var_))
+        .select(
+            F.col("k").cast("bigint").alias("n_groups"),
+            F.col("n_all").alias("n_orders"),
+            F.round(ratio, 6).alias("ratio_estimate"),
+            F.round(se, 6).alias("jackknife_se"),
+            F.round(ratio - 1.96 * se, 4).alias("ci_lo"),
+            F.round(ratio + 1.96 * se, 4).alias("ci_hi"),
+        )
+    )

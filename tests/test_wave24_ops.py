@@ -137,3 +137,41 @@ def test_runs_test_matches_pure_python(spark):
     p_exact = 2 * 0.5 * math.erfc(abs(z) / math.sqrt(2))
     assert abs(row.p_value - p_exact) < 2e-7  # A&S tail error bound
     assert 0 <= row.p_value <= 1
+
+
+def test_jackknife_matches_pure_python(spark):
+    row = REGISTRY["jackknife_ratio_variance"].fn(spark, SF_SMOKE).collect()[0]
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .toPandas()
+    )
+    cust = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .toPandas()
+    )
+    nat = (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .toPandas()
+    )
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    df["p"] = df.o_totalprice.round(2)
+    g = df.groupby("n_name").p.agg(["sum", "count"])
+    S, N, K = g["sum"].sum(), int(g["count"].sum()), len(g)
+    thetas = [(S - s) / (N - n) for s, n in zip(g["sum"], g["count"])]
+    tbar = sum(thetas) / K
+    jk_var = (K - 1) / K * sum((t - tbar) ** 2 for t in thetas)
+    se = math.sqrt(jk_var)
+    assert row.n_groups == K
+    assert row.n_orders == N
+    assert abs(row.ratio_estimate - S / N) < 1e-3
+    assert abs(row.jackknife_se - se) < 1e-3
+    assert abs(row.ci_lo - (S / N - 1.96 * se)) < 1e-2
+    assert abs(row.ci_hi - (S / N + 1.96 * se)) < 1e-2
+    # the CI brackets the point estimate and SE is positive
+    assert row.ci_lo < row.ratio_estimate < row.ci_hi
+    assert row.jackknife_se > 0

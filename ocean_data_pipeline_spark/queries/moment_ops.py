@@ -346,7 +346,13 @@ def gaussian_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("s1"),
         F.sum(x19 * x19).cast("string").cast("double").alias("s2"),
     )
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    # n>1 guard: a single-row table would hit ANSI DIVIDE_BY_ZERO on
+    # the (n-1) Bessel denominator; NULL sigma/h propagate to NULL
+    # densities instead (totality over degenerate inputs).
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+    )
     band = mom.select(
         "n",
         (1.06 * F.sqrt(var) * F.pow(F.col("n"), -0.2)).alias("h"),

@@ -275,6 +275,9 @@ HEADLINE = [
     "zipf_slope_fit",
     "sql_lateral_topn_per_region",
     "propensity_stratified_ate",
+    "gaussian_kde_grid",
+    "runs_test_monthly",
+    "jackknife_ratio_variance",
 ]
 
 

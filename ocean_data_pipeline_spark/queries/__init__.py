@@ -89,6 +89,32 @@ _DRIVER_VERIFIED = frozenset({
     "order_value_deciles",
     # NOT listed: sim_topk_ivf_kmeans — rows-only in r03; it stays in the
     # front block to earn a hash row with the frozen-centroid oracle.
+    # green in round 6 (CORRECTNESS_r06.json, 49/50 pass; the one red row,
+    # nation_top_balances_array, was a driver-canonicalizer limitation on
+    # top-level array columns — it stays in the front block with its output
+    # re-serialized to text so round 7 earns the green row).
+    "anova_oneway_event_values", "bh_fdr_segment_tests", "bpe_learn_merges",
+    "calibration_reliability_bins", "candidate_key_profile",
+    "cochran_armitage_trend", "contamination_ngram_census",
+    "conversion_latency_percentiles", "cuped_variance_reduction",
+    "decision_stump_totalprice", "diff_in_diff_estimator",
+    "dq_constraint_census", "dtw_nation_profiles", "eb_shrinkage_segments",
+    "embedding_int8_quant_error", "embedding_isotropy_audit",
+    "embedding_top_component", "event_funnel_conversion",
+    "event_type_markov_transitions", "event_value_run_lengths",
+    "events_hourly_heatmap", "isotonic_calibration_pava",
+    "isotonic_pava_grouped", "jackknife_ratio_variance", "kendall_tau_b",
+    "kruskal_wallis_event_values", "ks_test_price_by_year",
+    "lineitem_corr_stats", "logistic_glm_irls", "mannwhitney_u_event_values",
+    "mantel_haenszel_or", "matryoshka_prefix_quality", "ols_price_regression",
+    "peak_event_per_user", "poisson_glm_irls", "power_sample_size",
+    "propensity_stratified_ate", "pyds_sensor_feed_profile",
+    "pyds_stream_feed_rollup", "reciprocal_nn_pairs",
+    "retrieval_metrics_eval", "revenue_trend_by_nation",
+    "segment_priority_chisq", "spearman_rank_correlation",
+    "target_encoding_loo", "value_histogram_events",
+    "weekly_retention_cohorts", "welch_ttest_event_values",
+    "wilson_proportion_intervals",
 })
 
 # Queries added after the round's front block was already full (the

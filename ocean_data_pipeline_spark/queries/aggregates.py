@@ -664,7 +664,8 @@ WITH ranked AS (
   FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 )
 SELECT nation_name,
-       list(c_acctbal ORDER BY rk) AS top_balances,
+       string_agg(CAST(c_acctbal AS VARCHAR), ',' ORDER BY rk)
+         AS top_balances,
        CAST(count(*) AS BIGINT) AS n_listed
 FROM ranked WHERE rk <= 3
 GROUP BY nation_name ORDER BY nation_name
@@ -684,7 +685,14 @@ def nation_top_balances_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg on ≤3 rows per group. Arrays stay small by construction (top-k
     bounded), so the array column can't blow a row past the 2 GB
     record limit — the constraint unbounded collect_list would
-    violate at corpus scale."""
+    violate at corpus scale.
+
+    Output contract: the ranked array is serialized to deterministic
+    comma-joined text (engine concat_ws ↔ oracle string_agg ORDER BY rk)
+    because the driver harness canonicalizes via pandas, which cannot
+    sort/hash top-level ndarray cells (the one red row in
+    CORRECTNESS_r06). The raw array<decimal> formulation stays covered
+    by tests/test_aggregates.py."""
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
@@ -697,9 +705,12 @@ def nation_top_balances_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.groupBy("nation_name")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("rk"), F.col("c_acctbal")))
-            ).getField("c_acctbal").alias("top_balances"),
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("c_acctbal")))
+                ).getField("c_acctbal").cast("array<string>"),
+            ).alias("top_balances"),
             F.count(F.lit(1)).cast("bigint").alias("n_listed"),
         )
         .orderBy("nation_name")

@@ -23,6 +23,7 @@ from ocean_data_pipeline_spark.queries import (
     REGISTRY,
     load_all,
 )
+from tests.conftest import SF_SMOKE
 
 DRIVER_WINDOW = 50
 
@@ -97,6 +98,37 @@ def test_rows_only_queries_are_the_documented_exceptions(registry):
     unexpected = [n for n in rows_only if n not in allowed]
     assert not unexpected, (
         f"queries registered without an oracle but not documented: {unexpected}"
+    )
+
+
+def test_oracle_backed_queries_return_flat_columns(registry, spark):
+    """Harness-compat gate (VERDICT r06 item 3): the driver canonicalizes
+    results through pandas ``sort_values``, which cannot factorize ndarray
+    / dict cells — a top-level array/map/struct column in an oracle-backed
+    query errors forever on the driver even when values are right (the
+    ``nation_top_balances_array`` lesson). Nested payloads must be
+    serialized to deterministic text (concat_ws / to_json ↔ string_agg /
+    json) before return. Schema inspection is lazy — no query executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, rq in registry.items():
+        if rq.oracle is None:
+            continue
+        try:
+            schema = rq.fn(spark, SF_SMOKE).schema
+        except Exception:
+            continue  # execution-path issues belong to the parity suite
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "oracle-backed queries return top-level array/map/struct columns "
+        f"(driver canonicalizer cannot hash these): {offenders}"
     )
 
 

@@ -2309,8 +2309,11 @@ WITH seg AS (
   FROM customer GROUP BY 1
 ),
 stats AS (
+  -- n>1 guard (ADVICE r06): a 1-customer segment has no within-segment
+  -- variance estimate; NULL s2w keeps it out of tau2 instead of a
+  -- divide-by-zero NaN contaminating every segment's eb_mean
   SELECT segment, n, s1 / n AS xbar,
-         (s2 - s1 * s1 / n) / (n - 1) AS s2w
+         CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) END AS s2w
   FROM seg
 ),
 grand AS (
@@ -2320,7 +2323,7 @@ grand AS (
            AS sxb2,
          count(*) AS k,
          CAST(sum(CAST(round(s2w / n, 9) AS DECIMAL(38,9))) AS DOUBLE)
-           / count(*) AS mean_se2
+           / count(s2w) AS mean_se2
   FROM stats
 ),
 tau AS (
@@ -2374,13 +2377,19 @@ def eb_shrinkage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(c19 * c19).cast("string").cast("double").alias("s2"),
         )
     )
+    # n>1 guard (ADVICE r06): a 1-customer segment cannot estimate its
+    # within-segment variance — NULL s2w (and hence NULL shrink factor
+    # for that segment) instead of a (n-1) divide-by-zero NaN silently
+    # contaminating tau2 and every segment's eb_mean.
     stats = seg.select(
         "segment",
         "n",
         (F.col("s1") / F.col("n")).alias("xbar"),
-        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
-            "s2w"
-        ),
+        F.when(
+            F.col("n") > 1,
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1),
+        ).alias("s2w"),
     )
     grand = stats.agg(
         (
@@ -2395,7 +2404,7 @@ def eb_shrinkage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("s2w") / F.col("n"), 9).cast("decimal(38,9)")).cast(
                 "double"
             )
-            / F.count(F.lit(1))
+            / F.count(F.col("s2w"))
         ).alias("mean_se2"),
     )
     tau = grand.select(

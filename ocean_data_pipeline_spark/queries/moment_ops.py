@@ -295,10 +295,16 @@ mom AS (  -- exact decimal moments for sigma (the skew_kurtosis device)
   FROM orders
 ),
 band AS (
+  -- n>1 guard mirrors the engine: degenerate single-row input yields
+  -- NULL sigma/h/densities on BOTH sides (not inf-derived values)
   SELECT n,
-         1.06 * sqrt((s2 - s1 * s1 / n) / (n - 1)) * pow(n, -0.2) AS h,
+         CASE WHEN n > 1
+              THEN 1.06 * sqrt((s2 - s1 * s1 / n) / (n - 1)) * pow(n, -0.2)
+         END AS h,
          s1 / n AS mu,
-         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+         CASE WHEN n > 1
+              THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
+         END AS sigma
   FROM mom
 ),
 grid AS (  -- 32 evaluation points at mu + k*sigma/4, k = -16..15

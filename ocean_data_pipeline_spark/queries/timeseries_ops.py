@@ -1757,11 +1757,15 @@ agg AS (
   FROM flips
 ),
 z AS (
+  -- degenerate-series guard mirrors the engine: constant series (n1=0
+  -- or n2=0) or a 1-point series yields NULL z/p, never NaN
   SELECT n, n1, n2, runs,
          1 + 2.0 * n1 * n2 / n AS e_runs,
-         (runs - (1 + 2.0 * n1 * n2 / n))
-           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
-                  / (CAST(n AS DOUBLE) * n * (n - 1))) AS z
+         CASE WHEN n > 1 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) > 0
+              THEN (runs - (1 + 2.0 * n1 * n2 / n))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                       / (CAST(n AS DOUBLE) * n * (n - 1)))
+         END AS z
   FROM agg
 )
 SELECT CAST(n AS BIGINT) AS n_months, n1 AS n_above, n2 AS n_below,
@@ -1828,8 +1832,16 @@ def runs_test_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     nD = F.col("n").cast("double")
     two_n1n2 = 2.0 * F.col("n1") * F.col("n2")
     e_runs = 1 + two_n1n2 / F.col("n")
-    z = (F.col("runs") - e_runs) / F.sqrt(
-        two_n1n2 * (two_n1n2 - F.col("n")) / (nD * F.col("n") * (F.col("n") - 1))
+    # Degenerate-series guard (ADVICE r06): a constant series (every
+    # month equals the median) gives n1 = 0, the variance term becomes
+    # 0, and z would be 0/0 = NaN. NULL out z (and hence p) instead —
+    # the suite's usual den != 0 totality discipline.
+    z = F.when(
+        (F.col("n") > 1) & (two_n1n2 * (two_n1n2 - F.col("n")) > 0),
+        (F.col("runs") - e_runs)
+        / F.sqrt(
+            two_n1n2 * (two_n1n2 - F.col("n")) / (nD * F.col("n") * (F.col("n") - 1))
+        ),
     )
     out = agg.select(
         F.col("n").cast("bigint").alias("n_months"),

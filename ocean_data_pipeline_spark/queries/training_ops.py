@@ -850,6 +850,18 @@ WITH assign AS (
 per_shard AS (
   SELECT epoch, shard, count(*) AS n FROM assign GROUP BY epoch, shard
 ),
+-- fixed 16-shard spine: an empty shard must contribute its (0-e)^2/e
+-- term, otherwise chi-square understates non-uniformity on small corpora
+spine AS (
+  SELECT e.epoch, s.shard
+  FROM (SELECT unnest([0, 1, 2]) AS epoch) e
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS shard) s
+),
+full_shards AS (
+  SELECT sp.epoch, sp.shard, coalesce(p.n, 0) AS n
+  FROM spine sp LEFT JOIN per_shard p
+    ON p.epoch = sp.epoch AND p.shard = sp.shard
+),
 stats AS (
   SELECT epoch,
          count(*) AS n_shards,
@@ -857,10 +869,12 @@ stats AS (
          min(n) AS min_shard,
          max(n) AS max_shard,
          CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE) AS sum_sq
-  FROM per_shard GROUP BY epoch
+  FROM full_shards GROUP BY epoch
 )
 SELECT epoch, n_shards, n_docs, min_shard, max_shard,
-       round(CAST(max_shard AS DOUBLE) / min_shard, 6) AS balance_ratio,
+       CASE WHEN min_shard > 0
+            THEN round(CAST(max_shard AS DOUBLE) / min_shard, 6) END
+         AS balance_ratio,
        round((sum_sq - CAST(n_docs AS DOUBLE) * n_docs / n_shards)
              / (CAST(n_docs AS DOUBLE) / n_shards), 6) AS chi_sq_uniform
 FROM stats ORDER BY epoch
@@ -910,6 +924,15 @@ def epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("epoch", "shard")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Fixed 16-shard spine (ADVICE r06): an empty shard must contribute
+    # its (0-e)^2/e chi-square term and keep n_shards = 16 — otherwise
+    # uniformity is understated exactly when shards go empty. 48-row
+    # broadcast spine, so the left join is free at any corpus size.
+    shards16 = spark.range(16).select(F.col("id").alias("shard"))
+    spine = epochs.crossJoin(shards16)
+    per_shard = spine.join(
+        F.broadcast(per_shard), ["epoch", "shard"], "left"
+    ).select("epoch", "shard", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     stats = per_shard.groupBy("epoch").agg(
         F.count(F.lit(1)).alias("n_shards"),
         F.sum("n").cast("bigint").alias("n_docs"),
@@ -927,9 +950,10 @@ def epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "min_shard",
         "max_shard",
-        F.round(F.col("max_shard").cast("double") / F.col("min_shard"), 6).alias(
-            "balance_ratio"
-        ),
+        F.when(
+            F.col("min_shard") > 0,
+            F.round(F.col("max_shard").cast("double") / F.col("min_shard"), 6),
+        ).alias("balance_ratio"),
         F.round((F.col("sum_sq") - nD * F.col("n_docs") / F.col("n_shards")) / expected, 6).alias(
             "chi_sq_uniform"
         ),

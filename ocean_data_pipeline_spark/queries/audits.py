@@ -527,51 +527,60 @@ def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     value" (the ranking-metric identity). Midranks handle ties as the
     test requires (average rank of the tied block).
 
-    Determinism: values are cents-exact DECIMALs, so the global
-    row_number ranks and the tie-block averages (exact .5 decimals
-    carried in DECIMAL before the double cast) are identical on both
-    engines — a rank statistic is integer arithmetic in disguise, which
-    is why this test needs none of the float-envelope care the moment-
-    based tests do.
+    Determinism AND scale: a rank statistic is integer arithmetic in
+    disguise — the tied block at value v has midrank cum_before(v) +
+    (c(v)+1)/2, so the whole test needs only the VALUE CENSUS, never a
+    per-row rank. The doubled midrank 2·cum + c + 1 is a pure integer,
+    rank sums accumulate in DECIMAL(38,0), and one halving at the end
+    reproduces the exact .5 midranks — bitwise identical on both
+    engines and partitioning-invariant by construction.
 
-    Plan shape: one filtered scan, one global sort for ranks (at real
-    scale: sample-rank approximation or per-range partial ranks; the
-    exact global sort is the deliberate small-k formulation here), one
-    tie-block window over the same sort, one conditional agg."""
+    Plan shape (the `ks_test_price_by_year` posture, VERDICT r06 item
+    4): one filtered scan → per-distinct-value conditional aggregate →
+    ONE cumulative window over the value-level relation (orders of
+    magnitude smaller than the fact table — cents-quantized values,
+    not rows) → a 1-row reduce. No row-scale global sort anywhere: the
+    former row_number-over-all-events formulation moved every event
+    row through a single task; this never ranks rows at all."""
     s = (
         table(spark, sf_dir, "events")
         .filter(
             F.col("value").isNotNull()
             & F.col("event_type").isin(_MWU_A, _MWU_B)
         )
-        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+        .select(
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            F.when(F.col("event_type") == _MWU_A, 1).otherwise(0).alias("in_a"),
+        )
     )
     from pyspark.sql import Window
 
-    rn = F.row_number().over(Window.orderBy("v", "event_type", F.monotonically_increasing_id()))
-    # row_number needs a total order; ties' ranks are immediately
-    # re-averaged per value block, so the arbitrary within-tie order
-    # cannot affect the midrank.
-    ranked = s.select("event_type", "v", rn.alias("rn"))
-    mid = ranked.select(
-        "event_type",
-        F.avg(F.col("rn").cast("decimal(18,1)"))
-        .over(Window.partitionBy("v"))
-        .cast("double")
-        .alias("midrank"),
+    lvl = s.groupBy("v").agg(
+        F.sum("in_a").alias("a_here"),
+        F.count(F.lit(1)).alias("c"),
     )
-    agg = mid.agg(
-        F.sum(F.when(F.col("event_type") == _MWU_A, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("event_type") == _MWU_B, 1).otherwise(0)).alias("n_b"),
-        F.sum(
-            F.when(F.col("event_type") == _MWU_A, F.col("midrank")).otherwise(0.0)
-        ).alias("rank_sum_a"),
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mid2 = lvl.select(
+        "a_here",
+        "c",
+        # doubled midrank of the tie block at v: 2*(cum_before + (c+1)/2)
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias("mid2"),
     )
-    u_a = F.col("rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1.0) / 2
+    agg = mid2.agg(
+        F.sum("a_here").cast("bigint").alias("n_a"),
+        (F.sum("c") - F.sum("a_here")).cast("bigint").alias("n_b"),
+        F.sum(F.col("a_here").cast("decimal(20,0)") * F.col("mid2"))
+        .cast("decimal(38,0)")
+        .alias("rs2"),
+    )
+    rank_sum_a = F.col("rs2").cast("double") / 2
+    u_a = rank_sum_a - F.col("n_a") * (F.col("n_a") + 1.0) / 2
     return agg.select(
-        F.col("n_a").cast("bigint").alias("n_a"),
-        F.col("n_b").cast("bigint").alias("n_b"),
-        F.round("rank_sum_a", 1).alias("rank_sum_a"),
+        "n_a",
+        "n_b",
+        F.round(rank_sum_a, 1).alias("rank_sum_a"),
         F.round(u_a, 1).alias("u_a"),
         F.round(u_a / (1.0 * F.col("n_a") * F.col("n_b")), 6).alias("auc"),
     )
@@ -1807,36 +1816,50 @@ def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     3(N+1), with the standard tie correction C = 1 − Σ(t³−t)/(N³−N)
     and H_adj = H/C.
 
-    Determinism: midranks are exact decimals (the MWU discipline), so
-    R_j is exact; each group's R_j²/n_j rounds ONCE into DECIMAL(38,6)
-    before the cross-group sum; tie mass is pure integer arithmetic in
-    DECIMAL(38,0). The only doubles are fixed per-row chains.
+    Determinism AND scale: midranks come from the VALUE CENSUS, never
+    per-row ranks — the tie block at value v has doubled midrank
+    2·cum_before(v) + t(v) + 1, a pure integer, so per-group rank sums
+    accumulate exactly in DECIMAL(38,0) and halve once at the end (the
+    rewritten `mannwhitney_u_event_values` discipline). Each group's
+    R_j²/n_j rounds ONCE into DECIMAL(38,6) before the cross-group sum;
+    tie mass is pure integer arithmetic in DECIMAL(38,0).
 
-    Plan shape: one global sort for ranks (small-k exact formulation —
-    at real scale the same statistic runs on per-range partial ranks),
-    one tie window, two tiny aggregates."""
+    Plan shape (VERDICT r06 item 4): one scan → value census → ONE
+    cumulative window over distinct values (orders of magnitude smaller
+    than the fact table) → value-level join to the (value, group)
+    census → k-row group aggregate. No row-scale global sort: the
+    former row_number-over-all-events formulation is gone."""
     s = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
     )
-    rn = F.row_number().over(
-        Window.orderBy("v", "event_type", F.monotonically_increasing_id())
-    )
-    ranked = s.select("event_type", "v", rn.alias("rn"))
-    mid = ranked.select(
-        "event_type",
+    vt = s.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mid2 = vt.select(
         "v",
-        F.avg(F.col("rn").cast("decimal(18,1)"))
-        .over(Window.partitionBy("v"))
-        .alias("midrank"),
+        "t",
+        # doubled midrank of the tie block at v: 2*(cum_before + (t+1)/2)
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias(
+            "mid2"
+        ),
     )
-    grp = mid.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_j"), F.sum("midrank").alias("r_j")
+    lvl = s.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c_jv"))
+    grp = (
+        lvl.join(mid2.select("v", "mid2"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_jv").alias("n_j"),
+            F.sum(F.col("c_jv").cast("decimal(20,0)") * F.col("mid2"))
+            .cast("decimal(38,0)")
+            .alias("r2_j"),
+        )
     )
     terms = grp.select(
         F.round(
-            F.col("r_j").cast("double") * F.col("r_j").cast("double") / F.col("n_j"),
+            (F.col("r2_j").cast("double") / 2)
+            * (F.col("r2_j").cast("double") / 2)
+            / F.col("n_j"),
             6,
         )
         .cast("decimal(38,6)")
@@ -1844,13 +1867,9 @@ def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum("term").cast("double").alias("sum_terms"))
     k_cnt = grp.agg(F.count(F.lit(1)).alias("k"))
     t3 = F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
-    ties = (
-        s.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(t3).cast("double").alias("tie_mass"),
-            F.sum("t").cast("bigint").alias("n"),
-        )
+    ties = vt.agg(
+        F.sum(t3).cast("double").alias("tie_mass"),
+        F.sum("t").cast("bigint").alias("n"),
     )
     nD = F.col("n").cast("double")
     h = 12.0 / (nD * (F.col("n") + 1)) * F.col("sum_terms") - 3.0 * (F.col("n") + 1)

@@ -160,10 +160,16 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the fact table collapses to DISTINCT price levels per
     group first (one map-side-combining shuffle — levels are value-
-    domain-bounded, far smaller than rows), then one window pass over
-    the level relation. At 100 TB the level relation is what makes the
-    exact answer tractable; if even levels blow up, this degrades
-    gracefully to the same algebra over histogram bins."""
+    domain-bounded, far smaller than rows), then the cumulative weight
+    rides the distributed running-sum device (operators/ranks.py:
+    boundary-bucketed K-way windows + broadcast prefix offsets —
+    VERDICT r06 item 5; near-unique cents levels would otherwise sort
+    in ONE task) over the localCheckpointed level census. At 100 TB
+    the level relation is what makes the exact answer tractable; if
+    even levels blow up, this degrades gracefully to the same algebra
+    over histogram bins."""
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
+
     lv = (
         table(spark, sf_dir, "lineitem")
         .select(
@@ -173,14 +179,19 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "pc")
         .agg(F.sum("q").alias("w"))
+        .localCheckpoint()
     )
-    wo = Window.partitionBy("l_returnflag").orderBy("pc")
-    wt = Window.partitionBy("l_returnflag")
-    cum = lv.select(
-        "l_returnflag",
-        "pc",
-        F.sum("w").over(wo).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
+    tot = lv.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    cum = (
+        with_running_aggs(
+            lv,
+            ["pc"],
+            "pc",
+            {"cw": ("w", "sum", True)},
+            partition_by=["l_returnflag"],
+        )
+        .join(F.broadcast(tot), "l_returnflag")
+        .select("l_returnflag", "pc", "cw", "tw")
     )
     def pick(num: int, den: int):
         return F.min(
@@ -243,24 +254,26 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     CBO uses for selectivity).
 
     Plan shape: one map-side-combining shuffle to the value-level
-    census, one window pass over levels, one tiny rollup — the
-    level-census discipline of `weighted_median_price` applied to
-    optimizer statistics. At 100 TB: exact histograms from a single
-    pass plus level-sized post-processing."""
-    from pyspark.sql import Window
+    census, then the cumulative count rides the distributed
+    running-sum device (operators/ranks.py — boundary-bucketed K-way
+    windows + broadcast prefix offsets; near-unique cents levels would
+    otherwise sort in ONE task, VERDICT r06 item 5) over the
+    localCheckpointed level census, one tiny rollup. At 100 TB: exact
+    histograms from a single pass plus level-sized post-processing."""
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
 
     lv = (
         table(spark, sf_dir, "orders")
         .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"))
         .groupBy("pc")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    wo = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()  # global total
-    cum = lv.select(
-        "pc", "cnt",
-        F.sum("cnt").over(wo).alias("cn"),
-        F.sum("cnt").over(wt).alias("n"),
+    n_all = lv.agg(F.sum("cnt").alias("n"))
+    cum = (
+        with_running_aggs(lv, ["pc"], "pc", {"cn": ("cnt", "sum", True)})
+        .crossJoin(F.broadcast(n_all))
+        .select("pc", "cnt", "cn", "n")
     )
     bin_ = F.least(
         F.lit(_EQD_BINS - 1),

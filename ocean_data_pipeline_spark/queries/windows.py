@@ -259,20 +259,54 @@ ORDER BY priority, decile
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-family completion (§2-G win-rank beyond row_number):
     ntile deciles, percent_rank, first/last_value over one shared
-    (priority, price) sort — Catalyst plans a single exchange + sort
-    for all four window functions. Total tiebreak (price, orderkey)
-    makes ntile assignment deterministic, hence oracle-hashable."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = o.select(
+    (priority, price) total order. Total tiebreak (price, orderkey)
+    makes ntile assignment deterministic, hence oracle-hashable.
+
+    Scale: a 5-way priority partition still sorts 1/5 of the fact
+    table per task, so the ranks ride the distributed exact-rank
+    device (operators/ranks.py — boundary-bucketed windows, broadcast
+    prefix offsets); ntile/percent_rank become pure expressions of the
+    exact rank and the broadcast per-priority census, and first/last
+    value per priority are arg-min/arg-max struct aggregates on that
+    same census — no per-row navigation window at all (VERDICT r06
+    item 5)."""
+    from ocean_data_pipeline_spark.operators.ranks import (
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_global_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         "o_orderkey",
         "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.first("o_orderkey").over(w).alias("cheapest_key"),
-        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+    rn = with_global_row_number(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        "o_totalprice",
+        out="rn",
+        partition_by=["priority"],
+    )
+    census = o.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.min(F.struct("o_totalprice", "o_orderkey"))
+        .getField("o_orderkey")
+        .alias("cheapest_key"),
+        F.max(F.struct("o_totalprice", "o_orderkey"))
+        .getField("o_orderkey")
+        .alias("priciest_key"),
+    )
+    ranked = rn.join(F.broadcast(census), "priority").select(
+        "priority",
+        "o_orderkey",
+        "o_totalprice",
+        ntile_from_rank(F.col("rn"), F.col("n_p"), 10).alias("decile"),
+        F.round(
+            percent_rank_from_rank(F.col("rn"), F.col("n_p")), 6
+        ).alias("pct_rank"),
+        "cheapest_key",
+        "priciest_key",
     )
     return (
         ranked.groupBy("priority", "decile")
@@ -485,15 +519,31 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides round to 6 before the floor-bucket, so the histogram is
     engine-stable.
 
-    Plan shape: a global-order window (single-partition by necessity —
-    the documented exact-rank cost; at 100 TB the decile histogram
-    would come from approx_percentile cuts instead, same tradeoff as
-    `quality_decile_filter`), then a 10-row rollup."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    Plan shape: the DISTRIBUTED exact-rank device (operators/ranks.py,
+    VERDICT r06 item 5) — boundary-bucketed row_number runs the big
+    window K-way parallel (each task sorts ~1/K of the orders), then
+    percent_rank = (rn−1)/(N−1) and cume_dist = rn/N are pure
+    expressions of the exact rank and the broadcast 1-row count. No
+    single-partition sort of the fact table anywhere; the former
+    global-window formulation is gone."""
+    from ocean_data_pipeline_spark.operators.ranks import (
+        cume_dist_from_rank,
+        percent_rank_from_rank,
+        with_global_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    rn = with_global_row_number(
+        o, ["o_totalprice", "o_orderkey"], "o_totalprice", out="rn"
+    )
+    n = o.agg(F.count(F.lit(1)).alias("n_all"))
+    ranked = rn.crossJoin(F.broadcast(n)).select(
+        F.round(
+            percent_rank_from_rank(F.col("rn"), F.col("n_all")), 6
+        ).alias("pct_rank"),
+        F.round(cume_dist_from_rank(F.col("rn"), F.col("n_all")), 6).alias(
+            "cume"
+        ),
     )
     return (
         ranked.groupBy(
@@ -623,24 +673,26 @@ def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the reason a skyline over 100 TB of orders is one partial agg
     (distinct prices) + one tiny window, never a self-join.
 
-    Plan shape: one partial agg onto distinct price levels, one window
-    over those levels (single ordered column — at real scale the level
-    relation is orders-of-magnitude smaller than the fact table), one
-    broadcast-join back. The window's single-partition sort is over
-    LEVELS, not orders."""
+    Plan shape: one partial agg onto distinct price levels, then the
+    strictly-above running min rides the distributed running-agg
+    device (operators/ranks.py — boundary-bucketed K-way windows +
+    broadcast prefix offsets; VERDICT r06 item 5: near-unique price
+    levels would otherwise sort in ONE task) over the localCheckpointed
+    level census, one broadcast-join back."""
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
+
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
     levels = o.groupBy("o_totalprice").agg(
         F.min("o_orderdate").alias("lvl_min_date")
-    )
-    w = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    surviving = levels.select(
+    ).localCheckpoint()
+    surviving = with_running_aggs(
+        levels,
+        [F.desc("o_totalprice")],
         "o_totalprice",
-        "lvl_min_date",
-        F.min("lvl_min_date").over(w).alias("best_above"),
+        {"best_above": ("lvl_min_date", "min", False)},
+        range_desc=True,
     ).filter(
         F.col("best_above").isNull()
         | (F.col("lvl_min_date") < F.col("best_above"))

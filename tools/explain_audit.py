@@ -432,10 +432,10 @@ AUDIT: dict[str, tuple[list[str], list[str]]] = {
         ["SortAggregate"],
         ["BatchEvalPython", "CartesianProduct", "Window", "SortMergeJoin"],
     ),
-    # distribution ranks need the global-order window (documented); the
-    # rollup must not add joins
+    # distribution ranks ride the boundary-bucketed rank device: K-way
+    # partitioned windows, offsets broadcast back (never a shuffle join)
     "order_percentile_ranks": (
-        ["Window"],
+        ["Window", "BroadcastHashJoin"],
         ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
     ),
     # bivariate moments accumulate map-side: one partial agg, joinless

@@ -204,11 +204,10 @@ HEADLINE = [
     "abc_pareto_classes",
     "psi_drift_price",
     "interval_coverage_days",
-    # wave 9/10: recursive-CTE family, VARIANT, Python DataSource
-    # connector, fuzzy matching, ML primitives, media plumbing, DTW,
-    # BPE training, source drift
-    "sql_recursive_capped_balance",
-    "sql_recursive_holt_smoothing",
+    # wave 9/10: VARIANT, Python DataSource connector, fuzzy matching,
+    # ML primitives, media plumbing, DTW, BPE training, source drift
+    # (the two sql_recursive_* CTE demos moved to SPREAD_ONLY — see
+    # below)
     "variant_props_profile",
     "pyds_sensor_feed_profile",
     "edit_distance_name_join",
@@ -280,6 +279,17 @@ HEADLINE = [
     "jackknife_ratio_variance",
 ]
 
+#: Measured and recorded in the spread file but EXCLUDED from the
+#: headline total (VERDICT r06 item 7): the recursive-CTE demos are
+#: legitimate SQL-surface exercises whose cost is UnionLoop depth x
+#: job-submit overhead — sf-INVARIANT (SCALE.md: capped_recursion 4.1x
+#: at 10x data), so their ~47 s masks real movement in the scalable
+#: operators the headline total is meant to track.
+SPREAD_ONLY = [
+    "sql_recursive_capped_balance",
+    "sql_recursive_holt_smoothing",
+]
+
 
 def _spread_path(repo_root: str) -> str:
     """Round-stamped side-file path for the [min,max] spread.
@@ -309,6 +319,8 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry = load_all()
     names = [n for n in HEADLINE if n in registry] or sorted(registry)
+    headline_set = set(names)
+    names = names + [n for n in SPREAD_ONLY if n in registry]
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers once so per-query timings measure
@@ -329,7 +341,9 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()}
-    total = round(sum(timings.values()), 3)
+    # headline value = scalable ops only; SPREAD_ONLY medians live in
+    # the spread file (and the summary dict) but not the total
+    total = round(sum(t for n, t in timings.items() if n in headline_set), 3)
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
@@ -338,7 +352,8 @@ def main() -> None:
         with open(spread_path, "w") as f:
             json.dump(
                 {"spread": spread, "medians": timings, "repeats": repeats,
-                 "sf": sf_num, "total_of_medians": total},
+                 "sf": sf_num, "total_of_medians": total,
+                 "spread_only": [n for n in names if n not in headline_set]},
                 f, indent=1,
             )
             f.write("\n")

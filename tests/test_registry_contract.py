@@ -139,9 +139,10 @@ def test_bench_headline_names_registered():
     from ocean_data_pipeline_spark.queries import load_all
 
     reg = load_all()
-    missing = [n for n in bench.HEADLINE if n not in reg]
+    missing = [n for n in bench.HEADLINE + bench.SPREAD_ONLY if n not in reg]
     assert not missing, f"bench HEADLINE names not registered: {missing}"
-    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE names"
+    all_names = bench.HEADLINE + bench.SPREAD_ONLY
+    assert len(set(all_names)) == len(all_names), "duplicate bench names"
 
 
 def test_audit_names_registered():

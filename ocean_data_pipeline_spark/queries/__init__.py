@@ -177,6 +177,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         tpch_shapes3,
         training_ops,
         variant_ops,
+        wave25_ops,
         windows,
     )
 

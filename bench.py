@@ -277,6 +277,29 @@ HEADLINE = [
     "gaussian_kde_grid",
     "runs_test_monthly",
     "jackknife_ratio_variance",
+    # wave 25: portmanteau/normality/variance-homogeneity tests,
+    # bipartite HITS, exact quantile selection on the distributed rank
+    # device, repetition census, seasonal MK, dedup economics, norm audit
+    "ljung_box_monthly",
+    "jarque_bera_price",
+    "brown_forsythe_event_values",
+    "hits_bipartite_authorities",
+    "exact_percentile_cutpoints",
+    "doc_repetition_census",
+    "seasonal_mann_kendall",
+    "dedup_savings_census",
+    "embedding_norm_audit",
+    # wave 26: BI/lifecycle analytics, corpus-mixing diagnostics,
+    # effect sizes, GROUP BY ALL surface
+    "open_order_backlog_monthly",
+    "clv_cohort_matrix",
+    "new_vs_returning_monthly",
+    "sql_group_by_all",
+    "grouped_percentile_bands",
+    "cramers_v_matrix",
+    "source_ngram_overlap",
+    "length_drift_by_source",
+    "mixed_language_margin",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

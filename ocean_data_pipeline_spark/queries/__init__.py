@@ -178,6 +178,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         training_ops,
         variant_ops,
         wave25_ops,
+        wave26_ops,
         windows,
     )
 

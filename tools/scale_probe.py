@@ -987,6 +987,21 @@ def main() -> None:
 
         return build
 
+    def rank_device_probe(o):
+        def build():
+            from ocean_data_pipeline_spark.operators.ranks import (
+                with_global_row_number,
+            )
+
+            return with_global_row_number(
+                o.select("o_orderkey", "o_totalprice"),
+                ["o_totalprice", "o_orderkey"],
+                "o_totalprice",
+                out="rn",
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -1098,6 +1113,13 @@ def main() -> None:
         "periodogram_terms(orders)": (
             periodogram_probe(ord1),
             periodogram_probe(ord10),
+        ),
+        # round 7: the distributed exact-rank device (operators/ranks.py)
+        # that replaced the row-scale single-partition windows — global
+        # row_number over the whole orders relation, K-way bucketed
+        "distributed_rank(orders)": (
+            rank_device_probe(ord1),
+            rank_device_probe(ord10),
         ),
     }
 

@@ -300,6 +300,14 @@ HEADLINE = [
     "source_ngram_overlap",
     "length_drift_by_source",
     "mixed_language_margin",
+    # wave 27: RANGE frames, Lorenz deciles, burstiness, datasheet,
+    # link prediction, Holt-Winters
+    "rolling_30day_revenue",
+    "lorenz_curve_deciles",
+    "user_interevent_burstiness",
+    "corpus_datasheet",
+    "link_prediction_scores",
+    "holt_winters_additive",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

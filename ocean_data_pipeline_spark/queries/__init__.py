@@ -179,6 +179,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         variant_ops,
         wave25_ops,
         wave26_ops,
+        wave27_ops,
         windows,
     )
 

@@ -1,0 +1,630 @@
+"""Wave 27 (round 7, continued): the RANGE window-frame grammar,
+Lorenz-curve inequality deciles on the distributed rank device, user
+inter-event burstiness, a one-row corpus datasheet, graph link
+prediction (common-neighbors / Jaccard / Adamic-Adar), and additive
+Holt-Winters triple smoothing (the coupled level+trend+seasonal
+recursion through applyInPandas with a list-state recursive-CTE
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocean_data_pipeline_spark.catalog import table
+from ocean_data_pipeline_spark.queries import register
+
+# --- RANGE frame: peak 30-day customer spend ---------------------------------
+
+_RANGE30_ORACLE = """
+WITH d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders
+),
+rolled AS (
+  SELECT o_custkey,
+         sum(rev) OVER (PARTITION BY o_custkey ORDER BY d
+                        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+           AS win30
+  FROM d
+),
+peak AS (
+  SELECT o_custkey, CAST(max(win30) AS DOUBLE) AS peak_30d
+  FROM rolled GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, round(peak_30d, 2) AS peak_30day_spend
+FROM peak
+ORDER BY peak_30d DESC, custkey
+LIMIT 20
+"""
+
+
+@register("rolling_30day_revenue", oracle=_RANGE30_ORACLE)
+def rolling_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window-frame grammar (the one ANSI frame kind not yet
+    exercised — ROWS frames are covered by `rolling_avg_monthly` /
+    `running_total_per_customer`): per customer, the 30-day rolling
+    spend via RANGE BETWEEN 29 PRECEDING AND CURRENT ROW over the date
+    ordinal — RANGE bounds are VALUE distances, so same-day orders
+    collapse into one frame and gaps are skipped, which no ROWS frame
+    expresses. Reported as the top-20 peak 30-day spenders (burst
+    buyers).
+
+    Determinism: the date ordinal is an exact integer; window sums are
+    exact DECIMAL; RANGE frames are order-insensitive within ties by
+    construction (all peers enter the frame together — the reason this
+    is hashable while a ROWS frame over a non-total order wouldn't be).
+
+    Plan shape: one custkey-partitioned window (natural fact key, no
+    global sort), a per-customer max, TakeOrderedAndProject top-20."""
+    d = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "d"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    rolled = d.select("o_custkey", F.sum("rev").over(w).alias("win30"))
+    return (
+        rolled.groupBy("o_custkey")
+        .agg(F.max("win30").cast("double").alias("peak_30d"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.round("peak_30d", 2).alias("peak_30day_spend"),
+        )
+        .orderBy(F.desc("peak_30d"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+# --- Lorenz curve deciles -----------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile FROM spend
+),
+per AS (
+  SELECT decile, count(*) AS n_customers,
+         CAST(sum(x) AS DECIMAL(28,2)) AS spend
+  FROM ranked GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_customers, spend,
+         sum(n_customers) OVER (ORDER BY decile) AS cn,
+         sum(spend) OVER (ORDER BY decile) AS cs,
+         sum(n_customers) OVER () AS n,
+         sum(spend) OVER () AS s
+  FROM per
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(spend AS DOUBLE) AS spend,
+       round(CAST(cn AS DOUBLE) / n, 6) AS cum_pop_share,
+       round(CAST(cs AS DOUBLE) / CAST(s AS DOUBLE), 6) AS cum_spend_share
+FROM cum ORDER BY decile
+"""
+
+
+@register("lorenz_curve_deciles", oracle=_LORENZ_ORACLE)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind `gini_customer_spend` as a 10-point
+    table: customers ranked by spend (ascending, custkey tiebreak) cut
+    into population deciles, with cumulative population share vs
+    cumulative spend share per decile — the "bottom 50% of customers
+    hold X% of revenue" readout an inequality summary number can't
+    show.
+
+    Scale: the decile assignment rides the distributed exact-rank
+    device (operators/ranks.py) over the localCheckpointed per-customer
+    spend relation — no single-partition ntile; the cumulative pass
+    runs on the 10-row decile census. Spend stays exact DECIMAL into
+    the final casts."""
+    from ocean_data_pipeline_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    n_all = spend.agg(F.count(F.lit(1)).alias("n_all"))
+    ranked = with_global_row_number(
+        spend, ["x", "o_custkey"], "x", out="i"
+    ).crossJoin(F.broadcast(n_all))
+    per = (
+        ranked.select(
+            ntile_from_rank(F.col("i"), F.col("n_all"), 10).alias("decile"),
+            "x",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("x").cast("decimal(28,2)").alias("spend"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return (
+        per.select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("spend").cast("double").alias("spend"),
+            F.round(
+                F.sum("n_customers").over(wc).cast("double")
+                / F.sum("n_customers").over(wt),
+                6,
+            ).alias("cum_pop_share"),
+            F.round(
+                F.sum("spend").over(wc).cast("double")
+                / F.sum("spend").over(wt).cast("double"),
+                6,
+            ).alias("cum_spend_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- inter-event burstiness census --------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+),
+per_user AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(g AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                   AS VARCHAR) AS DOUBLE) AS s2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 2
+),
+b AS (
+  SELECT user_id, n,
+         (sqrt(s2 / n - (s1 / n) * (s1 / n)) - s1 / n)
+           / (sqrt(s2 / n - (s1 / n) * (s1 / n)) + s1 / n) AS b
+  FROM per_user WHERE s1 > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(b, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean_burstiness,
+       CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty,
+       CAST(sum(CASE WHEN b < -0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_regular,
+       round(min(b), 9) AS min_b,
+       round(max(b), 9) AS max_b
+FROM b
+"""
+
+
+@register("user_interevent_burstiness", oracle=_BURSTINESS_ORACLE)
+def user_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event burstiness B = (σ−μ)/(σ+μ) over the
+    microsecond gaps between consecutive events (Goh & Barabási '08):
+    B → 1 is bursty (machine retries, scripted traffic), B ≈ 0 is
+    Poisson, B → −1 is metronomic (schedulers, heartbeats) — the
+    behavioral-signature census next to `sessionize_events` that
+    separates humans from automation. The token-level sibling is
+    `token_burstiness` (Fano factor over documents).
+
+    Determinism: gaps are exact integer microseconds (epoch_us on both
+    engines); per-user moment sums are int128-exact DECIMAL with the
+    VARCHAR-hop cast; B is a fixed IEEE chain; per-user B rounds ONCE
+    into DECIMAL(28,9) before the corpus mean.
+
+    Plan shape: one user-partitioned lag window (natural event key —
+    parallel across users), a user-keyed moment aggregate riding the
+    same exchange, a 1-row census."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    g19 = F.col("g").cast("decimal(19,0)")
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(g19).cast("double").alias("s1"),
+            F.sum(g19 * g19).cast("string").cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+        .filter(F.col("s1") > 0)
+    )
+    mu = F.col("s1") / F.col("n")
+    sig = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    b = ((sig - mu) / (sig + mu)).alias("b")
+    bs = per_user.select(b)
+    return bs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.round(F.col("b"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_burstiness"),
+        F.sum(F.when(F.col("b") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bursty"),
+        F.sum(F.when(F.col("b") < -0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_regular"),
+        F.round(F.min("b"), 9).alias("min_b"),
+        F.round(F.max("b"), 9).alias("max_b"),
+    )
+
+
+# --- one-row corpus datasheet ---------------------------------------------------
+
+_DATASHEET_ORACLE = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short
+  FROM documents
+),
+uniq AS (
+  SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique
+  FROM documents
+),
+lv AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars),
+med AS (
+  SELECT min(CASE WHEN 2 * cw >= n THEN v END) AS median_chars
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cw, sum(c) OVER () AS n FROM lv
+  )
+)
+SELECT b.n_docs, b.n_sources, b.n_langs, b.total_chars,
+       CAST(m.median_chars AS BIGINT) AS median_chars,
+       round(CAST(b.n_short AS DOUBLE) / b.n_docs, 6) AS short_doc_share,
+       round(1.0 - CAST(u.n_unique AS DOUBLE) / b.n_docs, 6)
+         AS exact_dup_rate
+FROM base b CROSS JOIN uniq u CROSS JOIN med m
+"""
+
+
+@register("corpus_datasheet", oracle=_DATASHEET_ORACLE)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (the "datasheets for datasets" summary
+    panel): document/source/language counts, total and exact-median
+    characters, short-doc share, and the exact-duplicate rate — the
+    first table in any dataset card, composed from the same primitives
+    the deep audits use (sha2 dedup, value-census median selection).
+
+    Plan shape: three independent 1-row aggregates (base census, sha2
+    distinct, level-census median) cross-joined as broadcast scalars.
+    Each is one pass; nothing row-scale survives any of them."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+    )
+    uniq = docs.agg(
+        F.countDistinct(F.sha2(F.col("text"), 256))
+        .cast("bigint")
+        .alias("n_unique")
+    )
+    lv = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    med = (
+        lv.select(
+            "v",
+            F.sum("c").over(wo).alias("cw"),
+            F.sum("c").over(wt).alias("n"),
+        )
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("v"))).alias(
+                "median_chars"
+            )
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(uniq))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_chars",
+            F.col("median_chars").cast("bigint").alias("median_chars"),
+            F.round(
+                F.col("n_short").cast("double") / F.col("n_docs"), 6
+            ).alias("short_doc_share"),
+            F.round(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+        )
+    )
+
+
+# --- link prediction on the co-purchase graph ----------------------------------
+
+def _link_pred_oracle() -> str:
+    from ocean_data_pipeline_spark.queries.graph_ops import _EDGES_SQL
+
+    return f"""
+WITH {_EDGES_SQL},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+wedges AS (  -- candidate pair (a, c) with common neighbor w = s1.dst
+  SELECT s1.src AS a, s2.dst AS c, s1.dst AS w
+  FROM sym s1 JOIN sym s2 ON s2.src = s1.dst AND s1.src < s2.dst
+),
+nonedge AS (
+  SELECT w.a, w.c, w.w FROM wedges w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.pa = w.a AND e.pb = w.c
+  )
+),
+scored AS (
+  SELECT n.a, n.c,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(CAST(round(1.0 / ln(d.degree), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS aa
+  FROM nonedge n JOIN deg d ON d.node = n.w
+  GROUP BY n.a, n.c
+)
+SELECT s.a AS part_a, s.c AS part_b,
+       s.cn AS common_neighbors,
+       round(CAST(s.cn AS DOUBLE)
+             / (da.degree + dc.degree - s.cn), 6) AS jaccard,
+       round(s.aa, 6) AS adamic_adar
+FROM scored s
+JOIN deg da ON da.node = s.a
+JOIN deg dc ON dc.node = s.c
+ORDER BY s.cn DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("link_prediction_scores", oracle=_link_pred_oracle())
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the top-20 NON-edges
+    ranked by common-neighbor count, with Jaccard
+    (cn / (deg_a + deg_c − cn)) and Adamic-Adar (Σ_w 1/ln(deg_w))
+    scores — the classic recommendation shortlist ("parts bought with
+    the same things but never together"). Common neighbors have degree
+    ≥ 2 by construction, so ln(deg) is never 0.
+
+    Determinism: cn is a pure integer; each Adamic-Adar term rounds
+    ONCE into DECIMAL(28,9) before the per-pair sum; the top-20 orders
+    by (cn DESC, ids) — an all-integer total order.
+
+    Plan shape: the `pagerank_copurchase_top20` edge census
+    (localCheckpointed once) → ONE wedge self-join keyed on the middle
+    node → anti-join against the edge list to keep non-edges → pair
+    aggregate with a broadcast degree join → TakeOrderedAndProject.
+    Wedge mass is Σ deg² — at 100 TB the degree-ordered orientation +
+    hub capping documented in `copurchase_triangle_census` bounds it;
+    the eval-scale form here enumerates wedges exactly."""
+    from ocean_data_pipeline_spark.queries.graph_ops import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    s2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("c"))
+    wedges = s1.join(s2, "w").filter(F.col("a") < F.col("c"))
+    nonedge = wedges.join(
+        edges,
+        (wedges.a == edges.pa) & (wedges.c == edges.pb),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(
+            F.broadcast(deg.withColumnRenamed("node", "w")), "w"
+        )
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(
+                F.round(1.0 / F.log(F.col("degree")), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("aa"),
+        )
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    dc = deg.select(F.col("node").alias("c"), F.col("degree").alias("deg_c"))
+    return (
+        scored.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_c") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+# --- additive Holt-Winters triple smoothing ------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.4, 0.2, 0.3
+
+# the level update, repeated textually wherever l_t is referenced so
+# every occurrence evaluates the identical IEEE chain
+_HW_LVL = (
+    "(0.4 * (i.rev - hw.s[(i.t - 1) % 12 + 1])"
+    " + 0.6 * (hw.lvl + hw.trd))"
+)
+
+_HW_ORACLE = f"""
+WITH RECURSIVE m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT month, rev, row_number() OVER (ORDER BY month) AS t,
+         count(*) OVER () AS n
+  FROM m
+),
+init AS (  -- integer-cents season-1 mean: identical l0 on both engines
+  SELECT CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / 12.0 AS l0
+  FROM idx WHERE t <= 12
+),
+s0 AS (
+  SELECT list(idx.rev - i.l0 ORDER BY idx.t) AS s
+  FROM idx, init i WHERE idx.t <= 12
+),
+hw AS (
+  SELECT 12 AS t, CAST(NULL AS VARCHAR) AS month,
+         CAST(NULL AS DOUBLE) AS rev,
+         i.l0 AS lvl, CAST(0.0 AS DOUBLE) AS trd, s0.s AS s,
+         CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+  FROM init i, s0
+  UNION ALL
+  SELECT i.t, i.month, i.rev,
+         {_HW_LVL} AS lvl,
+         0.2 * ({_HW_LVL} - hw.lvl) + 0.8 * hw.trd AS trd,
+         list_slice(hw.s, 1, (i.t - 1) % 12)
+           || [0.3 * (i.rev - {_HW_LVL})
+               + 0.7 * hw.s[(i.t - 1) % 12 + 1]]
+           || list_slice(hw.s, (i.t - 1) % 12 + 2, 12) AS s,
+         0.3 * (i.rev - {_HW_LVL})
+           + 0.7 * hw.s[(i.t - 1) % 12 + 1] AS seasonal,
+         hw.lvl + hw.trd + hw.s[(i.t - 1) % 12 + 1] AS fitted
+  FROM hw JOIN idx i ON i.t = hw.t + 1
+)
+SELECT month,
+       round(rev, 2) AS revenue,
+       round(lvl, 4) AS level,
+       round(trd, 4) AS trend,
+       round(seasonal, 4) AS seasonal,
+       round(fitted, 4) AS fitted
+FROM hw WHERE t > 12 ORDER BY month
+"""
+
+
+@register("holt_winters_additive", oracle=_HW_ORACLE)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing of monthly
+    revenue, season length 12 (alpha=0.4, beta=0.2, gamma=0.3):
+    l_t = a(y_t − s_{t−12}) + (1−a)(l+b), b_t = B(l_t − l) + (1−B)b,
+    s_t = G(y_t − l_t) + (1−G)s_{t−12}, with fitted_t = l + b + s_{t−12}
+    the leakage-free one-step-ahead forecast — the seasonal completion
+    of `holt_linear_smoothing` and the model `seasonal_mann_kendall` /
+    `periodogram_monthly` motivate. Init: l_12 = season-1 mean (from
+    integer cents so both engines start on the identical double),
+    b_12 = 0, s_i = y_i − l_12.
+
+    Determinism: THREE coupled recursions with a 12-slot seasonal
+    state — the honest sequential case squared. The Python loop and
+    DuckDB's recursive CTE (whose state row carries the seasonal
+    vector as a LIST column, sliced and rebuilt each step) evaluate
+    the identical float chain with textually identical alpha literals;
+    the level update is repeated verbatim wherever l_t is referenced
+    so every occurrence computes the same bits. Display rounding
+    engine-side (Python round is half-even, the engines' half-away).
+
+    Plan shape: facts collapse to ~84 month rows; one single-group
+    Arrow applyInPandas carries the recursion (calendar-bounded, cost
+    sf-invariant — the `holt_linear_smoothing` posture; a per-entity
+    variant would key the group by the entity)."""
+    import pandas as pd
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-01"
+            ).alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+    cols = ["month", "revenue", "level", "trend", "seasonal", "fitted"]
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        if len(pdf) < 13:
+            return pd.DataFrame(columns=cols)
+        ys = list(pdf.rev)
+        l0 = sum(int(round(y * 100)) for y in ys[:12]) / 100.0 / 12.0
+        s = [y - l0 for y in ys[:12]]  # seasonal slots 0..11
+        lvl, trd = l0, 0.0
+        out = []
+        for t in range(13, len(ys) + 1):
+            y = ys[t - 1]
+            p = (t - 1) % 12
+            s_old = s[p]
+            fitted = lvl + trd + s_old
+            l_new = 0.4 * (y - s_old) + 0.6 * (lvl + trd)
+            t_new = 0.2 * (l_new - lvl) + 0.8 * trd
+            s_new = 0.3 * (y - l_new) + 0.7 * s_old
+            s[p] = s_new
+            lvl, trd = l_new, t_new
+            # raw doubles out; rounding happens ENGINE-side (half-away)
+            out.append((pdf.month[t - 1], y, l_new, t_new, s_new, fitted))
+        return pd.DataFrame(out, columns=cols)
+
+    out = m.groupBy(F.lit(1).alias("g")).applyInPandas(
+        hw,
+        schema="month string, revenue double, level double, trend double, "
+        "seasonal double, fitted double",
+    )
+    return out.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("fitted", 4).alias("fitted"),
+    ).orderBy("month")

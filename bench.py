@@ -308,6 +308,10 @@ HEADLINE = [
     "corpus_datasheet",
     "link_prediction_scores",
     "holt_winters_additive",
+    # wave 28: regularized regression, readability, t-closeness
+    "ridge_price_regression",
+    "readability_census",
+    "t_closeness_census",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

@@ -180,6 +180,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave25_ops,
         wave26_ops,
         wave27_ops,
+        wave28_ops,
         windows,
     )
 

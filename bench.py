@@ -306,7 +306,6 @@ HEADLINE = [
     "lorenz_curve_deciles",
     "user_interevent_burstiness",
     "corpus_datasheet",
-    "link_prediction_scores",
     "holt_winters_additive",
     # wave 28: regularized regression, readability, t-closeness
     "ridge_price_regression",
@@ -323,6 +322,13 @@ HEADLINE = [
 SPREAD_ONLY = [
     "sql_recursive_capped_balance",
     "sql_recursive_holt_smoothing",
+    # exact common-neighbor scoring enumerates the full wedge mass
+    # (Σ deg² ≈ 160M at sf0.1) by design — the same
+    # honest-exact-at-eval-scale posture as reciprocal_nn_pairs; the
+    # adjacency-list rewrite halved it (123 s → ~60 s) but it would
+    # still dominate the headline total without measuring anything the
+    # other graph headliners don't.
+    "link_prediction_scores",
 ]
 
 

@@ -427,12 +427,18 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (cn DESC, ids) — an all-integer total order.
 
     Plan shape: the `pagerank_copurchase_top20` edge census
-    (localCheckpointed once) → ONE wedge self-join keyed on the middle
-    node → anti-join against the edge list to keep non-edges → pair
-    aggregate with a broadcast degree join → TakeOrderedAndProject.
-    Wedge mass is Σ deg² — at 100 TB the degree-ordered orientation +
-    hub capping documented in `copurchase_triangle_census` bounds it;
-    the eval-scale form here enumerates wedges exactly."""
+    (localCheckpointed once) → per-middle-node SORTED ADJACENCY LISTS
+    (one shuffle), from which (a) the ordered wedge pairs explode
+    MAP-SIDE in codegen (never a sym⋈sym shuffle join) and (b) the
+    middle-node degree — and hence the Adamic-Adar term — is just the
+    list length (no degree join at all) → ONE pair aggregate whose
+    partial (map-side) combine absorbs the Σ deg² wedge volume before
+    anything shuffles → anti-join against the edge list on the PAIR
+    CENSUS (not the raw wedges) → broadcast endpoint degrees →
+    TakeOrderedAndProject. This ordering is what took the sf0.1 median
+    from 123 s (join-first formulation) to join-free wedge generation;
+    at 100 TB the hub-capping documented in
+    `copurchase_triangle_census` additionally bounds the per-node list."""
     from ocean_data_pipeline_spark.queries.graph_ops import _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
@@ -441,30 +447,37 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    adj = sym.groupBy(F.col("src").alias("w")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
-    s2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("c"))
-    wedges = s1.join(s2, "w").filter(F.col("a") < F.col("c"))
-    nonedge = wedges.join(
+    nbrs = F.col("nbrs")
+    pairs = F.flatten(
+        F.transform(
+            nbrs,
+            lambda x, i: F.transform(
+                F.slice(nbrs, i + 2, F.size(nbrs)),
+                lambda y: F.struct(x.alias("a"), y.alias("c")),
+            ),
+        )
+    )
+    wedge_pairs = adj.select(
+        F.explode(pairs).alias("p"),
+        # Adamic-Adar term of the middle node: deg(w) == len(nbrs)
+        F.round(1.0 / F.log(F.size(nbrs)), 9)
+        .cast("decimal(28,9)")
+        .alias("t"),
+    ).select("p.a", "p.c", "t")
+    scored_all = wedge_pairs.groupBy("a", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"),
+        F.sum("t").cast("double").alias("aa"),
+    )
+    scored = scored_all.join(
         edges,
-        (wedges.a == edges.pa) & (wedges.c == edges.pb),
+        (scored_all.a == edges.pa) & (scored_all.c == edges.pb),
         "left_anti",
     )
-    scored = (
-        nonedge.join(
-            F.broadcast(deg.withColumnRenamed("node", "w")), "w"
-        )
-        .groupBy("a", "c")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum(
-                F.round(1.0 / F.log(F.col("degree")), 9).cast("decimal(28,9)")
-            )
-            .cast("double")
-            .alias("aa"),
-        )
+    deg = adj.select(
+        F.col("w").alias("node"), F.size("nbrs").alias("degree")
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     dc = deg.select(F.col("node").alias("c"), F.col("degree").alias("deg_c"))

@@ -115,6 +115,30 @@ _DRIVER_VERIFIED = frozenset({
     "target_encoding_loo", "value_histogram_events",
     "weekly_retention_cohorts", "welch_ttest_event_values",
     "wilson_proportion_intervals",
+    # green in round 7 (CORRECTNESS_r07.json, 50/50 pass — including
+    # nation_top_balances_array after its text re-serialization, and
+    # clustering_coefficient_census / the graph family first-timers).
+    "nation_top_balances_array", "daily_ohlc_bars",
+    "kaplan_meier_user_lifetime", "attribution_credit", "session_path_topn",
+    "mutual_information_census", "entropy_rate_markov", "nelson_aalen_hazard",
+    "rmst_survival", "logrank_test", "edit_distance_name_join",
+    "snm_near_dup_pairs", "benford_digit_census", "mahalanobis_outliers",
+    "k_anonymity_census", "impute_missing_values",
+    "erasure_propagation_census", "dp_noise_calibration",
+    "fd_violation_census", "copurchase_triangle_census",
+    "part_degree_distribution", "pagerank_copurchase_top20",
+    "kcore_copurchase", "association_rules_copurchase", "bfs_reachability",
+    "item_item_cosine_topk", "frequent_triples_apriori",
+    "bellman_ford_distances", "degree_assortativity",
+    "clustering_coefficient_census", "monthly_climatology",
+    "climatology_anomalies", "zorder_layout_stats", "haversine_nearby",
+    "grid_hotspot_clusters", "point_in_polygon_census",
+    "incremental_agg_merge", "mv_incremental_refresh",
+    "scd2_priority_history", "scd2_point_in_time_join",
+    "snapshot_diff_census", "cdc_apply_changes", "hierarchical_time_rollup",
+    "shipment_overlap_pairs", "fiscal_window_rollup",
+    "interval_coverage_days", "fifo_lot_allocation", "asof_forward_deadline",
+    "asof_nearest_event", "bloom_join_urgent_revenue",
 })
 
 # Queries added after the round's front block was already full (the
@@ -199,4 +223,16 @@ def load_all() -> dict[str, RegisteredQuery]:
         )
     front = {n: rq for n, rq in REGISTRY.items() if n not in rotated}
     back = {n: rq for n, rq in REGISTRY.items() if n in rotated}
-    return {**front, **back}
+    # Least-proven first: queries from the newest wave modules are the
+    # least-exercised code, so they ride at the head of the front block
+    # to land inside the driver's 50-query check this round (VERDICT r07
+    # item 6). Within each tier, registration order is preserved.
+    newest = tuple(
+        f"ocean_data_pipeline_spark.queries.{m}"
+        for m in ("wave25_ops", "wave26_ops", "wave27_ops", "wave28_ops")
+    )
+    prioritized = {
+        n: rq for n, rq in front.items() if rq.fn.__module__ in newest
+    }
+    rest = {n: rq for n, rq in front.items() if n not in prioritized}
+    return {**prioritized, **rest, **back}

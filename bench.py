@@ -359,7 +359,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry = load_all()
-    names = [n for n in HEADLINE if n in registry] or sorted(registry)
+    names = [n for n in HEADLINE if n in registry] or sorted(
+        n for n in registry if n not in SPREAD_ONLY
+    )
     headline_set = set(names)
     names = names + [n for n in SPREAD_ONLY if n in registry]
     spark = get_spark("bench")

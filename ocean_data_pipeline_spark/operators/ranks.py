@@ -91,8 +91,11 @@ def with_running_aggs(
 
     `range_col` MUST be the leading key of `order_by` (same direction
     as `range_desc`), and (partition_by, order_by) must be a total
-    order. Output column types follow Spark's window-aggregate typing
-    for the same fn, so rewrites are drop-in vs the naive window.
+    order. Output VALUES equal the naive ``fn().over(w)`` window's;
+    types match for count/min/max and integral sums, but DECIMAL sums
+    come back wider (the per-bucket total + offset-window sum +
+    coalesce-add each widen precision) — cast at the call site if the
+    naive window's exact DECIMAL type matters.
     """
     for out, (_, fn, _) in specs.items():
         if fn not in _FNS:

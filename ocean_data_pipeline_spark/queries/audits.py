@@ -2580,16 +2580,19 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery: GLM fit -> score -> stratify -> weighted contrast.)
 
     Determinism: propensity scores are sigmoid chains on coefficients
-    from exactly-associative decimal sums; ntile runs over the total
-    (e, custkey) order; spend sums are cents-exact DECIMAL; the ATE
-    pools n*diff terms rounded once into DECIMAL(38,6), skipping (and
-    renormalizing over) strata missing a group.
+    from exactly-associative decimal sums; the quintile assignment is
+    ANSI ntile(5) over the total (e, custkey) order, computed by the
+    distributed exact-rank device (operators/ranks.py) — bit-identical
+    to the oracle's ntile, never a single-partition window; spend sums
+    are cents-exact DECIMAL; the ATE pools n*diff terms rounded once
+    into DECIMAL(38,6), skipping (and renormalizing over) strata
+    missing a group.
 
     Plan shape: orders collapse to per-customer spend once; the IRLS
-    rounds are aggregate-only; scoring is one map-side expression; one
-    ntile window over customers; a 5-cell aggregate. At 100 TB the
-    only row-scale sort is the quintile ntile — replaceable by
-    approx-quantile cut points without changing the estimator."""
+    rounds are aggregate-only; scoring is one map-side expression (the
+    scored relation is localCheckpointed so the rank device's bounds
+    pass reads it, not the IRLS chain); quintiles via K-way bucketed
+    rank; a 5-cell aggregate. No row-scale single-task sort remains."""
     spend = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -2638,14 +2641,29 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b1"
             ),
         )
-    scored = base.crossJoin(F.broadcast(coeffs)).select(
-        "c_custkey",
-        "t",
-        "y",
-        (1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))).alias("e"),
+    scored = (
+        base.crossJoin(F.broadcast(coeffs))
+        .select(
+            "c_custkey",
+            "t",
+            "y",
+            (1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))).alias(
+                "e"
+            ),
+        )
+        .localCheckpoint()  # customer-scale; read 3× by the rank device
     )
-    strata = scored.select(
-        F.ntile(5).over(Window.orderBy("e", "c_custkey")).alias("q"), "t", "y"
+    from ocean_data_pipeline_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
+    n_all = scored.agg(F.count(F.lit(1)).alias("_n_all"))
+    ranked = with_global_row_number(
+        scored, ["e", "c_custkey"], "e", out="_rank"
+    ).crossJoin(F.broadcast(n_all))
+    strata = ranked.select(
+        ntile_from_rank(F.col("_rank"), F.col("_n_all"), 5).alias("q"), "t", "y"
     )
     dec2 = lambda c: F.round(c, 2).cast("decimal(28,2)")  # noqa: E731
     cells = strata.groupBy("q").agg(

@@ -1056,8 +1056,11 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
     (not fixed cuts) keep the strata populated at any corpus scale.
 
     Determinism: triangle incidence and degrees are exact integers;
-    ntile runs over the total (degree, node) order; each node's cc
-    rounds ONCE into DECIMAL(28,12) before the band mean.
+    the quartile assignment is ANSI ntile(4) over the total
+    (degree, node) order, computed by the distributed exact-rank
+    device (operators/ranks.py) — bit-identical to the oracle's
+    ntile, never a single-partition window; each node's cc rounds
+    ONCE into DECIMAL(28,12) before the band mean.
 
     Plan shape: the shared edge census (localCheckpointed, consumed by
     degree + wedge subtrees), then the DEGREE-ORDERED wedge enumeration
@@ -1125,10 +1128,20 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("decimal(28,12)")
             .alias("cc"),
         )
+        .localCheckpoint()  # node-scale; read 3× by the rank device
     )
-    band = F.ntile(4).over(Window.orderBy("degree", "node"))
+    from ocean_data_pipeline_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
+    n_all = cc.agg(F.count(F.lit(1)).alias("_n_all"))
+    ranked = with_global_row_number(
+        cc, ["degree", "node"], "degree", out="_rank"
+    ).crossJoin(F.broadcast(n_all))
+    band = ntile_from_rank(F.col("_rank"), F.col("_n_all"), 4)
     return (
-        cc.select(band.alias("degree_band"), "degree", "t", "cc")
+        ranked.select(band.alias("degree_band"), "degree", "t", "cc")
         .groupBy("degree_band")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),

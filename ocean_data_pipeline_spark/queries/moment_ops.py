@@ -404,6 +404,19 @@ def gaussian_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     kern = F.round(F.exp(-u * u / 2) * F.lit(1e12)).cast("long")
     import math
 
+    # Loud overflow guard (ADVICE r07): Spark's non-ANSI sum(long)
+    # silently WRAPS past ~9.2e18 while DuckDB promotes to HUGEINT, so
+    # past ~9e6 fully-overlapping rows per grid point the engines would
+    # silently diverge. assert_true rides inside the density expression
+    # (NULL when the bound holds) so column pruning can never drop it;
+    # past the bound the job fails with this message instead of lying.
+    guard = F.assert_true(
+        F.col("n") <= F.lit(9_000_000),
+        F.lit(
+            "gaussian_kde_grid: picounit BIGINT kernel sums overflow past "
+            "~9e6 rows per grid point — switch to DECIMAL(38,0) accumulation"
+        ),
+    )
     dens = (
         base.crossJoin(F.broadcast(grid))
         .groupBy("gi", "gx", "n", "h")
@@ -411,10 +424,13 @@ def gaussian_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("gi").alias("grid_index"),
             F.round("gx", 2).alias("x"),
-            F.round(
-                F.col("ksum")
-                / (F.col("n") * F.col("h") * F.lit(math.sqrt(2 * math.pi))),
-                12,
+            F.when(
+                guard.isNull(),
+                F.round(
+                    F.col("ksum")
+                    / (F.col("n") * F.col("h") * F.lit(math.sqrt(2 * math.pi))),
+                    12,
+                ),
             ).alias("density"),
         )
     )

@@ -108,16 +108,22 @@ def test_oracle_backed_queries_return_flat_columns(registry, spark):
     query errors forever on the driver even when values are right (the
     ``nation_top_balances_array`` lesson). Nested payloads must be
     serialized to deterministic text (concat_ws / to_json ↔ string_agg /
-    json) before return. Schema inspection is lazy — no query executes."""
+    json) before return. Schema inspection is MOSTLY lazy, but rank-
+    device queries run eager approxQuantile / localCheckpoint jobs
+    inside fn(), so this test does execute real (smoke-scale) Spark
+    jobs for those; construction failures are logged, not swallowed —
+    outright correctness belongs to the parity suite."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
+    skipped: list[str] = []
     for name, rq in registry.items():
         if rq.oracle is None:
             continue
         try:
             schema = rq.fn(spark, SF_SMOKE).schema
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — log, don't hide
+            skipped.append(f"{name}: {type(e).__name__}: {e}")
             continue  # execution-path issues belong to the parity suite
         bad = [
             f.name
@@ -126,9 +132,20 @@ def test_oracle_backed_queries_return_flat_columns(registry, spark):
         ]
         if bad:
             offenders.append(f"{name}: {bad}")
+    if skipped:
+        print(
+            "test_oracle_backed_queries_return_flat_columns skipped "
+            f"{len(skipped)} queries whose construction raised: {skipped}"
+        )
     assert not offenders, (
         "oracle-backed queries return top-level array/map/struct columns "
         f"(driver canonicalizer cannot hash these): {offenders}"
+    )
+    # Construction failures here are almost always real breakage (every
+    # registered query must build against the smoke tables); cap the
+    # tolerated count so a broad regression cannot hide in the skip path.
+    assert len(skipped) <= 2, (
+        f"too many queries failed to construct at smoke scale: {skipped}"
     )
 
 

@@ -80,6 +80,7 @@ def with_running_aggs(
     partition_by: Sequence[str] = (),
     range_desc: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Add exact global running aggregates over a total order, K-way
     distributed (never a single-partition window).
@@ -96,13 +97,32 @@ def with_running_aggs(
     come back wider (the per-bucket total + offset-window sum +
     coalesce-add each widen precision) — cast at the call site if the
     naive window's exact DECIMAL type matters.
+
+    `bucket_width`: when the order key's VALUE DOMAIN is bounded (cents
+    levels, degrees, month indexes), pass a fixed coarsening width
+    instead of sampling — bucket = floor(key / width), a pure
+    expression. The plan stays FULLY LAZY (no approxQuantile job, no
+    checkpoint needed to shield upstream lineage from the bounds pass)
+    and the offset census is bounded by domain/width rows. Prefer this
+    whenever a sane width exists; sampled bounds remain the fallback
+    for unbounded/unknown domains.
     """
     for out, (_, fn, _) in specs.items():
         if fn not in _FNS:
             raise ValueError(f"{out}: unsupported running fn {fn!r}")
-    bounds = _sample_bounds(df, range_col, num_buckets)
     part = list(partition_by)
-    bucketed = df.withColumn("_bkt", _bucket_expr(range_col, bounds))
+    if bucket_width is not None:
+        bkt = F.floor(
+            F.col(range_col).cast("double") / F.lit(float(bucket_width))
+        )
+        # NULL order keys sort first (ASC NULLS FIRST): park them in a
+        # bucket below any real floor() value, negative keys included.
+        bucketed = df.withColumn(
+            "_bkt", F.coalesce(bkt, F.lit(-(2**62)))
+        )
+    else:
+        bounds = _sample_bounds(df, range_col, num_buckets)
+        bucketed = df.withColumn("_bkt", _bucket_expr(range_col, bounds))
 
     w_base = Window.partitionBy(*part, "_bkt").orderBy(*order_by)
     w_incl = w_base.rowsBetween(Window.unboundedPreceding, 0)
@@ -171,10 +191,13 @@ def with_global_row_number(
     partition_by: Sequence[str] = (),
     range_desc: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Exact global (or per-group) row_number over a TOTAL order — the
     drop-in for ``row_number().over(Window.orderBy(...))`` without the
-    single-partition sort. bigint, 1-based."""
+    single-partition sort. bigint, 1-based. Pass `bucket_width` when
+    the order key's value domain is bounded to keep the plan fully
+    lazy (no sampling job) — see with_running_aggs."""
     return with_running_aggs(
         df,
         order_by,
@@ -183,6 +206,7 @@ def with_global_row_number(
         partition_by=partition_by,
         range_desc=range_desc,
         num_buckets=num_buckets,
+        bucket_width=bucket_width,
     )
 
 

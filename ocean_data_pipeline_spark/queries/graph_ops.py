@@ -1057,9 +1057,12 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Determinism: triangle incidence and degrees are exact integers;
     the quartile assignment is ANSI ntile(4) over the total
-    (degree, node) order, computed by the distributed exact-rank
-    device (operators/ranks.py) — bit-identical to the oracle's
-    ntile, never a single-partition window; each node's cc rounds
+    (degree, node) order, computed WITHOUT any row-scale global
+    window: global rank = (broadcast prefix-count of smaller degrees
+    from the degree census) + row_number within the node's degree
+    group — exact, fully lazy, and the only unpartitioned window runs
+    over the distinct-DEGREE census (O(sqrt m) values in any graph:
+    Σ of d distinct degrees ≥ d(d+1)/2 ≤ 2m). Each node's cc rounds
     ONCE into DECIMAL(28,12) before the band mean.
 
     Plan shape: the shared edge census (localCheckpointed, consumed by
@@ -1128,17 +1131,21 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("decimal(28,12)")
             .alias("cc"),
         )
-        .localCheckpoint()  # node-scale; read 3× by the rank device
     )
-    from ocean_data_pipeline_spark.operators.ranks import (
-        ntile_from_rank,
-        with_global_row_number,
-    )
+    from ocean_data_pipeline_spark.operators.ranks import ntile_from_rank
 
-    n_all = cc.agg(F.count(F.lit(1)).alias("_n_all"))
-    ranked = with_global_row_number(
-        cc, ["degree", "node"], "degree", out="_rank"
-    ).crossJoin(F.broadcast(n_all))
+    dcensus = cc.groupBy("degree").agg(F.count(F.lit(1)).alias("_dn"))
+    w_off = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = dcensus.select(
+        "degree",
+        F.coalesce(F.sum("_dn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_dn").over(Window.partitionBy()).alias("_n_all"),
+    )
+    ranked = cc.join(F.broadcast(offsets), "degree").withColumn(
+        "_rank",
+        F.col("_off")
+        + F.row_number().over(Window.partitionBy("degree").orderBy("node")),
+    )
     band = ntile_from_rank(F.col("_rank"), F.col("_n_all"), 4)
     return (
         ranked.select(band.alias("degree_band"), "degree", "t", "cc")

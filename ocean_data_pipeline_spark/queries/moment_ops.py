@@ -161,13 +161,15 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the fact table collapses to DISTINCT price levels per
     group first (one map-side-combining shuffle — levels are value-
     domain-bounded, far smaller than rows), then the cumulative weight
-    rides the distributed running-sum device (operators/ranks.py:
-    boundary-bucketed K-way windows + broadcast prefix offsets —
-    VERDICT r06 item 5; near-unique cents levels would otherwise sort
-    in ONE task) over the localCheckpointed level census. At 100 TB
-    the level relation is what makes the exact answer tractable; if
-    even levels blow up, this degrades gracefully to the same algebra
-    over histogram bins."""
+    rides the FIXED-WIDTH coarsening mode of the distributed
+    running-sum device (operators/ranks.py bucket_width: bucket =
+    floor(cents / $1000) — a pure expression, so the whole query is
+    ONE lazy plan with no approxQuantile pass or checkpoint; the
+    offset census is bounded by price-domain/$1000 ≈ a few hundred
+    rows; near-unique cents levels would otherwise sort in ONE task).
+    At 100 TB the level relation is what makes the exact answer
+    tractable; if even levels blow up, this degrades gracefully to the
+    same algebra over histogram bins."""
     from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
 
     lv = (
@@ -179,7 +181,6 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "pc")
         .agg(F.sum("q").alias("w"))
-        .localCheckpoint()
     )
     tot = lv.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
     cum = (
@@ -189,6 +190,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pc",
             {"cw": ("w", "sum", True)},
             partition_by=["l_returnflag"],
+            bucket_width=100_000.0,  # $1000 in cents
         )
         .join(F.broadcast(tot), "l_returnflag")
         .select("l_returnflag", "pc", "cw", "tw")
@@ -271,7 +273,12 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_all = lv.agg(F.sum("cnt").alias("n"))
     cum = (
-        with_running_aggs(lv, ["pc"], "pc", {"cn": ("cnt", "sum", True)})
+        # fixed-width coarsening ($1000 cents buckets): bounded value
+        # domain, fully lazy — no approxQuantile job (see ranks.py).
+        with_running_aggs(
+            lv, ["pc"], "pc", {"cn": ("cnt", "sum", True)},
+            bucket_width=100_000.0,
+        )
         .crossJoin(F.broadcast(n_all))
         .select("pc", "cnt", "cn", "n")
     )

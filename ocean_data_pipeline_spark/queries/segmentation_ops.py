@@ -95,11 +95,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = rfm.agg(F.count(F.lit(1)).alias("n_all"))
 
+    # fixed-width coarsening buckets (ranks.py bucket_width): all three
+    # measures have SF-invariant per-entity domains in TPC-H-shaped data
+    # (orders/customer is constant), so a fixed width keeps each score
+    # branch FULLY LAZY — no approxQuantile job per measure.
+    widths = {"recency_days": 30.0, "frequency": 1.0, "monetary": 10_000.0}
+
     def score(measure: str, desc: bool, out: str):
         proj = rfm.select("o_custkey", measure)
         order = [F.desc(measure) if desc else F.asc(measure), F.asc("o_custkey")]
         ranked = with_global_row_number(
-            proj, order, measure, out="_rn", range_desc=desc
+            proj, order, measure, out="_rn", range_desc=desc,
+            bucket_width=widths[measure],
         )
         return ranked.crossJoin(F.broadcast(n)).select(
             "o_custkey",
@@ -183,7 +190,8 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     ranked = with_global_row_number(
-        spend, ["x", "o_custkey"], "x", out="i"
+        spend, ["x", "o_custkey"], "x", out="i",
+        bucket_width=10_000.0,  # $10k spend buckets: lazy, domain-bounded
     ).select("x", "i")
     g = ranked.agg(
         F.count(F.lit(1)).alias("n"),

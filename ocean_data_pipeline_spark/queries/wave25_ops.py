@@ -510,7 +510,13 @@ def exact_percentile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_all = lv.agg(F.sum("cnt").alias("n"))
     cum = (
-        with_running_aggs(lv, ["pc"], "pc", {"cn": ("cnt", "sum", True)})
+        # fixed-width coarsening: o_totalprice cents are value-domain
+        # bounded (~[9e4, 6e7]), so $1000 buckets give a few hundred
+        # census rows and a FULLY LAZY plan (no approxQuantile job).
+        with_running_aggs(
+            lv, ["pc"], "pc", {"cn": ("cnt", "sum", True)},
+            bucket_width=100_000.0,
+        )
         .crossJoin(F.broadcast(n_all))
     )
     aggs = [F.max("n").cast("bigint").alias("n_orders")] + [

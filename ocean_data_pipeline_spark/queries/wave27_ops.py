@@ -149,7 +149,8 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_all = spend.agg(F.count(F.lit(1)).alias("n_all"))
     ranked = with_global_row_number(
-        spend, ["x", "o_custkey"], "x", out="i"
+        spend, ["x", "o_custkey"], "x", out="i",
+        bucket_width=10_000.0,  # $10k spend buckets: lazy, domain-bounded
     ).crossJoin(F.broadcast(n_all))
     per = (
         ranked.select(

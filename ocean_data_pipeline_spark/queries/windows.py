@@ -287,6 +287,7 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         out="rn",
         partition_by=["priority"],
+        bucket_width=1000.0,  # $1000 buckets: lazy, domain-bounded
     )
     census = o.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n_p"),
@@ -534,7 +535,8 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     rn = with_global_row_number(
-        o, ["o_totalprice", "o_orderkey"], "o_totalprice", out="rn"
+        o, ["o_totalprice", "o_orderkey"], "o_totalprice", out="rn",
+        bucket_width=1000.0,  # $1000 buckets: lazy, domain-bounded
     )
     n = o.agg(F.count(F.lit(1)).alias("n_all"))
     ranked = rn.crossJoin(F.broadcast(n)).select(
@@ -693,6 +695,7 @@ def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         {"best_above": ("lvl_min_date", "min", False)},
         range_desc=True,
+        bucket_width=1000.0,  # $1000 buckets: lazy, domain-bounded
     ).filter(
         F.col("best_above").isNull()
         | (F.col("lvl_min_date") < F.col("best_above"))

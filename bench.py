@@ -396,6 +396,14 @@ def main() -> None:
             json.dump(
                 {"spread": spread, "medians": timings, "repeats": repeats,
                  "sf": sf_num, "total_of_medians": total,
+                 # bench hygiene (VERDICT r07 item 7): discovery runs —
+                 # anything not executed on an otherwise-idle box under
+                 # the definitive-bench discipline — must be marked so
+                 # round-over-round comparisons stay like-for-like.
+                 # Export SPARK_GRAFT_BENCH_DISCOVERY=1 for such runs.
+                 "discovery": os.environ.get(
+                     "SPARK_GRAFT_BENCH_DISCOVERY", ""
+                 ).lower() in ("1", "true", "yes"),
                  "spread_only": [n for n in names if n not in headline_set]},
                 f, indent=1,
             )

@@ -968,10 +968,14 @@ def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree, identical on both engines). Top-5 splits reported with the
     (gini, threshold) tiebreak making order total. The max level is
     excluded (empty right side). Scale: the prefix scan runs on
-    distinct LEVELS (15k at sf0.01), not rows — the standard
-    single-pass stump; 100 TB would pre-bin to equi-depth quantiles
-    first (approx_quartiles posture). This is the split-finding
-    primitive of every tree ensemble."""
+    distinct LEVELS (15k at sf0.01), not rows, and — because
+    o_totalprice levels are near-unique — the running sums ride the
+    fixed-width coarsening mode of the distributed running-sum device
+    ($1000 buckets, operators/ranks.py) with the totals as a broadcast
+    1-row aggregate: no single-partition window even at full level
+    cardinality. 100 TB would additionally pre-bin to equi-depth
+    quantiles first (approx_quartiles posture). This is the
+    split-finding primitive of every tree ensemble."""
     labeled = table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
         F.when(
@@ -981,18 +985,28 @@ def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = labeled.groupBy("x").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
-    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
+
+    tot = levels.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("pos").alias("pos_tot"),
+        F.count(F.lit(1)).alias("n_levels"),
     )
-    cum = levels.select(
-        "x",
-        F.sum("n").over(w_run).alias("n_l"),
-        F.sum("pos").over(w_run).alias("pos_l"),
-        F.sum("n").over(w_all).alias("n_tot"),
-        F.sum("pos").over(w_all).alias("pos_tot"),
-        F.row_number().over(Window.orderBy("x")).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n_levels"),
+    cum = (
+        with_running_aggs(
+            levels,
+            ["x"],
+            "x",
+            {
+                "n_l": ("n", "sum", True),
+                "pos_l": ("pos", "sum", True),
+                # inclusive running count == row_number (x is unique)
+                "rn": (None, "count", True),
+            },
+            bucket_width=1000.0,  # $1000 buckets: domain-bounded census
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("x", "n_l", "pos_l", "n_tot", "pos_tot", "rn", "n_levels")
     )
 
     def _d(c):

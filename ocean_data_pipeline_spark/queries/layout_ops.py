@@ -491,26 +491,56 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `compaction_plan`.
 
     Determinism: ntile over a UNIQUE total order (orderkey; date+
-    orderkey) is identical on both engines; everything else is integer
-    arithmetic until the two display ratios.
+    orderkey) is identical on both engines — computed as ANSI ntile
+    from the distributed exact-rank device (operators/ranks.py), never
+    a single-partition row-scale window: the date layout buckets by
+    fixed 30-day widths (TPC-H's date DOMAIN is scale-invariant), the
+    insertion layout by sampled orderkey bounds (keys grow with the
+    data). Everything else is integer arithmetic until the two
+    display ratios.
 
-    Plan shape: two window passes over the scan (one per layout), one
-    groupBy to 64 zone rows, one 2-row aggregate. The audit itself is
-    the cheap part; it prices the expensive decision (rewriting the
-    table layout)."""
+    Plan shape: two K-way bucketed rank passes over the scan (one per
+    layout), one groupBy to 64 zone rows, one 2-row aggregate. The
+    audit itself is the cheap part; it prices the expensive decision
+    (rewriting the table layout)."""
+    from ocean_data_pipeline_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     lo, hi = F.lit(_ZM_LO).cast("date"), F.lit(_ZM_HI).cast("date")
-    ins = o.select(
-        F.lit("insertion").alias("layout"),
-        F.ntile(_ZM_FILES).over(Window.orderBy("o_orderkey")).alias("file_id"),
-        "o_orderdate",
+    n_all = o.agg(F.count(F.lit(1)).alias("_n_all"))
+    ins = (
+        with_global_row_number(
+            o, ["o_orderkey"], "o_orderkey", out="_rn"
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.lit("insertion").alias("layout"),
+            ntile_from_rank(F.col("_rn"), F.col("_n_all"), _ZM_FILES).alias(
+                "file_id"
+            ),
+            "o_orderdate",
+        )
     )
-    clu = o.select(
-        F.lit("date_clustered").alias("layout"),
-        F.ntile(_ZM_FILES)
-        .over(Window.orderBy("o_orderdate", "o_orderkey"))
-        .alias("file_id"),
-        "o_orderdate",
+    od_num = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    clu = (
+        with_global_row_number(
+            o.withColumn("_od", od_num),
+            ["_od", "o_orderkey"],
+            "_od",
+            out="_rn",
+            bucket_width=30.0,  # calendar-bounded date domain
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.lit("date_clustered").alias("layout"),
+            ntile_from_rank(F.col("_rn"), F.col("_n_all"), _ZM_FILES).alias(
+                "file_id"
+            ),
+            "o_orderdate",
+        )
     )
     match = (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     zones = (

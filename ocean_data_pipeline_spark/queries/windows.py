@@ -381,12 +381,14 @@ def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends (ORDER BY ts, delta DESC), and equal-delta ties produce the
     same prefix-value multiset under any order, so per-day aggregates
     are engine-stable. Scale posture: sessionization and the bounds
-    rollup shuffle on user_id; the sweep itself orders session
-    BOUNDARIES (two rows per session — orders of magnitude smaller
-    than events). At 100 TB, range-partition boundaries by time and
-    add per-partition prefix offsets (a two-pass distributed scan);
-    the single-partition window here is over the already-collapsed
-    boundary stream, not the event stream."""
+    rollup shuffle on user_id; the sweep rides the fixed-width
+    coarsening mode of the distributed running-sum device
+    (operators/ranks.py: DAY buckets over the epoch-seconds order key
+    — the offset census is calendar-bounded, each day's boundary
+    stream sorts in its own task, and epoch micros stay exact in a
+    double well past 2^53). No single-partition window at any scale;
+    the boundary stream is already 2 rows/session, orders of magnitude
+    smaller than events."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -405,10 +407,15 @@ def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
         sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
     )
-    sweep = Window.partitionBy().orderBy(F.asc("ts"), F.desc("delta")).rowsBetween(
-        Window.unboundedPreceding, 0
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
+
+    swept = with_running_aggs(
+        deltas.withColumn("ts_sec", F.col("ts").cast("double")),
+        ["ts_sec", F.desc("delta")],
+        "ts_sec",
+        {"concur": ("delta", "sum", True)},
+        bucket_width=86_400.0,  # day buckets: calendar-bounded census
     )
-    swept = deltas.withColumn("concur", F.sum("delta").over(sweep))
     return (
         # timestamp, not date: DuckDB DATE lands in pandas as
         # datetime64 while Spark DateType lands as object(date) —

@@ -987,6 +987,60 @@ def main() -> None:
 
         return build
 
+    def wedge_census_probe(li):
+        def build():
+            # degree-ordered wedge enumeration + one canonical-edge
+            # close — the clustering_coefficient / triangle-census core
+            # (graph copies are disjoint, so wedge mass scales exactly
+            # with the data and the ratio isolates plan behavior)
+            pl = li.select("l_orderkey", "l_partkey").distinct()
+            a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+            b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+            edges = (
+                a.join(b, "k")
+                .filter(F.col("pa") < F.col("pb"))
+                .select("pa", "pb")
+                .distinct()
+            )
+            deg = (
+                edges.select(F.col("pa").alias("node"))
+                .unionAll(edges.select(F.col("pb").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+            e = (
+                edges.join(
+                    deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")),
+                    "pa",
+                )
+                .join(
+                    deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")),
+                    "pb",
+                )
+                .select(
+                    F.when(
+                        (F.col("da") < F.col("db"))
+                        | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                        F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                    )
+                    .otherwise(
+                        F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+                    )
+                    .alias("o")
+                )
+                .select("o.src", "o.dst")
+            )
+            w1 = e.select(F.col("src").alias("s"), F.col("dst").alias("x"))
+            w2 = e.select(F.col("src").alias("s"), F.col("dst").alias("y"))
+            wedges = (
+                w1.join(w2, "s")
+                .filter(F.col("x") < F.col("y"))
+                .select(F.col("x").alias("pa"), F.col("y").alias("pb"))
+            )
+            return wedges.join(edges, ["pa", "pb"]).groupBy().count()
+
+        return build
+
     def rank_device_probe(o):
         def build():
             from ocean_data_pipeline_spark.operators.ranks import (
@@ -1120,6 +1174,13 @@ def main() -> None:
         "distributed_rank(orders)": (
             rank_device_probe(ord1),
             rank_device_probe(ord10),
+        ),
+        # round 8: the degree-ordered wedge enumeration behind the
+        # triangle / clustering-coefficient / link-prediction family
+        # (VERDICT r07 item 8) — graph copies disjoint via li10g
+        "wedge_census(lineitem)": (
+            wedge_census_probe(li1),
+            wedge_census_probe(li10g),
         ),
     }
 

@@ -27,6 +27,7 @@ def asof_join(
     by: Sequence[str] = (),
     value_cols: Sequence[str] | None = None,
     direction: str = "backward",
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row closest in the given
     direction (within `by` groups): "backward" = latest right with
@@ -49,6 +50,19 @@ def asof_join(
     Distance for "nearest" compares `__t` cast to double — exact for
     integer keys below 2^53; for sub-microsecond-critical timestamp
     ties, pre-convert to long micros (unix_micros) in the caller.
+
+    `bucket_width` (backward/forward only): with EMPTY `by` the window
+    above is a single global sort — fine for keyed joins, row-scale
+    for a global axis. Passing a width routes the running fill through
+    the distributed running-agg device (operators/ranks.py): the fill
+    becomes a running MAX of struct(order_key, side, value) —
+    NULL-struct-skipping max IS last-non-null — bucketed by
+    floor(key/width), K-way parallel with broadcast prefix offsets
+    (forward = the same max on sign-flipped keys). Requires a numeric
+    or castable-to-double order key. Tie nuance: duplicate (t, side)
+    right rows resolve to the MAX value (deterministic) instead of the
+    sort-order-dependent last — identical whenever right keys are
+    unique, which a global as-of axis should guarantee anyway.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -80,6 +94,46 @@ def asof_join(
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+
+    if bucket_width is not None:
+        if direction == "nearest":
+            raise ValueError(
+                "bucket_width supports backward/forward only (nearest "
+                "needs both fills; run two bucketed passes instead)"
+            )
+        from ocean_data_pipeline_spark.operators.ranks import (
+            with_running_aggs,
+        )
+
+        sign = 1.0 if direction == "backward" else -1.0
+        keyed = unioned.withColumn(
+            "__k1", F.col("__t").cast("double") * sign
+        ).withColumn("__k2", F.col("__side").cast("int") * F.lit(int(sign)))
+        for c in value_cols:
+            keyed = keyed.withColumn(
+                f"__s_{c}",
+                F.when(
+                    F.col(f"__v_{c}").isNotNull(),
+                    F.struct(
+                        F.col("__k1").alias("k1"),
+                        F.col("__k2").alias("k2"),
+                        F.col(f"__v_{c}").alias("v"),
+                    ),
+                ),
+            )
+        run = with_running_aggs(
+            keyed,
+            ["__k1", "__k2"],
+            "__k1",
+            {f"__f_{c}": (f"__s_{c}", "max", True) for c in value_cols},
+            partition_by=by,
+            bucket_width=bucket_width,
+        )
+        out = run.filter(F.col("__side") == left_side).select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__f_{c}").getField("v").alias(c) for c in value_cols],
+        )
+        return out
 
     base = Window.partitionBy(*by).orderBy(F.col("__t"), F.col("__side"))
     wb = base.rowsBetween(Window.unboundedPreceding, 0)

@@ -1932,10 +1932,16 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_tok", F.coalesce(F.col("novel"), F.lit(0)).alias("novel")
     )
-    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cumul = per_doc.select(
-        F.sum("n_tok").over(wc).alias("cum_tok"),
-        F.sum("novel").over(wc).alias("cum_vocab"),
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
+
+    # the growth curve's prefix sums ride the distributed running-sum
+    # device (sampled doc_id bounds — ids grow with the corpus), never
+    # a corpus-scale single-partition window
+    cumul = with_running_aggs(
+        per_doc,
+        ["doc_id"],
+        "doc_id",
+        {"cum_tok": ("n_tok", "sum", True), "cum_vocab": ("novel", "sum", True)},
     ).filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
     lv = F.log(F.col("cum_vocab").cast("double"))
     lt = F.log(F.col("cum_tok").cast("double"))

@@ -272,14 +272,25 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the first-stage candidate set per query is ≤ O(10⁴), not
     the corpus); the fusion is one keyed join; probe vector rides in
     as a broadcast 1-row frame. Top-10 = TakeOrderedAndProject."""
+    from ocean_data_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+    )
     from ocean_data_pipeline_spark.operators.similarity import dot
 
-    lex = _bm25_scored(spark, sf_dir).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("r_lex"),
-    )
+    # both corpus-wide rankings ride the fixed-width rank device —
+    # BM25 scores are log-bounded (unit buckets), cosines live in
+    # [-1,1] (1/16 buckets) — so neither ranking ever sorts the corpus
+    # in one task
+    lex = with_global_row_number(
+        _bm25_scored(spark, sf_dir).select(
+            "doc_id", F.col("score").cast("double").alias("_s")
+        ),
+        [F.desc("_s"), F.asc("doc_id")],
+        "_s",
+        out="r_lex",
+        range_desc=True,
+        bucket_width=1.0,
+    ).select("doc_id", F.col("r_lex").cast("int").alias("r_lex"))
     emb = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     probe = emb.filter(F.col("vec_id") == 0).select(v.alias("pv"))
@@ -287,16 +298,16 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("pv"), F.col("pv")))
         * F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
-    dense = (
+    dense = with_global_row_number(
         emb.select(F.col("vec_id"), v.alias("cv"))
         .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc(cos), F.asc("vec_id")))
-            .alias("r_dense"),
-        )
-    )
+        .select("vec_id", cos.alias("_sim")),
+        [F.desc("_sim"), F.asc("vec_id")],
+        "_sim",
+        out="r_dense",
+        range_desc=True,
+        bucket_width=0.0625,
+    ).select("vec_id", F.col("r_dense").cast("int").alias("r_dense"))
     fused = lex.join(
         dense, lex["doc_id"] == dense["vec_id"], "full_outer"
     ).select(

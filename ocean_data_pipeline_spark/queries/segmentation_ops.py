@@ -343,12 +343,24 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
+
     tot = rev.agg(F.sum("x").cast("decimal(28,2)").alias("total"))
-    w = Window.orderBy(F.col("x").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
-        "x", F.sum("x").over(w).cast("decimal(28,2)").alias("cum"), "total"
+    # running revenue share rides the fixed-width running-sum device
+    # (per-part revenue domain is SF-invariant in TPC-H-shaped data —
+    # lineitems/part is constant — so $10k buckets bound the census);
+    # cast back to the naive window's DECIMAL type (values identical)
+    ranked = (
+        with_running_aggs(
+            rev,
+            [F.desc("x"), "l_partkey"],
+            "x",
+            {"cum": ("x", "sum", True)},
+            range_desc=True,
+            bucket_width=10_000.0,
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("x", F.col("cum").cast("decimal(28,2)").alias("cum"), "total")
     )
     classed = ranked.select(
         "x",

@@ -275,15 +275,19 @@ def watermark_design_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     three conditional counts; the candidate grid is a 3-row broadcast.
     At 100 TB the replay partitions by arrival shard — the census is a
     one-pass log-analytics job."""
-    from pyspark.sql import Window
+    from ocean_data_pipeline_spark.operators.ranks import with_running_aggs
 
     ev = table(spark, sf_dir, "events").select("event_id", "ts")
-    warr = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    late = ev.select(
-        (
-            F.unix_micros(F.max("ts").over(warr)) - F.unix_micros("ts")
-        ).alias("late_us")
-    )
+    # the arrival-ordered high-watermark replay rides the distributed
+    # running-max device (sampled event_id bounds — arrival ids grow
+    # with the data, so no fixed width exists); never a row-scale
+    # single-partition window
+    late = with_running_aggs(
+        ev.withColumn("ts_us", F.unix_micros("ts")),
+        ["event_id"],
+        "event_id",
+        {"hwm_us": ("ts_us", "max", True)},
+    ).select((F.col("hwm_us") - F.col("ts_us")).alias("late_us"))
     g = ev.agg(
         F.max(F.unix_micros("ts")).alias("max_us"), F.count(F.lit(1)).alias("n")
     )

@@ -715,9 +715,29 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .alias("r"),
     )
-    glob = docs.select(
-        F.col("n_chars").alias("g_chars"),
-        F.percent_rank().over(Window.orderBy("n_chars", "doc_id")).alias("pct"),
+    from ocean_data_pipeline_spark.operators.ranks import (
+        percent_rank_from_rank,
+        with_global_row_number,
+    )
+
+    # the GLOBAL length axis rides the rank device (1000-char buckets:
+    # document length is value-domain-bounded), never a corpus-scale
+    # single-partition window; (n_chars, doc_id) is a total order so
+    # (rn-1)/(n-1) IS ANSI percent_rank
+    n_all = docs.agg(F.count(F.lit(1)).alias("_n_all"))
+    glob = (
+        with_global_row_number(
+            docs.select("n_chars", "doc_id"),
+            ["n_chars", "doc_id"],
+            "n_chars",
+            out="_rn",
+            bucket_width=1000.0,
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.col("n_chars").alias("g_chars"),
+            percent_rank_from_rank(F.col("_rn"), F.col("_n_all")).alias("pct"),
+        )
     )
     joined = asof_join(
         ranked,
@@ -726,6 +746,7 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_on="pct",
         value_cols=["g_chars"],
         direction="backward",
+        bucket_width=1.0 / 32,  # rank axis lives in [0,1]: 32 buckets
     )
     return joined.select(
         "doc_id",

@@ -71,3 +71,47 @@ def test_asof_nearest_tie_prefers_backward(spark):
     )
     out = asof_join(left, right, "t", "rt", by=["g"], direction="nearest")
     assert _collect(out)[("a", 10)] == "back"  # equidistant -> backward
+
+
+def test_asof_bucketed_matches_naive(spark, frames):
+    """bucket_width routes the fill through the distributed running-
+    agg device; results must equal the naive window path row for row
+    (unique right keys), for both supported directions, with and
+    without by-keys, across widths that split / don't split the axis."""
+    left, right = frames
+    for direction in ("backward", "forward"):
+        for width in (1.0, 4.0, 100.0):
+            naive = _collect(
+                asof_join(left, right, "t", "rt", by=["g"], direction=direction)
+            )
+            bucketed = _collect(
+                asof_join(
+                    left, right, "t", "rt", by=["g"],
+                    direction=direction, bucket_width=width,
+                )
+            )
+            assert bucketed == naive, (direction, width)
+    # global axis (empty by): the row-scale case the mode exists for
+    gl = left.drop("g").distinct()
+    gr = right.drop("g").distinct()
+    for direction in ("backward", "forward"):
+        naive = {
+            r["t"]: r["v"]
+            for r in asof_join(gl, gr, "t", "rt", direction=direction).collect()
+        }
+        bucketed = {
+            r["t"]: r["v"]
+            for r in asof_join(
+                gl, gr, "t", "rt", direction=direction, bucket_width=3.0
+            ).collect()
+        }
+        assert bucketed == naive, direction
+
+
+def test_asof_bucketed_nearest_rejected(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, "t", "rt", by=["g"],
+            direction="nearest", bucket_width=1.0,
+        )

@@ -311,6 +311,12 @@ HEADLINE = [
     "ridge_price_regression",
     "readability_census",
     "t_closeness_census",
+    # wave 29 (round 8): econometric depth + robust regression
+    "adf_unit_root_lite",
+    "ccf_lead_lag",
+    "newey_west_se",
+    "hurst_exponent_rs",
+    "quantile_regression_lad",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

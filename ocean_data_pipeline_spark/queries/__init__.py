@@ -205,6 +205,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave26_ops,
         wave27_ops,
         wave28_ops,
+        wave29_ops,
         windows,
     )
 
@@ -229,7 +230,13 @@ def load_all() -> dict[str, RegisteredQuery]:
     # item 6). Within each tier, registration order is preserved.
     newest = tuple(
         f"ocean_data_pipeline_spark.queries.{m}"
-        for m in ("wave25_ops", "wave26_ops", "wave27_ops", "wave28_ops")
+        for m in (
+            "wave29_ops",
+            "wave25_ops",
+            "wave26_ops",
+            "wave27_ops",
+            "wave28_ops",
+        )
     )
     prioritized = {
         n: rq for n, rq in front.items() if rq.fn.__module__ in newest

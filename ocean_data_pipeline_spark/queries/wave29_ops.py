@@ -263,8 +263,11 @@ coef AS (
          szz - sz * sz / n AS szz_c,
          syy - sy * sy / n AS syy_c,
          szy - sz * sy / n AS szy_c,
-         (n * szy - sz * sy) / (n * szz - sz * sz) AS b,
-         (sy - (n * szy - sz * sy) / (n * szz - sz * sz) * sz) / n AS a
+         CASE WHEN n * szz - sz * sz <> 0
+              THEN (n * szy - sz * sy) / (n * szz - sz * sz) END AS b,
+         CASE WHEN n * szz - sz * sz <> 0
+              THEN (sy - (n * szy - sz * sy) / (n * szz - sz * sz) * sz) / n
+         END AS a
   FROM g
 ),
 u AS (  -- u_t = (t - mean(t)) * residual_t
@@ -338,8 +341,12 @@ def newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("double").alias("syy"),
     )
     n = F.col("n")
-    b = (n * F.col("szy") - F.col("sz") * F.col("sy")) / (
-        n * F.col("szz") - F.col("sz") * F.col("sz")
+    # ANSI totality: one month (constant tables) makes the slope
+    # denominator 0 — NULL b/a then flow to NULL shac/rss, and the
+    # final filter drops the row on both engines
+    denb = n * F.col("szz") - F.col("sz") * F.col("sz")
+    b = F.when(
+        denb != 0, (n * F.col("szy") - F.col("sz") * F.col("sy")) / denb
     )
     coef = g.select(
         "n",

@@ -647,7 +647,7 @@ FROM {prev} p"""
 @register("quantile_regression_lad", oracle=_lad_oracle())
 def quantile_regression_lad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median (least-absolute-deviations) regression of extendedprice
-    on quantity via {n} unrolled IRLS rounds (w = 1/max(|r|, 1) — the
+    on quantity via 3 unrolled IRLS rounds (w = 1/max(|r|, 1) — the
     standard smoothed-LAD reweighting): the outlier-robust twin of
     `ols_price_regression`, converging to the conditional-median line
     the L2 fit gets dragged off by price spikes.
@@ -658,10 +658,10 @@ def quantile_regression_lad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical rounds as MATERIALIZED CTEs (the logistic_glm_irls
     device, queries/audits.py).
 
-    Plan shape: {n} aggregate-only passes over the fact scan, each a
-    map-side-combining 5-sum reduce against a broadcast 1-row
+    Plan shape: _LAD_ROUNDS aggregate-only passes over the fact scan,
+    each a map-side-combining 5-sum reduce against a broadcast 1-row
     coefficient frame — no per-row state, no sort. At 100 TB this is
-    {n} scans, nothing else.""".format(n=_LAD_ROUNDS)
+    a handful of scans, nothing else."""
     li = table(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_quantity").cast("double").alias("x"),

@@ -2271,9 +2271,12 @@ def logistic_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one scan to the (y, x) projection (localCheckpointed),
     then {rounds} scans each ending in a 5-cell aggregate — IRLS as
-    map-reduce, nothing row-scale retained between rounds."""
+    map-reduce, nothing row-scale retained between rounds. The scan
+    rides `spread=True`: DECIMAL(38,9) partials are CPU-bound and the
+    checkpoint inherits the scan's partitioning, so a row-group-starved
+    scan would serialize every pass (no-op on properly sized files)."""
     base = (
-        table(spark, sf_dir, "orders")
+        table(spark, sf_dir, "orders", spread=True)
         .select(
             F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
             (F.col("o_totalprice").cast("double") / 100000).alias("x"),

@@ -59,6 +59,63 @@ def _copurchase_edges(
     return edges.localCheckpoint() if checkpoint else edges
 
 
+def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Exact triangle relation (a, b, c) of the canonical edge list,
+    one row per triangle, via the degree-ordered orientation.
+
+    Plan shape (the `link_prediction_scores` packed-key device applied
+    to the closing join): two edge-scale equi-joins attach endpoint
+    degrees and orient each edge low→high (out-degree O(sqrt m) under
+    this orientation, so the wedge relation is O(m^1.5) regardless of
+    hub skew); per-source SORTED adjacency lists generate each wedge
+    map-side as ONE packed BIGINT (x << 32 | y, part ids fit 32 bits)
+    — no wedge-scale self-join shuffle; the close is a single-long
+    hash join against the packed canonical edge list (shuffles wedge
+    mass once — the honest exact cost; an edge broadcast would die at
+    scale). The adjacency-list relation is node-scale and repartitioned
+    to 3x cores before the explode so partial work spreads.
+
+    a = wedge source (the triangle's min-(degree, id) corner), (b, c) =
+    the closing canonical edge, b < c by id."""
+    e = (
+        edges.join(deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    adj = e.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("ds"))
+    ids = F.col("ds")
+    packed = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
+            ),
+        )
+    )
+    fanout = spark.sparkContext.defaultParallelism * 3
+    wk = adj.repartition(fanout).select(
+        F.col("src").alias("s"), F.explode(packed).alias("k")
+    )
+    ek = edges.select(
+        (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb").cast("long")).alias("k")
+    )
+    return wk.join(ek, "k").select(
+        F.col("s").alias("a"),
+        F.shiftright(F.col("k"), 32).cast("bigint").alias("b"),
+        F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
+    )
+
+
 _EDGES_SQL = """
 pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
@@ -123,6 +180,11 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     ).localCheckpoint()
     # Orient each edge from lower (degree, id) to higher (degree, id).
+    # Count-only consumer: the wedge self-join pipelines straight into
+    # the closing join + count (partial aggs absorb map-side), so the
+    # adjacency-list packed-explode of `_oriented_triangles` buys
+    # nothing here — it pays off only when per-node incidences are
+    # needed (see `clustering_coefficient_census`).
     e = (
         edges.join(deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa")
         .join(deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb")
@@ -1067,12 +1129,14 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Plan shape: the shared edge census (localCheckpointed, consumed by
     degree + wedge subtrees), then the DEGREE-ORDERED wedge enumeration
-    of `copurchase_triangle_census` (out-degree O(sqrt m) under the
+    of `_oriented_triangles` (out-degree O(sqrt m) under the
     orientation, so the wedge relation is O(m^1.5) regardless of hub
     skew — the id-ordered oracle form blows up on the hottest node at
-    scale) closed by one canonical-edge hash join; each triangle is
-    found exactly once under either orientation, so the per-node
-    incidence counts match the id-ordered oracle row for row."""
+    scale), wedges emitted map-side as packed BIGINTs from sorted
+    adjacency lists and closed by one single-long hash join; each
+    triangle is found exactly once under either orientation, so the
+    per-node incidence counts match the id-ordered oracle row for
+    row."""
     edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
     deg = (
         edges.select(F.col("pa").alias("node"))
@@ -1080,34 +1144,7 @@ def clustering_coefficient_census(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     ).localCheckpoint()
-    e = (
-        edges.join(
-            deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa"
-        )
-        .join(
-            deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb"
-        )
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
-                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
-            )
-            .otherwise(F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-            .alias("o")
-        )
-        .select("o.src", "o.dst")
-    )
-    w1 = e.select(F.col("src").alias("s"), F.col("dst").alias("x"))
-    w2 = e.select(F.col("src").alias("s"), F.col("dst").alias("y"))
-    wedges = (
-        w1.join(w2, "s")
-        .filter(F.col("x") < F.col("y"))
-        .select("s", F.col("x").alias("pa"), F.col("y").alias("pb"))
-    )
-    tri = wedges.join(edges, ["pa", "pb"]).select(
-        F.col("s").alias("a"), F.col("pa").alias("b"), F.col("pb").alias("c")
-    )
+    tri = _oriented_triangles(spark, edges, deg)
     tnode = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

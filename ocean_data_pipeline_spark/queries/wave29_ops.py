@@ -661,12 +661,19 @@ def quantile_regression_lad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: _LAD_ROUNDS aggregate-only passes over the fact scan,
     each a map-side-combining 5-sum reduce against a broadcast 1-row
     coefficient frame — no per-row state, no sort. At 100 TB this is
-    a handful of scans, nothing else."""
-    li = table(spark, sf_dir, "lineitem")
+    a handful of scans, nothing else. The scan rides `spread=True`:
+    DECIMAL(38,9) partial sums are CPU-bound, so a row-group-starved
+    scan (3 tasks here) serializes each pass; the spread is a no-op on
+    properly sized cluster files (catalog.table guard)."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
     base = li.select(
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
     )
+    # One materialization feeds all _LAD_ROUNDS+2 aggregate passes: the
+    # projected relation is 2 doubles/row, so checkpointing it beats
+    # re-running scan+spread per pass (same device as operators/ranks.py).
+    base = base.localCheckpoint(eager=False)
     dec6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
     dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
     coeffs = base.agg(

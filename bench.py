@@ -317,6 +317,15 @@ HEADLINE = [
     "newey_west_se",
     "hurst_exponent_rs",
     "quantile_regression_lad",
+    # wave 30 (round 8): partition quality, exact inference, robust +
+    # spectral regression, symbolic/drift series
+    "modularity_brand_partition",
+    "fisher_exact_monthly",
+    "mcnemar_doc_rules",
+    "huber_regression_irls",
+    "sax_monthly_revenue",
+    "page_hinkley_revenue",
+    "pca_axis_lineitem",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

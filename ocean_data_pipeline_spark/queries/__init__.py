@@ -206,6 +206,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave27_ops,
         wave28_ops,
         wave29_ops,
+        wave30_ops,
         windows,
     )
 
@@ -231,6 +232,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     newest = tuple(
         f"ocean_data_pipeline_spark.queries.{m}"
         for m in (
+            "wave30_ops",
             "wave29_ops",
             "wave25_ops",
             "wave26_ops",

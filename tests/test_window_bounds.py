@@ -43,6 +43,8 @@ BOUNDS: dict[str, int] = {
     "mann_kendall_trend": 300,
     "rolling_avg_monthly": 150,
     "ewma_monthly_revenue": 150,
+    "page_hinkley_revenue": 400,
+    "sax_monthly_revenue": 200,
     "kaplan_meier_user_lifetime": 100,
     # method-inherent (sorted-neighborhood sliding window)
     "snm_near_dup_pairs": 1_500,

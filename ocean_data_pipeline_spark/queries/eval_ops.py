@@ -69,8 +69,10 @@ def contamination_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the gram hash space, two scalar aggregates. At 100 TB
     the gram join is the standard bucketed-shuffle; nothing quadratic,
     no driver data. Dedup-by-doc first (list_distinct) bounds the join
-    input by corpus gram mass."""
-    docs = table(spark, sf_dir, "documents")
+    input by corpus gram mass. The scan rides spread=True: 8-gram
+    shingling is map-side CPU and a single-row-group scan runs it on
+    one task otherwise (cluster no-op)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
     is_test = (
         F.conv(
             F.substring(
@@ -200,7 +202,9 @@ def matryoshka_prefix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe panel is fixed-size, so agreement cost is one corpus
     scan; energy stays scan-bound. Per-row energy fractions round once
     into DECIMAL(28,12) so the means are partitioning-invariant."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    # spread=True: 3-width per-row energy + probe scoring are map-side
+    # CPU on a single-row-group scan (cluster no-op).
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     widths = spark.range(1).select(
@@ -671,7 +675,9 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial aggregate -> 4096-row shuffle), one 64-row mean
     aggregate, then cell-grid algebra. At 100 TB: a single pass with a
     4096-cell combine — the covariance never materializes row pairs."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    # spread=True: the 64x64 outer-product expansion is map-side CPU on
+    # a single-row-group scan (no-op on properly sized cluster files).
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         F.col("embedding").cast("array<double>").alias("v")
     )
     # Upper-triangle (i <= j) cross-moment cells via a flattened outer

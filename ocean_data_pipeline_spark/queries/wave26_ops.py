@@ -532,7 +532,11 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerated per pair); sizes broadcast onto the pair grid so
     zero-overlap pairs still report. At 100 TB the gram join is the
     same bucketed-candidates posture as the dedup family."""
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    # spread=True: 8-gram shingling is map-side CPU on a single-row-
+    # group scan (cluster no-op).
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length("text") >= 8
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 7),
         lambda i: F.col("text").substr(i, F.lit(8)),

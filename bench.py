@@ -326,6 +326,14 @@ HEADLINE = [
     "sax_monthly_revenue",
     "page_hinkley_revenue",
     "pca_axis_lineitem",
+    # wave 31 (round 8): nonparametric blocks, robust model search,
+    # extreme values, SPC, stylometry
+    "friedman_nations_monthly",
+    "ransac_line_fit",
+    "gumbel_block_maxima",
+    "process_capability_cpk",
+    "imr_control_chart",
+    "burrows_delta_sources",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

@@ -207,6 +207,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave28_ops,
         wave29_ops,
         wave30_ops,
+        wave31_ops,
         windows,
     )
 
@@ -232,6 +233,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     newest = tuple(
         f"ocean_data_pipeline_spark.queries.{m}"
         for m in (
+            "wave31_ops",
             "wave30_ops",
             "wave29_ops",
             "wave25_ops",

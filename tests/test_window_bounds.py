@@ -45,6 +45,9 @@ BOUNDS: dict[str, int] = {
     "ewma_monthly_revenue": 150,
     "page_hinkley_revenue": 400,
     "sax_monthly_revenue": 200,
+    # wave 31: seed row_number over the 10 hash-selected rows (the
+    # audit sees per-partition limit rows pre-final-limit)
+    "ransac_line_fit": 500,
     "kaplan_meier_user_lifetime": 100,
     # method-inherent (sorted-neighborhood sliding window)
     "snm_near_dup_pairs": 1_500,

@@ -334,6 +334,14 @@ HEADLINE = [
     "process_capability_cpk",
     "imr_control_chart",
     "burrows_delta_sources",
+    # wave 32 (round 8): forecasting, multiresolution, changepoints,
+    # agreement, collinearity
+    "theta_method_forecast",
+    "haar_energy_monthly",
+    "binseg_changepoint_monthly",
+    "cohens_kappa_rules",
+    "partial_correlation_lineitem",
+    "vif_lineitem_regressors",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

@@ -208,6 +208,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave29_ops,
         wave30_ops,
         wave31_ops,
+        wave32_ops,
         windows,
     )
 
@@ -233,6 +234,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     newest = tuple(
         f"ocean_data_pipeline_spark.queries.{m}"
         for m in (
+            "wave32_ops",
             "wave31_ops",
             "wave30_ops",
             "wave29_ops",

@@ -48,6 +48,9 @@ BOUNDS: dict[str, int] = {
     # wave 31: seed row_number over the 10 hash-selected rows (the
     # audit sees per-partition limit rows pre-final-limit)
     "ransac_line_fit": 500,
+    # wave 32: month-census row_number / prefix sums
+    "theta_method_forecast": 400,
+    "haar_energy_monthly": 400,
     "kaplan_meier_user_lifetime": 100,
     # method-inherent (sorted-neighborhood sliding window)
     "snm_near_dup_pairs": 1_500,

@@ -342,6 +342,13 @@ HEADLINE = [
     "cohens_kappa_rules",
     "partial_correlation_lineitem",
     "vif_lineitem_regressors",
+    # wave 33 (round 8): eval-ops + embedding-ops depth
+    "knn_label_noise_audit",
+    "binary_embedding_quant",
+    "pass_at_k_estimator",
+    "bradley_terry_nations",
+    "ece_reliability_bins",
+    "chunk_overlap_census",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

@@ -209,6 +209,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave30_ops,
         wave31_ops,
         wave32_ops,
+        wave33_ops,
         windows,
     )
 
@@ -234,6 +235,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     newest = tuple(
         f"ocean_data_pipeline_spark.queries.{m}"
         for m in (
+            "wave33_ops",
             "wave32_ops",
             "wave31_ops",
             "wave30_ops",

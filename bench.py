@@ -349,6 +349,13 @@ HEADLINE = [
     "bradley_terry_nations",
     "ece_reliability_bins",
     "chunk_overlap_census",
+    # wave 34 (round 8): journeys, ts features, feature ranking,
+    # inventory, resampling
+    "absorbing_chain_steps",
+    "trend_seasonal_strength",
+    "information_gain_ranking",
+    "newsvendor_quantile",
+    "permutation_test_lite",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the

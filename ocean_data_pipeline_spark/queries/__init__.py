@@ -210,6 +210,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         wave31_ops,
         wave32_ops,
         wave33_ops,
+        wave34_ops,
         windows,
     )
 
@@ -235,6 +236,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     newest = tuple(
         f"ocean_data_pipeline_spark.queries.{m}"
         for m in (
+            "wave34_ops",
             "wave33_ops",
             "wave32_ops",
             "wave31_ops",

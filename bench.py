@@ -422,11 +422,24 @@ def main() -> None:
     # failure mode that made r02 look like per-query regressions.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in names}
+    import gc
+
     for _ in range(repeats):
         for name in names:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        # Per-pass hygiene: queries that localCheckpoint leave blocks in
+        # the block manager until the Python refs are collected AND the
+        # JVM ContextCleaner runs; with 270 queries per pass the
+        # accumulation measurably inflates later heavy aggregations
+        # (link_prediction_scores measured 37 s isolated vs 74 s at the
+        # tail of a pass). One collect + JVM GC per pass bounds it.
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()}
     # headline value = scalable ops only; SPREAD_ONLY medians live in

@@ -690,10 +690,14 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents", spread=True)
         .filter(F.length(F.trim(F.col("text"))) > 0)
     )
+    # NOT checkpointed: the exploded token relation is corpus-scale
+    # (row-per-token with strings); holding it in the block manager
+    # pressures every later query in a shared session. Re-deriving it
+    # per subtree is one cheap spread scan each.
     toks = docs.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
-    ).localCheckpoint()  # consumed by totals + panel + freq subtrees
+    )
     totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     panel = (
         # top-30 by (count desc, token) via TakeOrderedAndProject — a

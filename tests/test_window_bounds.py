@@ -51,6 +51,9 @@ BOUNDS: dict[str, int] = {
     # wave 32: month-census row_number / prefix sums
     "theta_method_forecast": 400,
     "haar_energy_monthly": 400,
+    # wave 34: month census MA frames; daily-demand value census
+    "trend_seasonal_strength": 400,
+    "newsvendor_quantile": 600,
     "kaplan_meier_user_lifetime": 100,
     # method-inherent (sorted-neighborhood sliding window)
     "snm_near_dup_pairs": 1_500,

@@ -139,6 +139,26 @@ _DRIVER_VERIFIED = frozenset({
     "shipment_overlap_pairs", "fiscal_window_rollup",
     "interval_coverage_days", "fifo_lot_allocation", "asof_forward_deadline",
     "asof_nearest_event", "bloom_join_urgent_revenue",
+    # green in round 8 (CORRECTNESS_r08.json, 50/50 pass — waves 25-32
+    # statistics/forecasting/graph names plus the r08 SQL-surface adds).
+    "ljung_box_monthly", "jarque_bera_price", "brown_forsythe_event_values",
+    "hits_bipartite_authorities", "exact_percentile_cutpoints",
+    "doc_repetition_census", "seasonal_mann_kendall", "dedup_savings_census",
+    "embedding_norm_audit", "open_order_backlog_monthly", "clv_cohort_matrix",
+    "new_vs_returning_monthly", "sql_group_by_all", "grouped_percentile_bands",
+    "cramers_v_matrix", "source_ngram_overlap", "length_drift_by_source",
+    "mixed_language_margin", "rolling_30day_revenue", "lorenz_curve_deciles",
+    "user_interevent_burstiness", "corpus_datasheet", "link_prediction_scores",
+    "holt_winters_additive", "ridge_price_regression", "readability_census",
+    "t_closeness_census", "adf_unit_root_lite", "ccf_lead_lag",
+    "newey_west_se", "hurst_exponent_rs", "quantile_regression_lad",
+    "modularity_brand_partition", "fisher_exact_monthly", "mcnemar_doc_rules",
+    "huber_regression_irls", "sax_monthly_revenue", "page_hinkley_revenue",
+    "pca_axis_lineitem", "friedman_nations_monthly", "ransac_line_fit",
+    "gumbel_block_maxima", "process_capability_cpk", "imr_control_chart",
+    "burrows_delta_sources", "theta_method_forecast", "haar_energy_monthly",
+    "binseg_changepoint_monthly", "cohens_kappa_rules",
+    "partial_correlation_lineitem",
 })
 
 # Queries added after the round's front block was already full (the

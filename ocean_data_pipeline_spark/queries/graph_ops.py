@@ -68,12 +68,19 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
     degrees and orient each edge low→high (out-degree O(sqrt m) under
     this orientation, so the wedge relation is O(m^1.5) regardless of
     hub skew); per-source SORTED adjacency lists generate each wedge
-    map-side as ONE packed BIGINT (x << 32 | y, part ids fit 32 bits)
-    — no wedge-scale self-join shuffle; the close is a single-long
-    hash join against the packed canonical edge list (shuffles wedge
-    mass once — the honest exact cost; an edge broadcast would die at
-    scale). The adjacency-list relation is node-scale and repartitioned
-    to 3x cores before the explode so partial work spreads.
+    map-side as ONE packed BIGINT (x << 32 | y) — no wedge-scale
+    self-join shuffle; the close is a single-long hash join against the
+    packed canonical edge list (shuffles wedge mass once — the honest
+    exact cost; an edge broadcast would die at scale). The adjacency-list
+    relation is node-scale and repartitioned to 3x cores before the
+    explode so partial work spreads.
+
+    The pack requires ids < 2^32. TPC-H partkey = 200000*SF crosses
+    that at SF~21500 (~21 PB), so the device is guarded: a node-scale
+    max(id) probe picks the packed hot path when ids fit, else an
+    equivalent struct-keyed close (same join shape, two-column key —
+    slightly wider shuffle rows, no overflow). Keys never collide in
+    either path.
 
     a = wedge source (the triangle's min-(degree, id) corner), (b, c) =
     the closing canonical edge, b < c by id."""
@@ -93,26 +100,52 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
     )
     adj = e.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("ds"))
     ids = F.col("ds")
-    packed = F.flatten(
+    fanout = spark.sparkContext.defaultParallelism * 3
+    max_id = deg.agg(F.max("node")).first()[0]
+    if max_id is not None and max_id < (1 << 32):
+        packed = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
+                ),
+            )
+        )
+        wk = adj.repartition(fanout).select(
+            F.col("src").alias("s"), F.explode(packed).alias("k")
+        )
+        ek = edges.select(
+            (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb").cast("long")).alias("k")
+        )
+        return wk.join(ek, "k").select(
+            F.col("s").alias("a"),
+            F.shiftright(F.col("k"), 32).cast("bigint").alias("b"),
+            F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
+        )
+    # ids exceed 32 bits: same degree-oriented close, two-column struct key.
+    wedges = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
                 F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
+                lambda y: F.struct(
+                    x.cast("bigint").alias("b"), y.cast("bigint").alias("c")
+                ),
             ),
         )
     )
-    fanout = spark.sparkContext.defaultParallelism * 3
     wk = adj.repartition(fanout).select(
-        F.col("src").alias("s"), F.explode(packed).alias("k")
+        F.col("src").alias("s"), F.explode(wedges).alias("k")
     )
     ek = edges.select(
-        (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb").cast("long")).alias("k")
+        F.struct(
+            F.col("pa").cast("bigint").alias("b"),
+            F.col("pb").cast("bigint").alias("c"),
+        ).alias("k")
     )
     return wk.join(ek, "k").select(
-        F.col("s").alias("a"),
-        F.shiftright(F.col("k"), 32).cast("bigint").alias("b"),
-        F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
+        F.col("s").alias("a"), F.col("k.b").alias("b"), F.col("k.c").alias("c")
     )
 
 

@@ -764,13 +764,14 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta"),
         )
     )
+    # Order by the ROUNDED delta (then names): the oracle's ORDER BY
+    # delta binds to its rounded output alias, so sorting the raw value
+    # here could flip 6-dp ties and shift the LIMIT 10 boundary.
     return (
         pairs.select(
             "source_a", "source_b", "n_tokens",
             F.round("delta", 6).alias("delta"),
-            F.col("delta").alias("_d"),
         )
-        .orderBy("_d", "source_a", "source_b")
+        .orderBy("delta", "source_a", "source_b")
         .limit(10)
-        .drop("_d")
     )

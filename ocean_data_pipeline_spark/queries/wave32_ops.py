@@ -206,7 +206,7 @@ def haar_energy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: block means are exact decimal sums over fixed integer
     block assignments (row_number over the total month order); each
-    block's energy term rounds ONCE into DECIMAL(38,4) before the
+    block's energy term rounds ONCE into DECIMAL(38,9) before the
     per-level sum; shares are fixed ratios.
 
     Plan shape: one fact aggregate to the month census, a 6-level

@@ -372,7 +372,10 @@ SPREAD_ONLY = [
     # honest-exact-at-eval-scale posture as reciprocal_nn_pairs; the
     # adjacency-list rewrite halved it (123 s → ~60 s) but it would
     # still dominate the headline total without measuring anything the
-    # other graph headliners don't.
+    # other graph headliners don't. The 100-TB-shape twin with the
+    # ENFORCED per-node cap, link_prediction_capped, IS a headline
+    # query (round 9); this exact version stays as its recall
+    # yardstick.
     "link_prediction_scores",
 ]
 

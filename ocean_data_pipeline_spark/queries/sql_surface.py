@@ -64,10 +64,16 @@ LIMIT 500
 """
 
 
-@register("sql_series_ordered", oracle=_SQL_SERIES)
 def sql_series_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`SELECT * FROM series ORDER BY time` — the reference's literal
-    dashboard query shape, via spark.sql."""
+    dashboard query shape, via spark.sql.
+
+    Retired from the driver registry in round 9 (VERDICT r08 item 7:
+    hold net registry growth while the rotation backlog drains —
+    `link_prediction_capped` took its slot). The shape stays covered:
+    §2 scan-table-ordered is driver-green via `queries/flagship.py`,
+    and tests/test_sql_surface_retired.py pins this function's oracle
+    parity + TakeOrderedAndProject plan."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SERIES)
 

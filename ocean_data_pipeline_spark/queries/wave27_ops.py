@@ -444,9 +444,11 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs in a post-pass: broadcast the 20 keys against the
     degree-annotated adjacency lists (localCheckpointed once), and
     Σ 1/ln(deg_w) runs over the array intersection per pair — 20 rows
-    of list algebra instead of 288 M decimal additions. At 100 TB the
-    hub-capping documented in `copurchase_triangle_census`
-    additionally bounds the per-node list."""
+    of list algebra instead of 288 M decimal additions. The ENFORCED
+    hub cap lives in the twin `link_prediction_capped` (the 100-TB
+    shape: Σ min(deg,64)² wedge mass + exact confirm on survivors);
+    this exact version is its recall yardstick and rides SPREAD_ONLY
+    in the bench."""
     from ocean_data_pipeline_spark.queries.graph_ops import _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
@@ -542,6 +544,194 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(aa, 6).alias("adamic_adar"),
         )
         .orderBy(F.desc("common_neighbors"), F.asc("part_a"), F.asc("part_b"))
+    )
+
+
+# --- hub-capped link prediction ------------------------------------------------
+
+_LP_CAP = 64          # per-node adjacency ceiling for wedge generation
+_LP_SURVIVORS = 100   # capped-census candidates that get the exact confirm
+
+
+def _link_pred_capped_oracle() -> str:
+    from ocean_data_pipeline_spark.queries.graph_ops import _EDGES_SQL
+
+    return f"""
+WITH {_EDGES_SQL},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM sym
+  ) WHERE rn <= {_LP_CAP}
+),
+cand AS (
+  SELECT c1.dst AS a, c2.dst AS c, CAST(count(*) AS BIGINT) AS cn_capped
+  FROM capped c1 JOIN capped c2
+    ON c1.src = c2.src AND c1.dst < c2.dst
+  GROUP BY 1, 2
+),
+surv AS (
+  SELECT a, c, cn_capped FROM cand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.pa = cand.a AND e.pb = cand.c
+  )
+  ORDER BY cn_capped DESC, a, c
+  LIMIT {_LP_SURVIVORS}
+),
+confirm AS (
+  SELECT s.a, s.c, s.cn_capped,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(CAST(round(1.0 / ln(d.degree), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS aa
+  FROM surv s
+  JOIN sym s1 ON s1.src = s.a
+  JOIN sym s2 ON s2.src = s.c AND s2.dst = s1.dst
+  JOIN deg d ON d.node = s1.dst
+  GROUP BY 1, 2, 3
+)
+SELECT cf.a AS part_a, cf.c AS part_b,
+       cf.cn_capped,
+       cf.cn AS common_neighbors,
+       round(CAST(cf.cn AS DOUBLE)
+             / (da.degree + dc.degree - cf.cn), 6) AS jaccard,
+       round(cf.aa, 6) AS adamic_adar
+FROM confirm cf
+JOIN deg da ON da.node = cf.a
+JOIN deg dc ON dc.node = cf.c
+ORDER BY common_neighbors DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("link_prediction_capped", oracle=_link_pred_capped_oracle())
+def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped link prediction — the 100-TB-shape twin of
+    `link_prediction_scores` (VERDICT r08 item 3). Candidate generation
+    truncates every node's adjacency list to its 64 LOWEST-ID
+    neighbors (a deterministic cap both engines reproduce with a plain
+    per-node rank), so the wedge mass is Σ min(deg, 64)² instead of
+    Σ deg² — bounded per node no matter how hot the hub. The top
+    100 non-edge candidates by capped count then get an EXACT
+    confirm (true cn / Jaccard / Adamic-Adar from the FULL adjacency
+    lists — 100 rows of list algebra), and the top-20 ranks by the
+    confirmed count.
+
+    Semantics note: the capped census is a lower bound, so a true
+    top-20 pair whose common neighbors all sit beyond position 64
+    of their lists could miss the survivor set — the classic
+    cap-recall trade the exact twin exists to measure. Both engines
+    apply the identical cap, so the result is deterministic parity,
+    and `cn_capped` is reported next to the confirmed
+    `common_neighbors` so the gap is visible in the output itself.
+
+    Determinism: capped lists are the sorted-array prefix (Spark) =
+    rank-by-neighbor-id cap (oracle); counts are integers; Adamic-Adar
+    terms round ONCE into DECIMAL(28,9) before the sum; every ORDER BY
+    is a total order over integers.
+
+    Plan shape: identical skeleton to the exact twin — node-scale
+    sorted adjacency lists (localCheckpointed once, reused by census
+    and confirm), packed-BIGINT map-side wedge explode over the CAPPED
+    prefix, bare-count aggregate, anti-join against the edge list,
+    TakeOrderedAndProject for the survivors, broadcast post-pass for
+    the exact scores. At sf0.1 the cap cuts the wedge mass ~7×
+    (Σ deg² ≈ 288 M → Σ min(deg,64)² ≈ 41 M ordered pairs)."""
+    from ocean_data_pipeline_spark.queries.graph_ops import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    adj = (
+        sym.join(F.broadcast(deg), sym.dst == deg.node)
+        .groupBy(F.col("src").alias("w"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dst").alias("x"), "degree"))
+            ).alias("nbrs")
+        )
+        .localCheckpoint()
+    )
+    # capped prefix of the id-sorted list == the oracle's rank-by-id cap
+    capped_ids = F.slice(
+        F.transform(F.col("nbrs"), lambda s: s["x"]), 1, _LP_CAP
+    )
+    packed = F.flatten(
+        F.transform(
+            capped_ids,
+            lambda x, i: F.transform(
+                F.slice(capped_ids, i + 2, F.size(capped_ids)),
+                lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
+            ),
+        )
+    )
+    fanout = spark.sparkContext.defaultParallelism * 3
+    census = (
+        adj.repartition(fanout)
+        .select(F.explode(packed).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn_capped"))
+        .select(
+            F.shiftright(F.col("k"), 32).cast("bigint").alias("a"),
+            F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
+            "cn_capped",
+        )
+    )
+    survivors = (
+        census.join(
+            edges,
+            (census.a == edges.pa) & (census.c == edges.pb),
+            "left_anti",
+        )
+        .orderBy(F.desc("cn_capped"), F.asc("a"), F.asc("c"))
+        .limit(_LP_SURVIVORS)
+    )
+    # exact confirm: full-list intersection per survivor pair
+    na = adj.select(F.col("w").alias("a"), F.col("nbrs").alias("nbrs_a"))
+    nc = adj.select(F.col("w").alias("c"), F.col("nbrs").alias("nbrs_c"))
+    ids_c = F.transform(F.col("nbrs_c"), lambda s: s["x"])
+    common = F.filter(
+        F.col("nbrs_a"), lambda s: F.array_contains(ids_c, s["x"])
+    )
+    cn = F.size(common).cast("bigint")
+    aa = F.aggregate(
+        common,
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, s: (
+            acc
+            + F.round(1.0 / F.log(s["degree"].cast("double")), 9).cast(
+                "decimal(28,9)"
+            )
+        ).cast("decimal(28,9)"),
+    ).cast("double")
+    return (
+        F.broadcast(na.join(F.broadcast(survivors), "a"))
+        .join(nc, "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "cn_capped",
+            cn.alias("common_neighbors"),
+            F.round(
+                cn.cast("double")
+                / (F.size("nbrs_a") + F.size("nbrs_c") - cn),
+                6,
+            ).alias("jaccard"),
+            F.round(aa, 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
     )
 
 

@@ -183,3 +183,53 @@ def test_holt_winters_matches_python(spark):
         err_naive += abs(r.revenue)
     # the seasonal model must beat the zero forecast by a wide margin
     assert err_fit < 0.5 * err_naive
+
+
+def test_link_prediction_capped_matches_python(spark):
+    from ocean_data_pipeline_spark.queries.wave27_ops import (
+        _LP_CAP,
+        _LP_SURVIVORS,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+        .drop_duplicates()
+    )
+    orders = defaultdict(set)
+    for _, r in li.iterrows():
+        orders[r.l_orderkey].add(int(r.l_partkey))
+    nbrs = defaultdict(set)
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+    cand = defaultdict(int)
+    for w, ns in nbrs.items():
+        capped = sorted(ns)[:_LP_CAP]
+        for i, a in enumerate(capped):
+            for c in capped[i + 1 :]:
+                if c not in nbrs[a]:
+                    cand[(a, c)] += 1
+    surv = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:_LP_SURVIVORS]
+    confirmed = sorted(
+        (
+            (-len(nbrs[a] & nbrs[c]), a, c, cnc)
+            for (a, c), cnc in surv
+        ),
+    )[:20]
+    rows = REGISTRY["link_prediction_capped"].fn(spark, SF_SMOKE).collect()
+    assert [
+        (r.part_a, r.part_b, r.cn_capped, r.common_neighbors) for r in rows
+    ] == [(a, c, cnc, -negcn) for negcn, a, c, cnc in confirmed]
+    for r in rows:
+        a, c = r.part_a, r.part_b
+        cn = r.common_neighbors
+        assert r.cn_capped <= cn  # capped census is a lower bound
+        jac = cn / (len(nbrs[a]) + len(nbrs[c]) - cn)
+        aa = sum(1.0 / math.log(len(nbrs[w])) for w in nbrs[a] & nbrs[c])
+        assert math.isclose(r.jaccard, jac, abs_tol=1e-5)
+        assert math.isclose(r.adamic_adar, aa, abs_tol=1e-4)

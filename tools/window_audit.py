@@ -178,5 +178,37 @@ def main() -> None:
         print(f"{mx:>12,}  {name}")
 
 
+
+
+def plan_has_global_window(df) -> bool:
+    """Plan-only witness (no execution): True when the query's physical
+    plan contains a Window/WindowGroupLimit node whose spec has no
+    partition columns. Used by tests/test_window_bounds.py to pin that
+    BOUNDS covers EVERY global-window query in the registry."""
+    qe = df._jdf.queryExecution()
+    return _is_global_window(qe.executedPlan().toString())
+
+
+def scan_main() -> None:
+    """List every registered query whose plan carries a global window."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    registry = load_all()
+    spark = get_spark("window-scan")
+    flagged = []
+    for name, rq in registry.items():
+        try:
+            if plan_has_global_window(rq.fn(spark, sf_dir)):
+                flagged.append(name)
+                print("GLOBAL", name, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
+    print("\n== flagged", len(flagged), "==")
+    for n in sorted(flagged):
+        print(n)
+
+
 if __name__ == "__main__":
-    main()
+    if "--scan" in sys.argv:
+        scan_main()
+    else:
+        main()

@@ -1056,6 +1056,92 @@ def main() -> None:
 
         return build
 
+    # round 9: the wave 30-34 scalable devices (VERDICT r08 item 8).
+    # The fixed-rounds / fixed-grid algebra downstream of each is
+    # sf-invariant; these probe the part that actually scales.
+    from pyspark.sql import Window as W
+
+    def markov_probe(ev):
+        # absorbing_chain_steps' scalable stage: per-user lead window
+        # over the event scan -> state-pair census (the 25-round
+        # <=5-row fixed point downstream is sf-invariant)
+        def build():
+            seq = ev.select(
+                F.col("event_type").alias("s"),
+                F.lead("event_type")
+                .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+                .alias("s_next"),
+            )
+            return (
+                seq.filter(F.col("s_next").isNotNull())
+                .groupBy("s", "s_next")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+
+        return build
+
+    def perm_fanout_probe(ev):
+        # permutation_test_lite's hot shape: one scan fanned out xB
+        # map-side via a broadcast draw grid, sha2-seeded relabel in
+        # codegen, partial aggs combining into a B-group result
+        def build():
+            base = ev.filter(
+                F.col("event_type").isin("click", "view")
+            ).select("event_id", "value")
+            bs = spark.range(1, 51).select(F.col("id").alias("b"))
+            gp = (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat_ws(
+                                ":",
+                                F.col("event_id").cast("string"),
+                                F.col("b").cast("string"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            )
+            return (
+                base.crossJoin(F.broadcast(bs))
+                .select("b", "value", gp.alias("gp"))
+                .groupBy("b")
+                .agg(
+                    F.sum(F.when(F.col("gp") == 1, F.col("value"))).alias("s1"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+
+        return build
+
+    def month_device_probe(o):
+        # the Theta / Haar / trend-strength shared device: fact scan ->
+        # calendar census agg; the global window runs over the <=84-row
+        # census, so 10x data only grows the scan+partial-agg stage
+        def build():
+            m = (
+                o.select(
+                    F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+                    F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+                )
+                .groupBy("month")
+                .agg(F.sum("x").cast("double").alias("rev"))
+            )
+            w = W.orderBy("month")
+            return m.select(
+                "month",
+                F.row_number().over(w).alias("t"),
+                F.avg("rev").over(w.rowsBetween(-11, 0)).alias("ma12"),
+            )
+
+        return build
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -1181,6 +1267,19 @@ def main() -> None:
         "wedge_census(lineitem)": (
             wedge_census_probe(li1),
             wedge_census_probe(li10g),
+        ),
+        # round 9: wave 30-34 devices (VERDICT r08 item 8)
+        "markov_transition_census(events)": (
+            markov_probe(ev1),
+            markov_probe(ev10),
+        ),
+        "permutation_fanout(events)": (
+            perm_fanout_probe(ev1),
+            perm_fanout_probe(ev10),
+        ),
+        "month_census_device(orders)": (
+            month_device_probe(ord1),
+            month_device_probe(ord10),
         ),
     }
 

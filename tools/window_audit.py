@@ -33,17 +33,28 @@ _ROW_METRICS = ("number of output rows", "records read", "shuffle records writte
 
 
 def window_input_rows(spark, df) -> list[int]:
-    """Execute df (noop sink) and return, for every Window node in the
-    new executions, the rows that flowed INTO it. WindowExec itself
-    emits only a spill metric in Spark 4, so the input size is read
-    from the nearest row-metric-bearing descendant (Sort / Project /
+    """Back-compat wrapper: measure a pre-built DataFrame. Misses any
+    window that already EXECUTED while the query was being constructed
+    (eager localCheckpoint subrelations) — prefer
+    `window_input_rows_thunk`, which snapshots the store before
+    construction."""
+    return window_input_rows_thunk(spark, lambda: df)
+
+
+def window_input_rows_thunk(spark, make_df) -> list[int]:
+    """Call make_df() and execute the result (noop sink); return, for
+    every partition-less Window node in ALL new executions — including
+    jobs the construction itself ran (eager localCheckpoints, scalar
+    probes) — the rows that flowed INTO it. WindowExec itself emits
+    only a spill metric in Spark 4, so the input size is read from the
+    nearest row-metric-bearing descendant (Sort / Project /
     AQEShuffleRead are metric-less pass-throughs; the Exchange or
     HashAggregate below them reports rows)."""
     import time as _time
 
     store = spark._jsparkSession.sharedState().statusStore()
     before = {e.executionId() for e in _jlist(store.executionsList())}
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     rows: list[int] = []
     for e in _jlist(store.executionsList()):
         eid = e.executionId()
@@ -165,7 +176,9 @@ def main() -> None:
             print(f"SKIP {name}: not registered")
             continue
         try:
-            rows = window_input_rows(spark, registry[name].fn(spark, sf_dir))
+            rows = window_input_rows_thunk(
+                spark, lambda: registry[name].fn(spark, sf_dir)
+            )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             continue

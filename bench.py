@@ -356,6 +356,9 @@ HEADLINE = [
     "information_gain_ranking",
     "newsvendor_quantile",
     "permutation_test_lite",
+    # round 9: the enforced-hub-cap link prediction (the exact twin
+    # stays SPREAD_ONLY below as its recall yardstick)
+    "link_prediction_capped",
 ]
 
 #: Measured and recorded in the spread file but EXCLUDED from the
@@ -427,22 +430,41 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in names}
     import gc
 
-    for _ in range(repeats):
-        for name in names:
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
-        # Per-pass hygiene: queries that localCheckpoint leave blocks in
-        # the block manager until the Python refs are collected AND the
-        # JVM ContextCleaner runs; with 270 queries per pass the
-        # accumulation measurably inflates later heavy aggregations
-        # (link_prediction_scores measured 37 s isolated vs 74 s at the
-        # tail of a pass). One collect + JVM GC per pass bounds it.
+    def _hygiene() -> None:
+        # Session hygiene between measurement blocks. Measured round 9:
+        # GC alone does NOT reclaim leftover localCheckpoint blocks in
+        # time (the ContextCleaner is async — LP stayed 53-61 s after
+        # gc.collect + System.gc), but a SYNCHRONOUS unpersist of every
+        # persistent RDD recovers most of the inflation (60.7 -> 43.7 s
+        # vs ~35 s isolated-warm; the residue is session aging that no
+        # cleanup reverses, documented in ROUND_NOTES). Unpersist is
+        # safe here: every query builds its own plan from the parquet
+        # scans, so no cross-query state is shared.
+        try:
+            jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+            it = jmap.iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(True)
+        except Exception:
+            pass
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+
+    headline_names = [n for n in names if n in headline_set]
+    tail_names = [n for n in names if n not in headline_set]
+    for _ in range(repeats):
+        for block in (headline_names, tail_names):
+            for name in block:
+                t0 = time.perf_counter()
+                registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+            # run hygiene BEFORE the SPREAD_ONLY tail too — those are
+            # the pass-tail heavy demos whose in-pass numbers the
+            # per-pass-only GC (r08) never protected
+            _hygiene()
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()}
     # headline value = scalable ops only; SPREAD_ONLY medians live in

@@ -14,6 +14,18 @@ from tools.explain_audit import AUDIT
 
 REGISTRY = load_all()
 
+# Queries retired from the driver registry (round 9) keep their plan
+# gates: resolve them straight from their module.
+from ocean_data_pipeline_spark.queries.sql_surface import (  # noqa: E402
+    sql_series_ordered,
+)
+
+RETIRED = {"sql_series_ordered": sql_series_ordered}
+
+
+def _query_fn(name):
+    return REGISTRY[name].fn if name in REGISTRY else RETIRED[name]
+
 
 def _formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -24,7 +36,7 @@ def _formatted_plan(spark, df) -> str:
 @pytest.mark.parametrize("name", sorted(AUDIT))
 def test_plan_quality(spark, name):
     must, must_not = AUDIT[name]
-    plan = _formatted_plan(spark, REGISTRY[name].fn(spark, SF_ORACLE))
+    plan = _formatted_plan(spark, _query_fn(name)(spark, SF_ORACLE))
     for frag in must:
         assert frag in plan, f"{name}: plan lost {frag!r}\n{plan}"
     for frag in must_not:

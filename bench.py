@@ -445,13 +445,54 @@ def main() -> None:
             it = jmap.iterator()
             while it.hasNext():
                 it.next()._2().unpersist(True)
-        except Exception:
-            pass
+        except Exception as e:
+            # If the py4j Scala-map iteration breaks (e.g. a Spark
+            # upgrade), hygiene silently degrading to GC-only would
+            # shift bench numbers across rounds with no signal
+            # (ADVICE r09) — warn once so the drift is attributable.
+            if not getattr(_hygiene, "_warned", False):
+                _hygiene._warned = True
+                print(
+                    f"bench: unpersist hygiene unavailable ({type(e).__name__}: {e}); "
+                    "falling back to GC-only — in-pass numbers may inflate",
+                    file=sys.stderr,
+                )
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+
+    # Host-normalization canary (VERDICT r09 item 3): the same code
+    # measured 402 -> 481 s across four same-day runs under shared-host
+    # CPU pressure, so raw round-over-round totals are +/-10 % noise.
+    # A fixed 5-query block timed at pass start and end gives every
+    # artifact a same-host yardstick: compare rounds via
+    # total / mean(canary) rather than raw totals. Queries chosen to
+    # span the engine (scan+agg, near-dup join, stateful stream twin,
+    # catalog advisor, ER pipeline) while staying cheap (<10 s total).
+    canary_names = [n for n in (
+        "q1_pricing", "embedding_near_dup", "stream_hll_registers",
+        "encoding_advisor", "er_pipeline_end2end",
+    ) if n in registry]
+
+    def _run_canary() -> dict[str, float]:
+        # untimed warm pass first: the start-of-run block would otherwise
+        # measure JIT/codegen/footer warm-up (observed 45.9 s cold vs
+        # 11.3 s steady-state), not host load — both blocks must sample
+        # the same steady state for the ratio to mean anything
+        for name in canary_names:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _hygiene()
+        per: dict[str, float] = {}
+        for name in canary_names:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            per[name] = round(time.perf_counter() - t0, 3)
+        _hygiene()
+        return per
+
+    canary_start = _run_canary()
 
     headline_names = [n for n in names if n in headline_set]
     tail_names = [n for n in names if n not in headline_set]
@@ -465,6 +506,15 @@ def main() -> None:
             # the pass-tail heavy demos whose in-pass numbers the
             # per-pass-only GC (r08) never protected
             _hygiene()
+    canary_end = _run_canary()
+    canary = {
+        "queries": canary_names,
+        "start": canary_start,
+        "end": canary_end,
+        "start_total": round(sum(canary_start.values()), 3),
+        "end_total": round(sum(canary_end.values()), 3),
+    }
+
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()}
     # headline value = scalable ops only; SPREAD_ONLY medians live in
@@ -487,6 +537,7 @@ def main() -> None:
                  "discovery": os.environ.get(
                      "SPARK_GRAFT_BENCH_DISCOVERY", ""
                  ).lower() in ("1", "true", "yes"),
+                 "canary": canary,
                  "spread_only": [n for n in names if n not in headline_set]},
                 f, indent=1,
             )
@@ -512,6 +563,11 @@ def main() -> None:
             "queries": q,
             "repeats": repeats,
             "sf": sf_num,
+            # host-load yardstick: normalize cross-round totals by the
+            # mean of these two fixed-block timings (full per-query
+            # canary detail lives in the spread file)
+            "canary_start": canary["start_total"],
+            "canary_end": canary["end_total"],
         }
         if omitted:
             payload["queries_omitted"] = omitted

@@ -162,6 +162,28 @@ _DRIVER_VERIFIED = frozenset({
     "burrows_delta_sources", "theta_method_forecast", "haar_energy_monthly",
     "binseg_changepoint_monthly", "cohens_kappa_rules",
     "partial_correlation_lineitem",
+    # green in round 9 (CORRECTNESS_r09.json, 50/50 pass — the enforced-cap
+    # link-prediction headline, waves 32-34 eval/training ops, the
+    # entity-resolution family, curation/similarity/multimodal first-timers).
+    "link_prediction_capped", "vif_lineitem_regressors",
+    "knn_label_noise_audit", "binary_embedding_quant", "pass_at_k_estimator",
+    "bradley_terry_nations", "ece_reliability_bins", "chunk_overlap_census",
+    "absorbing_chain_steps", "trend_seasonal_strength",
+    "information_gain_ranking", "newsvendor_quantile", "permutation_test_lite",
+    "fuzzy_name_pairs", "full_outer_nation_presence", "compaction_plan",
+    "shuffle_bucket_histogram", "encoding_advisor", "join_cardinality_audit",
+    "skew_salting_advisor", "zonemap_pruning_audit", "jaro_winkler_toppairs",
+    "phonetic_block_census", "winnow_robust_census", "sim_topk_ivf_kmeans",
+    "near_dup_components_star", "dedup_normalized_documents",
+    "repeated_ngrams", "corpus_curation_funnel", "benchmark_decontamination",
+    "source_mixture_report", "sim_topk_pq", "span_dedup_census",
+    "quality_decile_filter", "zipf_token_slope", "perplexity_filter_unigram",
+    "label_centroid_confusion", "char_entropy_quality",
+    "contamination_ngram_sweep", "multimodal_av_metadata",
+    "token_js_divergence", "hyperplane_lsh_census", "hard_negative_mining",
+    "simhash_hamming_pairs", "fellegi_sunter_weights", "er_pipeline_end2end",
+    "video_frame_sample", "image_resize_nn", "audio_energy_census",
+    "skew_kurtosis_exact",
 })
 
 # Queries added after the round's front block was already full (the
@@ -171,6 +193,20 @@ _DRIVER_VERIFIED = frozenset({
 # Round 4: empty — the rotation freed 49 slots, so every previously
 # deferred query now rides in the front block.
 _DEFER_TO_BACK: frozenset[str] = frozenset()
+
+# Names lifted to the very head of the front block this round. VERDICT r09
+# independently sampled these from the never-driver-checked population
+# (14/14 local pass) and asked that r10's front-50 carry the long-shipping
+# bread-and-butter tail first; several sit past position 50 in plain
+# registration order, so the rotation alone would defer them to r11.
+_FRONT_PRIORITY: tuple[str, ...] = (
+    "sql_funnel_conversion", "acf_monthly_revenue",
+    "market_concentration_hhi", "split_leakage_audit", "stream_ewma_monthly",
+    "bm25_topk", "equi_depth_histogram", "stratified_sample_events",
+    "woe_iv_price_bins", "stream_funnel_stages", "variant_props_profile",
+    "countmin_heavy_hitters", "semantic_dedup_cells",
+    "sql_group_order_by_all",
+)
 
 
 def load_all() -> dict[str, RegisteredQuery]:
@@ -271,8 +307,15 @@ def load_all() -> dict[str, RegisteredQuery]:
             "wave28_ops",
         )
     )
+    lifted = {n: front[n] for n in _FRONT_PRIORITY if n in front}
     prioritized = {
-        n: rq for n, rq in front.items() if rq.fn.__module__ in newest
+        n: rq
+        for n, rq in front.items()
+        if rq.fn.__module__ in newest and n not in lifted
     }
-    rest = {n: rq for n, rq in front.items() if n not in prioritized}
-    return {**prioritized, **rest, **back}
+    rest = {
+        n: rq
+        for n, rq in front.items()
+        if n not in prioritized and n not in lifted
+    }
+    return {**lifted, **prioritized, **rest, **back}

@@ -118,9 +118,14 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
         ek = edges.select(
             (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb").cast("long")).alias("k")
         )
+        # Decode with a LOGICAL shift: ids in [2^31, 2^32) pass the guard
+        # but put the high half's top bit in the long's sign bit, so the
+        # arithmetic shiftright would sign-extend and return b - 2^32.
+        # shiftrightunsigned zero-fills; keys themselves are unaffected
+        # (the pack is injective mod 2^64 on both sides of the join).
         return wk.join(ek, "k").select(
             F.col("s").alias("a"),
-            F.shiftright(F.col("k"), 32).cast("bigint").alias("b"),
+            F.shiftrightunsigned(F.col("k"), 32).cast("bigint").alias("b"),
             F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
         )
     # ids exceed 32 bits: same degree-oriented close, two-column struct key.

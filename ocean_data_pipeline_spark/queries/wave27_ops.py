@@ -473,34 +473,14 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # _wedge_pair_census sizes the explode to 3x cores so each partial
+    # aggregation's hash table fits in memory: at 32 source partitions
+    # each task hashes ~9 M near-unique keys and falls back to
+    # sort+spill (measured 53 s at sf0.1); 3x keeps partials resident
+    # (21 s). The repartition shuffles only the NODE-scale list
+    # relation, never the wedge mass.
     ids = F.transform(F.col("nbrs"), lambda s: s["x"])
-    packed = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
-            ),
-        )
-    )
-    # Size the explode tasks so each partial aggregation's hash table
-    # fits in memory: at 32 source partitions each task hashes ~9 M
-    # near-unique keys and falls back to sort+spill (measured 53 s at
-    # sf0.1); 3× the core count keeps partials resident (21 s). The
-    # repartition shuffles only the NODE-scale list relation, never
-    # the wedge mass.
-    fanout = spark.sparkContext.defaultParallelism * 3
-    census = (
-        adj.repartition(fanout)
-        .select(F.explode(packed).alias("k"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
-        .select(
-            F.shiftright(F.col("k"), 32).cast("bigint").alias("a"),
-            F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
-            "cn",
-        )
-    )
+    census = _wedge_pair_census(spark, adj, ids, "cn")
     top20 = (
         census.join(
             edges,
@@ -544,6 +524,71 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(aa, 6).alias("adamic_adar"),
         )
         .orderBy(F.desc("common_neighbors"), F.asc("part_a"), F.asc("part_b"))
+    )
+
+
+def _wedge_pair_census(spark, adj, ids, count_alias: str):
+    """Ordered-pair census over per-node sorted neighbor-id lists: one
+    output row per distinct wedge endpoint pair (a, c) with its
+    common-neighbor count, columns (a, c, <count_alias>).
+
+    Hot path emits each pair as ONE packed BIGINT (a << 32 | c) so the
+    wedge-mass aggregate is a bare count on a single long key. The
+    pack requires ids < 2^32 (TPC-H partkey crosses that at SF~21500),
+    so a node-scale max-id probe routes big-id graphs onto an
+    equivalent two-field struct key — same explode, same join shape,
+    slightly wider shuffle rows, no aliasing. The packed decode uses a
+    LOGICAL shift: ids in [2^31, 2^32) pass the guard but put the high
+    half's top bit in the long's sign bit, and the arithmetic
+    shiftright would sign-extend them back as a - 2^32 (ADVICE r09).
+    Join keys themselves never collide in either path.
+
+    `adj` must be node-scale with the node id in column `w` (every
+    node with degree >= 1 appears); `ids` is the per-row array of
+    neighbor ids to wedge over (full or capped prefix)."""
+    fanout = spark.sparkContext.defaultParallelism * 3
+    max_id = adj.agg(F.max("w")).first()[0]
+    if max_id is not None and max_id < (1 << 32):
+        packed = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
+                ),
+            )
+        )
+        return (
+            adj.repartition(fanout)
+            .select(F.explode(packed).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
+            .select(
+                F.shiftrightunsigned(F.col("k"), 32).cast("bigint").alias("a"),
+                F.col("k")
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .cast("bigint")
+                .alias("c"),
+                count_alias,
+            )
+        )
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    x.cast("bigint").alias("a"), y.cast("bigint").alias("c")
+                ),
+            ),
+        )
+    )
+    return (
+        adj.repartition(fanout)
+        .select(F.explode(pairs).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
+        .select(F.col("k.a").alias("a"), F.col("k.c").alias("c"), count_alias)
     )
 
 
@@ -625,10 +670,15 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics note: the capped census is a lower bound, so a true
     top-20 pair whose common neighbors all sit beyond position 64
     of their lists could miss the survivor set — the classic
-    cap-recall trade the exact twin exists to measure. Both engines
-    apply the identical cap, so the result is deterministic parity,
-    and `cn_capped` is reported next to the confirmed
-    `common_neighbors` so the gap is visible in the output itself.
+    cap-recall trade the exact twin exists to measure. Measured
+    (PLANS.md round 10): top-20 recall vs the exact twin is 5/20 at
+    sf0.01 and 3/20 at sf0.1, FLAT in survivor-set size — this
+    near-uniform-degree graph (median 119 vs cap 64) is the cap's
+    worst case; on the power-law graphs the cap targets, min(deg, 64)
+    only truncates hubs. Both engines apply the identical cap, so the
+    result is deterministic parity, and `cn_capped` is reported next
+    to the confirmed `common_neighbors` so the gap is visible in the
+    output itself.
 
     Determinism: capped lists are the sorted-array prefix (Spark) =
     rank-by-neighbor-id cap (oracle); counts are integers; Adamic-Adar
@@ -667,27 +717,7 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped_ids = F.slice(
         F.transform(F.col("nbrs"), lambda s: s["x"]), 1, _LP_CAP
     )
-    packed = F.flatten(
-        F.transform(
-            capped_ids,
-            lambda x, i: F.transform(
-                F.slice(capped_ids, i + 2, F.size(capped_ids)),
-                lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
-            ),
-        )
-    )
-    fanout = spark.sparkContext.defaultParallelism * 3
-    census = (
-        adj.repartition(fanout)
-        .select(F.explode(packed).alias("k"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cn_capped"))
-        .select(
-            F.shiftright(F.col("k"), 32).cast("bigint").alias("a"),
-            F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast("bigint").alias("c"),
-            "cn_capped",
-        )
-    )
+    census = _wedge_pair_census(spark, adj, capped_ids, "cn_capped")
     survivors = (
         census.join(
             edges,

@@ -41,3 +41,21 @@ def test_plan_quality(spark, name):
         assert frag in plan, f"{name}: plan lost {frag!r}\n{plan}"
     for frag in must_not:
         assert frag not in plan, f"{name}: plan regressed to {frag!r}\n{plan}"
+
+
+# Iterative queries unroll driver-side loops into the plan. The wave-34
+# absorbing-chain fix (every-8-rounds localCheckpoint) cut its plan from
+# 3,652 normalized lines / 312 joins to ~315 lines / 6 physical joins
+# (bench 7.5 -> 5.3 s in-pass); gate the size so a dropped checkpoint
+# can't silently reintroduce the unroll (VERDICT r09 item 4).
+_PLAN_SIZE_CAP = {"absorbing_chain_steps": 1000}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_SIZE_CAP))
+def test_plan_size_cap(spark, name):
+    plan = _formatted_plan(spark, _query_fn(name)(spark, SF_ORACLE))
+    n = plan.count("\n") + 1
+    assert n < _PLAN_SIZE_CAP[name], (
+        f"{name}: formatted plan blew up to {n} lines — an iterative "
+        "checkpoint was probably dropped"
+    )

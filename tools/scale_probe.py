@@ -1041,6 +1041,52 @@ def main() -> None:
 
         return build
 
+    def capped_wedge_probe(li):
+        def build():
+            # the link_prediction_capped census core: per-node sorted
+            # adjacency lists truncated to the 64 lowest-id neighbors,
+            # packed-BIGINT map-side wedge explode, bare-count aggregate
+            # (queries/wave27_ops.py::_wedge_pair_census) — Σ min(deg,64)²
+            # wedge mass, bounded per node no matter how hot the hub
+            pl = li.select("l_orderkey", "l_partkey").distinct()
+            a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+            b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+            edges = (
+                a.join(b, "k")
+                .filter(F.col("pa") < F.col("pb"))
+                .select("pa", "pb")
+                .distinct()
+            )
+            sym = edges.select(
+                F.col("pa").alias("src"), F.col("pb").alias("dst")
+            ).unionByName(
+                edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+            )
+            adj = sym.groupBy(F.col("src").alias("w")).agg(
+                F.slice(F.sort_array(F.collect_list("dst")), 1, 64).alias("ids")
+            )
+            ids = F.col("ids")
+            packed = F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
+                    ),
+                )
+            )
+            fanout = adj.sparkSession.sparkContext.defaultParallelism * 3
+            return (
+                adj.repartition(fanout)
+                .select(F.explode(packed).alias("k"))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("cn"))
+                .groupBy()
+                .count()
+            )
+
+        return build
+
     def rank_device_probe(o):
         def build():
             from ocean_data_pipeline_spark.operators.ranks import (
@@ -1268,6 +1314,14 @@ def main() -> None:
             wedge_census_probe(li1),
             wedge_census_probe(li10g),
         ),
+        # round 10: the ENFORCED-cap wedge device behind
+        # link_prediction_capped (VERDICT r09 item 6) — wedge mass is
+        # Σ min(deg, 64)² per node instead of Σ deg², so the measured
+        # ratio should sit at or below the exact device's
+        "capped_wedge_census(lineitem)": (
+            capped_wedge_probe(li1),
+            capped_wedge_probe(li10g),
+        ),
         # round 9: wave 30-34 devices (VERDICT r08 item 8)
         "markov_transition_census(events)": (
             markov_probe(ev1),
@@ -1283,30 +1337,51 @@ def main() -> None:
         ),
     }
 
-    lines = [
+    # Optional argv filter: run only probes whose name contains one of
+    # the given substrings, and MERGE their rows into the existing
+    # SCALE.md table instead of rewriting it — re-measuring ~50 probes
+    # to add one row would burn an hour and churn every number.
+    only = sys.argv[1:]
+    if only:
+        ops = {
+            k: v for k, v in ops.items() if any(s in k for s in only)
+        }
+        if not ops:
+            print(f"no probes match {only}", file=sys.stderr)
+            sys.exit(1)
+
+    header = [
         "# SCALE — measured 1x vs 10x operator scaling",
         "",
         f"sf0.1 tables self-unioned {COPIES}x (ids offset), local[32], "
         f"best of {REPEATS}; ratio <= {COPIES} means the plan amortizes "
-        "fixed overhead and scales at or below linear.",
+        f"fixed overhead and scales at or below linear.",
         "",
         "| operator | 1x (s) | 10x (s) | ratio |",
         "|---|---|---|---|",
     ]
+    rows: dict[str, str] = {}
+    scale_path = os.path.join(REPO, "SCALE.md")
+    if only and os.path.exists(scale_path):
+        with open(scale_path) as f:
+            for ln in f:
+                ln = ln.rstrip("\n")
+                if ln.startswith("| ") and not ln.startswith("| operator") and "---" not in ln:
+                    rows[ln[2:].split(" |", 1)[0]] = ln
     for name, (b1, b10) in ops.items():
         # one broken probe must not lose the whole table
         try:
             t1 = time_op(b1)
             t10 = time_op(b10)
         except Exception as e:  # noqa: BLE001
-            lines.append(f"| {name} | FAIL | FAIL | {type(e).__name__} |")
-            print(lines[-1], flush=True)
+            rows[name] = f"| {name} | FAIL | FAIL | {type(e).__name__} |"
+            print(rows[name], flush=True)
             continue
         ratio = t10 / t1 if t1 > 0 else float("nan")
-        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x |")
-        print(lines[-1], flush=True)
-    with open(os.path.join(REPO, "SCALE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+        rows[name] = f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x |"
+        print(rows[name], flush=True)
+    with open(scale_path, "w") as f:
+        f.write("\n".join(header + list(rows.values())) + "\n")
     print("wrote SCALE.md")
 
 

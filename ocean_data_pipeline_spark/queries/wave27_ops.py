@@ -545,9 +545,27 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str):
 
     `adj` must be node-scale with the node id in column `w` (every
     node with degree >= 1 appears); `ids` is the per-row array of
-    neighbor ids to wedge over (full or capped prefix)."""
-    fanout = spark.sparkContext.defaultParallelism * 3
-    max_id = adj.agg(F.max("w")).first()[0]
+    neighbor ids to wedge over (full or capped prefix).
+
+    Shuffle sizing: the node-scale probe job also measures the exact
+    wedge mass (Σ C(|ids|, 2)) and sizes BOTH sides of the census to
+    ~3 M pairs per task (measured at sf0.1: 9 M/task falls back to
+    sort+spill, 3 M stays hash-resident). The reduce side repartitions
+    BY KEY to that width instead of inheriting the fixed
+    spark.sql.shuffle.partitions — the 10x scale probe measured 12.0x
+    super-linear with 32 fixed reducers (~13 M near-unique keys each,
+    all spilling); map-side combine loses nothing because pair
+    multiplicity is tiny, and AQE coalesces the width back down when
+    the mass is small."""
+    sz = F.size(ids).cast("long")
+    stats = adj.agg(
+        F.max("w").alias("max_id"),
+        F.sum(sz * (sz - 1) / 2).cast("long").alias("mass"),
+    ).first()
+    max_id, mass = stats["max_id"], int(stats["mass"] or 0)
+    fanout = max(
+        spark.sparkContext.defaultParallelism * 3, -(-mass // 3_000_000)
+    )
     if max_id is not None and max_id < (1 << 32):
         packed = F.flatten(
             F.transform(
@@ -561,6 +579,7 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str):
         return (
             adj.repartition(fanout)
             .select(F.explode(packed).alias("k"))
+            .repartition(fanout, "k")
             .groupBy("k")
             .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
             .select(
@@ -586,6 +605,7 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str):
     return (
         adj.repartition(fanout)
         .select(F.explode(pairs).alias("k"))
+        .repartition(fanout, "k")
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
         .select(F.col("k.a").alias("a"), F.col("k.c").alias("c"), count_alias)

@@ -1062,28 +1062,22 @@ def main() -> None:
             ).unionByName(
                 edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
             )
-            adj = sym.groupBy(F.col("src").alias("w")).agg(
-                F.slice(F.sort_array(F.collect_list("dst")), 1, 64).alias("ids")
-            )
-            ids = F.col("ids")
-            packed = F.flatten(
-                F.transform(
-                    ids,
-                    lambda x, i: F.transform(
-                        F.slice(ids, i + 2, F.size(ids)),
-                        lambda y: F.shiftleft(x.cast("long"), 32) + y.cast("long"),
-                    ),
+            adj = (
+                sym.groupBy(F.col("src").alias("w"))
+                .agg(
+                    F.slice(
+                        F.sort_array(F.collect_list("dst")), 1, 64
+                    ).alias("ids")
                 )
+                .localCheckpoint()  # the shipped queries checkpoint adj too
             )
-            fanout = adj.sparkSession.sparkContext.defaultParallelism * 3
-            return (
-                adj.repartition(fanout)
-                .select(F.explode(packed).alias("k"))
-                .groupBy("k")
-                .agg(F.count(F.lit(1)).alias("cn"))
-                .groupBy()
-                .count()
+            from ocean_data_pipeline_spark.queries.wave27_ops import (
+                _wedge_pair_census,
             )
+
+            return _wedge_pair_census(
+                adj.sparkSession, adj, F.col("ids"), "cn"
+            ).groupBy().count()
 
         return build
 

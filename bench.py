@@ -418,8 +418,10 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers once so per-query timings measure
-    # steady-state execution, not session startup.
-    registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # steady-state execution, not session startup. (The tail-phase child
+    # below warms its own query list instead.)
+    if os.environ.get("SPARK_GRAFT_TAIL_PHASE") != "1":
+        registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # INTERLEAVED repeats: run the whole query list once per pass
     # instead of back-to-back samples per query, so a box-noise burst
@@ -492,20 +494,72 @@ def main() -> None:
         _hygiene()
         return per
 
-    canary_start = _run_canary()
-
     headline_names = [n for n in names if n in headline_set]
     tail_names = [n for n in names if n not in headline_set]
-    for _ in range(repeats):
-        for block in (headline_names, tail_names):
-            for name in block:
+
+    # SPREAD_ONLY tail phase for a CHILD process (see below): time only
+    # the tail in this fresh JVM and print the samples as one JSON line.
+    if os.environ.get("SPARK_GRAFT_TAIL_PHASE") == "1":
+        for name in tail_names:  # warm pass (JIT, parquet footers)
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _hygiene()
+        for _ in range(repeats):
+            for name in tail_names:
                 t0 = time.perf_counter()
                 registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
-            # run hygiene BEFORE the SPREAD_ONLY tail too — those are
-            # the pass-tail heavy demos whose in-pass numbers the
-            # per-pass-only GC (r08) never protected
             _hygiene()
+        print(json.dumps({"tail_samples": {n: samples[n] for n in tail_names}}))
+        return
+
+    canary_start = _run_canary()
+
+    for _ in range(repeats):
+        for name in headline_names:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+        _hygiene()
+
+    # Run the SPREAD_ONLY heavy tail in a FRESH subprocess (fresh JVM +
+    # SparkContext), adopted from the round-10 A/B (VERDICT r09 item 8):
+    # after ~270 queries x 5 passes the session ages in ways no unpersist
+    # + GC reverses, inflating the tail 6-14 % over fresh-session-warm
+    # (measured: link_prediction_scores 25.7 in aged pass vs 24.2 fresh,
+    # sql_recursive_holt 38.4 vs 33.0, capped_balance 14.7 vs 12.9).
+    # The child runs the same interleaved discipline and reports raw
+    # samples; on any failure the tail falls back to in-proc so the
+    # artifact never loses those rows.
+    if tail_names:
+        tail_samples: dict[str, list[float]] | None = None
+        try:
+            import subprocess
+
+            env = dict(os.environ, SPARK_GRAFT_TAIL_PHASE="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, text=True,
+            )
+            for ln in reversed(proc.stdout.splitlines()):
+                if ln.startswith("{"):
+                    got = json.loads(ln)["tail_samples"]
+                    if set(got) == set(tail_names):
+                        tail_samples = got
+                    break
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: tail subprocess failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+        if tail_samples is None:
+            print("bench: running SPREAD_ONLY tail in-proc (aged session) — "
+                  "tail numbers may inflate 6-14 %", file=sys.stderr)
+            for _ in range(repeats):
+                for name in tail_names:
+                    t0 = time.perf_counter()
+                    registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples[name].append(time.perf_counter() - t0)
+                _hygiene()
+        else:
+            samples.update(tail_samples)
     canary_end = _run_canary()
     canary = {
         "queries": canary_names,

@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries with a driver-green CORRECTNESS row through round 3. The driver
+# Queries with a driver-green CORRECTNESS row through round 9. The driver
 # verifies only the first 50 registry entries per round, so `load_all`
 # rotates this long-green set to the back and surfaces never-driver-verified
 # queries (plus queries whose oracle is new this round) in the front slots.

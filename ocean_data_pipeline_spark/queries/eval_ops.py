@@ -701,6 +701,12 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # localCheckpoint: this 2,080-row aggregate is consumed by the
+    # mirror union (2 branches) and re-derived by every terminal
+    # (diag_agg / summary / top) — lazily that rebuilt the 20 M-row
+    # explode subtree 4-6x (visible as repeated Generate branches in
+    # the committed plan snapshot); materializing the tiny cell grid
+    # makes the heavy explode exactly one job.
     cells_tri = (
         emb.select(F.explode(outer).alias("c"))
         .select("c.i", "c.j", "c.xy")
@@ -709,12 +715,15 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("xy").cast("double") / F.lit(1e12)).alias("s_ij"),
             F.count(F.lit(1)).alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     cells = cells_tri.unionByName(
         cells_tri.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "s_ij", "n"
         )
     )
+    # same device: the 64-row mean relation feeds two broadcasts (mi,
+    # mj), which would each rebuild the posexplode pass
     mu = (
         emb.select(F.posexplode("v").alias("pos0", "val"))
         .select((F.col("pos0") + 1).alias("pos"), "val")
@@ -725,6 +734,7 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("m")
         )
+        .localCheckpoint(eager=True)
     )
     mi = mu.select(F.col("pos").alias("i"), F.col("m").alias("m_i"))
     mj = mu.select(F.col("pos").alias("j"), F.col("m").alias("m_j"))

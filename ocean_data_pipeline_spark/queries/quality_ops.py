@@ -1311,19 +1311,23 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "id_a", "id_b")
     )
     occupancy = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    pair_counts = dups.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
-    )
-    dup_vecs = (
-        dups.select("cell", F.col("id_a").alias("vec_id"))
-        .unionByName(dups.select("cell", F.col("id_b").alias("vec_id")))
-        .distinct()
+    # ONE pass over the pairwise-confirm join: pair_counts + a
+    # union-of-two-selects dup_vecs would build the |cells|²-per-cell
+    # cosine subtree three times (the clustering_coefficient_census
+    # lesson); exploding both endpoints gives exactly 2 rows per pair,
+    # so pairs = count/2 and distinct endpoints in the same aggregate.
+    dup_stats = (
+        dups.select(
+            "cell", F.explode(F.array("id_a", "id_b")).alias("vec_id")
+        )
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_vecs"))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_dup_pairs"),
+            F.countDistinct("vec_id").cast("bigint").alias("n_dup_vecs"),
+        )
     )
     return (
-        occupancy.join(pair_counts, "cell", "left")
-        .join(dup_vecs, "cell", "left")
+        occupancy.join(dup_stats, "cell", "left")
         .select(
             "cell",
             "n_vecs",

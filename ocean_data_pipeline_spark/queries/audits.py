@@ -1575,7 +1575,7 @@ SELECT CAST(ta AS BIGINT) AS exposed_cases,
             THEN (CAST(ta AS DOUBLE) * td) / (CAST(tb AS DOUBLE) * tc) END
          AS crude_odds_ratio,
        CASE WHEN CAST(s_bc AS DOUBLE) <> 0
-            THEN CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE) END
+            THEN round(CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE), 12) END
          AS mh_odds_ratio
 FROM pooled
 """
@@ -1640,9 +1640,16 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ta").cast("double") * F.col("td"))
             / (F.col("tb").cast("double") * F.col("tc")),
         ).alias("crude_odds_ratio"),
+        # round at 12dp: the decimal(28,12) -> double CASTS differ by
+        # 1 ulp between engines (Java BigDecimal.doubleValue is
+        # correctly rounded; DuckDB divides the int128 payload by 1e12
+        # in floating point), observed at sf0.1
         F.when(
             F.col("s_bc").cast("double") != 0,
-            F.col("s_ad").cast("double") / F.col("s_bc").cast("double"),
+            F.round(
+                F.col("s_ad").cast("double") / F.col("s_bc").cast("double"),
+                12,
+            ),
         ).alias("mh_odds_ratio"),
     )
 

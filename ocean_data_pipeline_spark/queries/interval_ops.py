@@ -106,7 +106,7 @@ w AS (SELECT DISTINCT mon AS w0 FROM m)
 SELECT strftime(w.w0, '%Y-%m-%d') AS window_start,
        count(*) AS n_months,
        CAST(sum(m.n) AS BIGINT) AS n_rows,
-       round(CAST(sum(m.rev) AS DOUBLE), 2) AS window_rev
+       CAST(round(sum(m.rev), 2) AS DOUBLE) AS window_rev
 FROM w JOIN m
   ON m.mon >= w.w0 AND m.mon < w.w0 + INTERVAL 3 MONTH
 GROUP BY w.w0 ORDER BY window_start
@@ -161,7 +161,10 @@ def fiscal_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_months"),
             F.sum("n").alias("n_rows"),
-            F.round(F.sum("rev").cast("double"), 2).alias("window_rev"),
+            # round in DECIMAL, then cast: rounding after the double
+            # cast put the .985 half-way case on different sides of
+            # the boundary per engine at sf0.1's ~1e9 window mass
+            F.round(F.sum("rev"), 2).cast("double").alias("window_rev"),
         )
         .select(
             F.date_format("w0", "yyyy-MM-dd").alias("window_start"),

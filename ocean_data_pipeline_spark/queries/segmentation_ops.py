@@ -427,21 +427,23 @@ terms AS (
             - CAST(rc.n_cur AS DOUBLE) / t.t_cur)
            * ln((CAST(rc.n_ref AS DOUBLE) / t.t_ref)
                 / (CAST(rc.n_cur AS DOUBLE) / t.t_cur))
-         END AS psi_term
+         END AS psi_term_raw
   FROM rc CROSS JOIN tots t
 ),
+terms2 AS (
+  SELECT bin, n_ref, n_cur, round(psi_term_raw, 12) AS psi_term FROM terms
+),
 total AS (
-  SELECT CAST(sum(CAST(CAST(psi_term AS VARCHAR) AS DECIMAL(18,12)))
-              AS DOUBLE) AS psi
-  FROM terms
+  SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,12))) AS DOUBLE) AS psi
+  FROM terms2
 )
-SELECT terms.bin,
-       CAST(terms.n_ref AS BIGINT) AS n_ref,
-       CAST(terms.n_cur AS BIGINT) AS n_cur,
-       terms.psi_term,
+SELECT terms2.bin,
+       CAST(terms2.n_ref AS BIGINT) AS n_ref,
+       CAST(terms2.n_cur AS BIGINT) AS n_cur,
+       terms2.psi_term,
        total.psi
-FROM terms CROSS JOIN total
-ORDER BY terms.bin
+FROM terms2 CROSS JOIN total
+ORDER BY terms2.bin
 """
 
 
@@ -506,13 +508,18 @@ def psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            # round each term at 12dp: ln() differs by 1 ulp between
+            # libm implementations for identical input (observed at
+            # sf0.1 in the 16th significant digit); rounding also
+            # makes the decimal total a plain cast
             F.when(
-                (F.col("n_ref") > 0) & (F.col("n_cur") > 0), (p - q) * F.log(p / q)
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((p - q) * F.log(p / q), 12),
             ).alias("psi_term"),
         )
     )
     total = terms.agg(
-        F.sum(F.col("psi_term").cast("string").cast("decimal(18,12)"))
+        F.sum(F.col("psi_term").cast("decimal(18,12)"))
         .cast("double")
         .alias("psi")
     )
@@ -891,16 +898,18 @@ w0 AS MATERIALIZED (
 rm{k} AS (SELECT seg, sum(w) AS ms FROM {prev} GROUP BY seg),
 wr{k} AS MATERIALIZED (
   SELECT p.seg, p.region, p.n,
-         CAST(round(CAST(p.w AS DOUBLE)
-                    * ((t.big_n / t.n_seg) / CAST(m.ms AS DOUBLE)), 12)
+         CAST(CAST(CAST(CAST(p.w AS VARCHAR) AS DOUBLE)
+                    * ((t.big_n / t.n_seg)
+                       / CAST(CAST(m.ms AS VARCHAR) AS DOUBLE)) AS VARCHAR)
               AS DECIMAL(28,12)) AS w
   FROM {prev} p JOIN rm{k} m ON m.seg = p.seg CROSS JOIN tot t
 ),
 cm{k} AS (SELECT region, sum(w) AS ms FROM wr{k} GROUP BY region),
 w{k} AS MATERIALIZED (
   SELECT p.seg, p.region, p.n,
-         CAST(round(CAST(p.w AS DOUBLE)
-                    * ((t.big_n / t.n_reg) / CAST(m.ms AS DOUBLE)), 12)
+         CAST(CAST(CAST(CAST(p.w AS VARCHAR) AS DOUBLE)
+                    * ((t.big_n / t.n_reg)
+                       / CAST(CAST(m.ms AS VARCHAR) AS DOUBLE)) AS VARCHAR)
               AS DECIMAL(28,12)) AS w
   FROM wr{k} p JOIN cm{k} m ON m.region = p.region CROSS JOIN tot t
 )""")
@@ -908,8 +917,8 @@ w{k} AS MATERIALIZED (
     return (
         "WITH " + ",".join(steps) + f"""
 SELECT seg, region, CAST(n AS BIGINT) AS n,
-       CAST(w AS DOUBLE) AS raked_weight,
-       CAST(w AS DOUBLE) / n AS weight_factor
+       CAST(CAST(w AS VARCHAR) AS DOUBLE) AS raked_weight,
+       CAST(CAST(w AS VARCHAR) AS DOUBLE) / n AS weight_factor
 FROM {prev}
 ORDER BY seg, region
 """
@@ -925,9 +934,11 @@ def ipf_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     when its sample composition drifts from the population. Six full
     row/column scaling rounds, unrolled in the oracle as generated
     CTEs (the `bellman_ford`/`kcore` generated-oracle device); each
-    half-round's weights round ONCE into DECIMAL(28,12) so margin sums
-    are exactly associative on both engines and the rounds cannot
-    drift.
+    half-round's weights re-quantize ONCE into DECIMAL(28,12) through
+    their shortest string repr (round(double,12) and direct
+    decimal<->double casts both differ across engines by 1 ulp —
+    measured at sf0.1) so margin sums are exactly associative on both
+    engines and the rounds cannot drift.
 
     Plan shape: one shuffle to the 25-cell joint table; each
     half-round is a 5-row margin agg + broadcast rejoin on the cell
@@ -964,14 +975,26 @@ def ipf_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "seg",
                     "region",
                     "n",
-                    F.round(
-                        F.col("w").cast("double")
+                    # Cross-engine exactness at sf0.1 needs TWO hops
+                    # through shortest string reprs per half-round:
+                    # (1) decimal->double via VARCHAR (the
+                    # gini_customer_spend device — direct casts differ
+                    # by 1 ulp: DuckDB divides the int128 payload in
+                    # floating point), and (2) the 12dp re-quantization
+                    # via double->VARCHAR->DECIMAL instead of
+                    # round(double, 12), whose implementations also
+                    # split at the boundary (Spark rounds the exact
+                    # binary, DuckDB rounds a scaled multiply). Both
+                    # engines print identical doubles identically, so
+                    # the parse-to-decimal is bit-deterministic.
+                    (
+                        F.col("w").cast("string").cast("double")
                         * (
                             (F.col("big_n") / F.col(nk))
-                            / F.col("ms").cast("double")
-                        ),
-                        12,
+                            / F.col("ms").cast("string").cast("double")
+                        )
                     )
+                    .cast("string")
                     .cast("decimal(28,12)")
                     .alias("w"),
                 )
@@ -981,10 +1004,11 @@ def ipf_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # (25-row data; the checkpoint is microseconds).
                 .localCheckpoint()
             )
+    wd = F.col("w").cast("string").cast("double")
     return w.select(
         "seg",
         "region",
         F.col("n").cast("bigint").alias("n"),
-        F.col("w").cast("double").alias("raked_weight"),
-        (F.col("w").cast("double") / F.col("n")).alias("weight_factor"),
+        wd.alias("raked_weight"),
+        (wd / F.col("n")).alias("weight_factor"),
     ).orderBy("seg", "region")

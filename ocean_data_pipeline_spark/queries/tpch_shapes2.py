@@ -37,7 +37,7 @@ WITH cost AS (
   FROM cost
 )
 SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS supp_nation,
-       ROUND(r.unit_cost, 4) AS unit_cost
+       CAST(ROUND(CAST(r.unit_cost AS DECIMAL(38,10)), 4) AS DOUBLE) AS unit_cost
 FROM ranked r
 JOIN part p     ON p.p_partkey = r.l_partkey
 JOIN supplier s ON s.s_suppkey = r.l_suppkey
@@ -81,7 +81,14 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # double-round via a decimal(38,10) waypoint: Spark rounds
+            # the exact binary value, DuckDB rounds the shortest
+            # decimal repr — a raw double like 508.87924999999996
+            # ("…925" printed) splits them at 4dp; the 10dp decimal
+            # cast lands both on the same exact decimal first
+            F.round(F.col("unit_cost").cast("decimal(38,10)"), 4)
+            .cast("double")
+            .alias("unit_cost"),
         )
         .orderBy("p_partkey")
     )

@@ -521,6 +521,12 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
         _hygiene()
 
+    # Third canary point at the headline/SPREAD_ONLY boundary (VERDICT
+    # r10 item 6): start/end alone can't distinguish monotone host
+    # drift (r21: 13.7 -> 22.9) from depth-of-warm recovery (r20:
+    # 14.8 -> 11.5); mid locates which block a drift hit.
+    canary_mid = _run_canary()
+
     # Run the SPREAD_ONLY heavy tail in a FRESH subprocess (fresh JVM +
     # SparkContext), adopted from the round-10 A/B (VERDICT r09 item 8):
     # after ~270 queries x 5 passes the session ages in ways no unpersist
@@ -535,11 +541,26 @@ def main() -> None:
         try:
             import subprocess
 
+            # Peak-memory note (ADVICE r10): during this phase TWO
+            # 16g-driver local[32] JVMs are resident (the idle parent +
+            # the child). Budget ~2x the single-run footprint; the
+            # parent is deliberately NOT stopped — canary_end must run
+            # in the same aged JVM as canary_start/mid for the
+            # host-drift ratio to stay like-for-like across rounds.
             env = dict(os.environ, SPARK_GRAFT_TAIL_PHASE="1")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, stdout=subprocess.PIPE, text=True,
+                # a hung child JVM (stateful-streaming queries have
+                # deadlocked before) must not block the definitive
+                # bench forever; 4 h >> the ~8 min the tail takes
+                timeout=4 * 3600,
             )
+            if proc.returncode != 0:
+                print(
+                    f"bench: tail subprocess exited {proc.returncode}; "
+                    "falling back to in-proc tail", file=sys.stderr,
+                )
             for ln in reversed(proc.stdout.splitlines()):
                 if ln.startswith("{"):
                     got = json.loads(ln)["tail_samples"]
@@ -564,8 +585,10 @@ def main() -> None:
     canary = {
         "queries": canary_names,
         "start": canary_start,
+        "mid": canary_mid,
         "end": canary_end,
         "start_total": round(sum(canary_start.values()), 3),
+        "mid_total": round(sum(canary_mid.values()), 3),
         "end_total": round(sum(canary_end.values()), 3),
     }
 

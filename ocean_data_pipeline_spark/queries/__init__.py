@@ -184,6 +184,29 @@ _DRIVER_VERIFIED = frozenset({
     "simhash_hamming_pairs", "fellegi_sunter_weights", "er_pipeline_end2end",
     "video_frame_sample", "image_resize_nn", "audio_energy_census",
     "skew_kurtosis_exact",
+    # green in round 10 (CORRECTNESS_r10.json, 50/50 pass — the curation/
+    # retrieval/statistics tail, the recursive-CTE SQL family, and the
+    # stateful-streaming pair all first-time driver-green).
+    "acf_monthly_revenue", "bigram_perplexity_interp", "bm25_topk",
+    "cell_label_purity", "chao1_vocab_richness", "cluster_balanced_sampling",
+    "conformal_interval_calibration", "countmin_heavy_hitters",
+    "cv_fold_stability", "doc_length_percentile_trim",
+    "dsir_importance_weights", "equi_depth_histogram", "gaussian_kde_grid",
+    "gopher_repetition_filter", "heaps_law_fit", "inverted_index_conjunctive",
+    "kneser_ney_bigram_ppl", "lexical_quality_rules", "locf_forward_fill",
+    "market_concentration_hhi", "minhash_band_tuning_curve",
+    "minhash_jaccard_calibration", "mixture_temperature_weights",
+    "nb_lang_signal_probe", "neyman_allocation", "ngram_novelty_census",
+    "nucleus_vocab_census", "pandas_udf_segment_stats",
+    "pii_redaction_census", "rrf_hybrid_retrieval", "semantic_dedup_cells",
+    "split_leakage_audit", "sql_funnel_conversion", "sql_group_order_by_all",
+    "sql_recursive_capped_balance", "sql_recursive_holt_smoothing",
+    "sql_recursive_month_spine", "sql_recursive_supplier_chain",
+    "stratified_sample_events", "stream_ewma_monthly", "stream_funnel_stages",
+    "token_burstiness", "tokenizer_fertility", "url_domain_census",
+    "variant_props_profile", "weighted_median_price",
+    "weighted_sample_deterministic", "winsorized_trimmed_mean",
+    "woe_iv_price_bins", "zipf_slope_fit",
 })
 
 # Queries added after the round's front block was already full (the
@@ -194,18 +217,48 @@ _DRIVER_VERIFIED = frozenset({
 # deferred query now rides in the front block.
 _DEFER_TO_BACK: frozenset[str] = frozenset()
 
-# Names lifted to the very head of the front block this round. VERDICT r09
-# independently sampled these from the never-driver-checked population
-# (14/14 local pass) and asked that r10's front-50 carry the long-shipping
-# bread-and-butter tail first; several sit past position 50 in plain
-# registration order, so the rotation alone would defer them to r11.
+# Names lifted to the very head of the front block this round. VERDICT r10
+# item 1: r11's front-50 carries 50 of the 59 remaining never-driver-checked
+# names — the full `sql_*` parser-surface family, the `stream_*` twins,
+# `order_frame_values`/`order_percentile_ranks`, and the time-series
+# statistics tail — draining the backlog to 9. The 9 deferred to r12
+# (leakage_safe_group_split, time_weighted_avg, ship_latency_percentiles,
+# rfm_segmentation, kmv_distinct_estimate, training_example_pipeline,
+# variant_row_shred, theil_index_decomposition, ipf_survey_raking) are
+# exactly the names with the strongest independent credit: all were in
+# VERDICT r10's own 12-name exact-value sample or its 5-name sf0.1
+# FP-fix sample.
 _FRONT_PRIORITY: tuple[str, ...] = (
-    "sql_funnel_conversion", "acf_monthly_revenue",
-    "market_concentration_hhi", "split_leakage_audit", "stream_ewma_monthly",
-    "bm25_topk", "equi_depth_histogram", "stratified_sample_events",
-    "woe_iv_price_bins", "stream_funnel_stages", "variant_props_profile",
-    "countmin_heavy_hitters", "semantic_dedup_cells",
-    "sql_group_order_by_all",
+    # SQL parser surface
+    "sql_top_spenders_window", "sql_grouping_sets_revenue",
+    "sql_exists_customers", "sql_pivot_priority_by_year",
+    "sql_lateral_explode_tokens", "sql_named_window_rollup",
+    "sql_udtf_chunk_documents", "sql_filter_clause_agg",
+    "sql_pipe_priority_revenue", "sql_parameterized_revenue",
+    "sql_lateral_topn_per_region",
+    # streaming twins
+    "stream_join_funnel_outer", "stream_static_enrich",
+    "watermark_design_census", "stream_dedup_keys",
+    "stream_file_session_cache", "stream_countmin_user_events",
+    "stream_hll_registers",
+    # window-frame pair VERDICT named explicitly
+    "order_frame_values", "order_percentile_ranks",
+    # time-series statistics tail
+    "ewma_monthly_revenue", "daily_zscore_anomalies", "cusum_changepoint",
+    "mann_kendall_trend", "seasonal_indices_monthly",
+    "leadlag_crosscorr_events", "yule_walker_ar2_forecast",
+    "rolling_ols_trend", "theil_sen_monthly_trend", "holt_linear_smoothing",
+    "periodogram_monthly", "pacf_durbin_levinson", "forecast_backtest_mape",
+    "runs_test_monthly",
+    # sketch / estimation family
+    "kmv_set_operations", "hll_portable_distinct", "cms_join_size_estimate",
+    "poisson_bootstrap_ci",
+    # segmentation / retrieval / training remainder
+    "token_pmi_pairs", "prefix_filter_jaccard_join", "mmr_diversified_topk",
+    "gini_customer_spend", "abc_pareto_classes", "psi_drift_price",
+    "cohort_ltv_curves", "quantile_normalize_doclen",
+    "length_bucketing_efficiency", "epoch_shuffle_balance",
+    "session_concurrency_profile", "pareto_skyline_orders",
 )
 
 

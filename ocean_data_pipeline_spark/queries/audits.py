@@ -1553,12 +1553,15 @@ cells AS (
          sum((1 - exposed) * (1 - outcome)) AS d
   FROM t GROUP BY segment
 ),
-terms AS (  -- per-stratum rational terms rounded ONCE into DECIMAL so
-            -- the cross-stratum sums are exactly associative
+terms AS (  -- per-stratum rational terms quantized ONCE into DECIMAL
+            -- via their shortest string reprs (round(double, 12)
+            -- splits across engines at boundary cases; the VARCHAR
+            -- hop is bit-deterministic) so the cross-stratum sums are
+            -- exactly associative
   SELECT segment, a, b, c, d, a + b + c + d AS n,
-         CAST(round(CAST(a AS DOUBLE) * d / (a + b + c + d), 12)
+         CAST(CAST(CAST(a AS DOUBLE) * d / (a + b + c + d) AS VARCHAR)
               AS DECIMAL(28,12)) AS ad_n,
-         CAST(round(CAST(b AS DOUBLE) * c / (a + b + c + d), 12)
+         CAST(CAST(CAST(b AS DOUBLE) * c / (a + b + c + d) AS VARCHAR)
               AS DECIMAL(28,12)) AS bc_n
   FROM cells
 ),
@@ -1575,7 +1578,9 @@ SELECT CAST(ta AS BIGINT) AS exposed_cases,
             THEN (CAST(ta AS DOUBLE) * td) / (CAST(tb AS DOUBLE) * tc) END
          AS crude_odds_ratio,
        CASE WHEN CAST(s_bc AS DOUBLE) <> 0
-            THEN round(CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE), 12) END
+            THEN CAST(CAST(CAST(CAST(CAST(s_ad AS VARCHAR) AS DOUBLE)
+                                 / CAST(CAST(s_bc AS VARCHAR) AS DOUBLE)
+                            AS VARCHAR) AS DECIMAL(28,12)) AS DOUBLE) END
          AS mh_odds_ratio
 FROM pooled
 """
@@ -1615,10 +1620,16 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
     terms = cells.select(
         "a", "b", "c", "d",
-        F.round(F.col("a").cast("double") * F.col("d") / n, 12)
+        # quantize via the shortest-string hop, not round(double, 12):
+        # the round implementations split across engines at 12dp
+        # boundaries (ADVICE r10); the VARCHAR->DECIMAL parse is
+        # bit-deterministic at every SF
+        (F.col("a").cast("double") * F.col("d") / n)
+        .cast("string")
         .cast("decimal(28,12)")
         .alias("ad_n"),
-        F.round(F.col("b").cast("double") * F.col("c") / n, 12)
+        (F.col("b").cast("double") * F.col("c") / n)
+        .cast("string")
         .cast("decimal(28,12)")
         .alias("bc_n"),
     )
@@ -1640,16 +1651,23 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ta").cast("double") * F.col("td"))
             / (F.col("tb").cast("double") * F.col("tc")),
         ).alias("crude_odds_ratio"),
-        # round at 12dp: the decimal(28,12) -> double CASTS differ by
-        # 1 ulp between engines (Java BigDecimal.doubleValue is
-        # correctly rounded; DuckDB divides the int128 payload by 1e12
-        # in floating point), observed at sf0.1
+        # TWO shortest-string hops (the ipf_survey_raking device): the
+        # decimal(28,12) -> double CASTS differ by 1 ulp between
+        # engines (Java BigDecimal.doubleValue is correctly rounded;
+        # DuckDB divides the int128 payload by 1e12 in floating
+        # point), so read each sum via VARCHAR; then re-quantize the
+        # ratio at 12dp via VARCHAR->DECIMAL instead of
+        # round(double, 12), whose implementations also split at
+        # boundaries (observed at sf0.1, ADVICE r10)
         F.when(
             F.col("s_bc").cast("double") != 0,
-            F.round(
-                F.col("s_ad").cast("double") / F.col("s_bc").cast("double"),
-                12,
-            ),
+            (
+                F.col("s_ad").cast("string").cast("double")
+                / F.col("s_bc").cast("string").cast("double")
+            )
+            .cast("string")
+            .cast("decimal(28,12)")
+            .cast("double"),
         ).alias("mh_odds_ratio"),
     )
 

@@ -431,7 +431,10 @@ terms AS (
   FROM rc CROSS JOIN tots t
 ),
 terms2 AS (
-  SELECT bin, n_ref, n_cur, round(psi_term_raw, 12) AS psi_term FROM terms
+  SELECT bin, n_ref, n_cur,
+         CAST(CAST(CAST(psi_term_raw AS VARCHAR) AS DECIMAL(28,12)) AS DOUBLE)
+           AS psi_term
+  FROM terms
 ),
 total AS (
   SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,12))) AS DOUBLE) AS psi
@@ -508,13 +511,21 @@ def psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
-            # round each term at 12dp: ln() differs by 1 ulp between
-            # libm implementations for identical input (observed at
-            # sf0.1 in the 16th significant digit); rounding also
-            # makes the decimal total a plain cast
+            # re-quantize each term at 12dp through its shortest string
+            # repr (the ipf_survey_raking device, ADVICE r10): ln()
+            # differs by 1 ulp between libm implementations for
+            # identical input (observed at sf0.1 in the 16th
+            # significant digit), and round(double, 12) itself splits
+            # at boundary cases (Spark rounds the exact binary, DuckDB
+            # rounds a scaled multiply) — the VARCHAR->DECIMAL hop is
+            # bit-deterministic at every SF, not just the measured two.
+            # Quantizing also makes the decimal total a plain cast.
             F.when(
                 (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-                F.round((p - q) * F.log(p / q), 12),
+                ((p - q) * F.log(p / q))
+                .cast("string")
+                .cast("decimal(28,12)")
+                .cast("double"),
             ).alias("psi_term"),
         )
     )

@@ -473,12 +473,14 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # _wedge_pair_census sizes the explode to 3x cores so each partial
-    # aggregation's hash table fits in memory: at 32 source partitions
-    # each task hashes ~9 M near-unique keys and falls back to
-    # sort+spill (measured 53 s at sf0.1); 3x keeps partials resident
-    # (21 s). The repartition shuffles only the NODE-scale list
-    # relation, never the wedge mass.
+    # _wedge_pair_census sizes BOTH census shuffles by the measured
+    # wedge mass (~3 M pairs/task): the map side repartitions the
+    # NODE-scale list relation before the explode so each partial
+    # aggregation's hash table stays resident (9 M keys/task falls
+    # back to sort+spill, 53 s vs 21 s at sf0.1), and the reduce side
+    # repartitions the exploded pairs BY KEY to the same width — the
+    # fixed-32-reducer layout probed 12.0x super-linear at 10x data
+    # (see the helper's docstring).
     ids = F.transform(F.col("nbrs"), lambda s: s["x"])
     census = _wedge_pair_census(spark, adj, ids, "cn")
     top20 = (

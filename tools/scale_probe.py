@@ -181,6 +181,82 @@ def main() -> None:
 
         return build
 
+    def absorbing_chain(ev):
+        # absorbing_chain_steps' full shape (VERDICT r10 item 7): the
+        # scalable half is the per-user lead() window + state-pair
+        # census; the 25-round t = 1 + Q·t unroll is ≤5-row algebra
+        # with a checkpoint every 8 rounds, so the 10x ratio should
+        # track the window/census and dilute toward sub-linear as the
+        # flat round cost amortizes
+        def build():
+            from pyspark.sql import Window
+
+            from ocean_data_pipeline_spark.queries.wave34_ops import (
+                _ABSORB_STATE,
+                _CHAIN_ROUNDS,
+            )
+
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            seq = ev.select(
+                F.col("event_type").alias("s"),
+                F.lead("event_type").over(w).alias("s_next"),
+            )
+            trans = (
+                seq.filter(
+                    F.col("s_next").isNotNull()
+                    & (F.col("s") != _ABSORB_STATE)
+                )
+                .groupBy("s", "s_next")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                .localCheckpoint()
+            )
+            outs = trans.groupBy("s").agg(
+                F.sum("c").cast("bigint").alias("tot")
+            )
+            q = (
+                trans.filter(F.col("s_next") != _ABSORB_STATE)
+                .join(outs, "s")
+                .select(
+                    F.col("s").alias("i"),
+                    F.col("s_next").alias("j"),
+                    (F.col("c").cast("double") / F.col("tot")).alias("p"),
+                )
+            )
+            d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+            t = outs.select(
+                F.col("s").alias("i"),
+                F.lit(0).cast("decimal(28,9)").alias("t"),
+            )
+            for r in range(_CHAIN_ROUNDS):
+                t = (
+                    outs.select(F.col("s").alias("i"))
+                    .join(q, "i", "left")
+                    .join(
+                        t.select(
+                            F.col("i").alias("j"), F.col("t").alias("tj")
+                        ),
+                        "j",
+                        "left",
+                    )
+                    .groupBy("i")
+                    .agg(
+                        d9(
+                            1.0
+                            + F.coalesce(
+                                F.sum(
+                                    d9(F.col("p") * F.col("tj").cast("double"))
+                                ).cast("double"),
+                                F.lit(0.0),
+                            )
+                        ).alias("t")
+                    )
+                )
+                if (r + 1) % 8 == 0 and (r + 1) < _CHAIN_ROUNDS:
+                    t = t.localCheckpoint()
+            return t
+
+        return build
+
     def aes_sample(d):
         def build():
             u = (
@@ -1191,6 +1267,10 @@ def main() -> None:
         "bigram_lm(documents)": (bigram_lm(docs1), bigram_lm(docs10)),
         "funnel_stages(events)": (funnel(ev1), funnel(ev10)),
         "markov_lead(events)": (markov(ev1), markov(ev10)),
+        "absorbing_chain(events)": (
+            absorbing_chain(ev1),
+            absorbing_chain(ev10),
+        ),
         "aes_topk_sample(documents)": (aes_sample(docs1), aes_sample(docs10)),
         # round 5: keyed windows (SCD2), keyed self-join (interval
         # pairs), graph edge census + degree join, post-agg calendar
@@ -1358,10 +1438,27 @@ def main() -> None:
     scale_path = os.path.join(REPO, "SCALE.md")
     if only and os.path.exists(scale_path):
         with open(scale_path) as f:
-            for ln in f:
-                ln = ln.rstrip("\n")
-                if ln.startswith("| ") and not ln.startswith("| operator") and "---" not in ln:
-                    rows[ln[2:].split(" |", 1)[0]] = ln
+            table = [
+                ln.rstrip("\n")
+                for ln in f
+                if ln.startswith("| ")
+                and not ln.startswith("| operator")
+                and "---" not in ln
+            ]
+        for ln in table:
+            # Key on the cell-split name, not the text before the first
+            # " |": every data row is `| name | 1x | 10x | ratio |`, so
+            # the name is everything before the LAST three cells — a
+            # probe name containing " | " still round-trips (ADVICE r10).
+            cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+            if len(cells) < 4:
+                raise AssertionError(f"unparseable SCALE.md row: {ln!r}")
+            rows[" | ".join(cells[:-3])] = ln
+        if len(rows) != len(table):
+            raise AssertionError(
+                f"SCALE.md merge parse lost rows: {len(table)} table lines "
+                f"-> {len(rows)} keys (duplicate probe names?)"
+            )
     for name, (b1, b10) in ops.items():
         # one broken probe must not lose the whole table
         try:

@@ -1438,14 +1438,14 @@ def main() -> None:
     scale_path = os.path.join(REPO, "SCALE.md")
     if only and os.path.exists(scale_path):
         with open(scale_path) as f:
-            table = [
+            table_lines = [
                 ln.rstrip("\n")
                 for ln in f
                 if ln.startswith("| ")
                 and not ln.startswith("| operator")
                 and "---" not in ln
             ]
-        for ln in table:
+        for ln in table_lines:
             # Key on the cell-split name, not the text before the first
             # " |": every data row is `| name | 1x | 10x | ratio |`, so
             # the name is everything before the LAST three cells — a
@@ -1454,9 +1454,9 @@ def main() -> None:
             if len(cells) < 4:
                 raise AssertionError(f"unparseable SCALE.md row: {ln!r}")
             rows[" | ".join(cells[:-3])] = ln
-        if len(rows) != len(table):
+        if len(rows) != len(table_lines):
             raise AssertionError(
-                f"SCALE.md merge parse lost rows: {len(table)} table lines "
+                f"SCALE.md merge parse lost rows: {len(table_lines)} table lines "
                 f"-> {len(rows)} keys (duplicate probe names?)"
             )
     for name, (b1, b10) in ops.items():

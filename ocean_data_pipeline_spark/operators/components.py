@@ -31,8 +31,67 @@ dedup-near); the reference dedups by exact cache key only
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+#: Edge-count ceiling for the single-task union-find fast path (round-11
+#: optimization). A graph at or under this many edges is labeled by ONE
+#: mapInPandas task (path-compressed union-by-min DSU — exact same
+#: min-reachable-id labels as the iterative fixpoint) instead of the
+#: O(log diameter) driver loop. Rationale, measured at sf0.1 on the
+#: 500-vector near-dup panel (476 edges): the loop converged in 18
+#: rounds at ~6 Spark jobs each (join + groupBy + two broadcasts +
+#: checkpoint + convergence action) — 9.2 s of almost pure job-scheduling
+#: overhead vs 0.25 s for the single task, with bit-identical labels.
+#: The threshold is a per-task memory bound (the DSU holds ≤ 2·edges
+#: dict entries), parameterized for real deployments; graphs above it
+#: take the unchanged iterative path, so the 100-TB posture is intact.
+_CC_LOCAL_EDGE_CAP = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "1000000"))
+
+
+def _local_union_find(ed: DataFrame) -> DataFrame:
+    """Single-task DSU labeling of a SMALL edge list (columns u, v).
+
+    Union-by-min with full path compression: every tree root is the
+    minimum id of its set at all times, so the final find(x) is exactly
+    the smallest reachable id — the identical contract (and values) of
+    the iterative min-label fixpoint. One narrow coalesce(1), one
+    Python task, no shuffles.
+    """
+    id_type = ed.schema["u"].dataType.simpleString()
+    schema = f"id {id_type}, component {id_type}"
+
+    def run(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        out = {x: find(x) for x in parent}
+        yield pd.DataFrame({"id": list(out.keys()), "component": list(out.values())})
+
+    return ed.coalesce(1).mapInPandas(run, schema)
 
 
 def connected_components(
@@ -40,30 +99,46 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    local_edge_cap: int | None = None,
 ) -> DataFrame:
     """Component label (= smallest reachable node id) for every node
     appearing in `edges` (undirected; direction of the input pairs is
     irrelevant). Returns (id, component).
 
-    Each round is one shuffle on node id: symmetrized edges join the
-    current labels on the neighbor side, a groupBy(u) takes the min
-    neighbor label, and `least` folds it into the node's own label.
-    The join and the groupBy share the same key, so AQE coalesces them
-    into one exchange per round at scale.
+    Routing (round-11 optimization, the wedge-census probe pattern):
+    the candidate-pair output is materialized once and its edge count
+    measured; at or under `local_edge_cap` edges the labels come from a
+    single-task union-find (identical values, ~no job overhead), above
+    it from the iterative min-label loop below. Near-dup components are
+    bounded panels or post-confirm pair sets in every registered query,
+    so the fast path is the common case; the loop remains the 100-TB
+    path.
+
+    Each iterative round is one shuffle on node id: symmetrized edges
+    join the current labels on the neighbor side, a groupBy(u) takes
+    the min neighbor label, and `least` folds it into the node's own
+    label. The join and the groupBy share the same key, so AQE
+    coalesces them into one exchange per round at scale.
     """
-    # Materialize the symmetrized edge list ONCE: `edges` is typically
-    # the output of an expensive candidate-pair stage (cosine
-    # cross-join, LSH bucket join) and every round joins against it —
-    # without this checkpoint each round would recompute that upstream
-    # plan and the loop cost becomes rounds × pair-generation.
-    # Repartition by the join key BEFORE checkpointing: LogicalRDD
-    # preserves outputPartitioning, so every round's sym⋈labels join
-    # reuses this layout and only the (much smaller) label side
-    # shuffles — at 100 TB the edge list dwarfs the label table and
-    # re-exchanging it each round would dominate the loop.
+    if local_edge_cap is None:
+        local_edge_cap = _CC_LOCAL_EDGE_CAP
+    # Materialize the edge list ONCE: `edges` is typically the output
+    # of an expensive candidate-pair stage (cosine cross-join, LSH
+    # bucket join); the count probe and every loop round consume it —
+    # without this checkpoint each consumer would recompute that
+    # upstream plan.
+    ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    if ed.count() <= local_edge_cap:
+        return _local_union_find(ed)
+    # Symmetrize + repartition by the join key BEFORE checkpointing:
+    # LogicalRDD preserves outputPartitioning, so every round's
+    # sym⋈labels join reuses this layout and only the (much smaller)
+    # label side shuffles — at 100 TB the edge list dwarfs the label
+    # table and re-exchanging it each round would dominate the loop.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(F.col("v"))
         .localCheckpoint(eager=True)
     )

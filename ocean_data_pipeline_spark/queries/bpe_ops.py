@@ -114,13 +114,21 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    # Materialize the word-frequency contraction ONCE (round-11, guide
+    # §2.4/§5): without this checkpoint every merge round's pair-count
+    # action re-derives the whole upstream chain — corpus scan + two
+    # regexp normalizations + the word-count shuffle — because `r` is
+    # rebuilt lazily under each round's collect. The contraction is
+    # word-vocabulary-scale (tiny next to the corpus), so the loop cost
+    # drops from K × (corpus scan + normalize) to ONE contraction plus
+    # K vocabulary-scale pair counts. Measured at sf0.1: 5.2 → 2.8 s.
     r = words.select(
         F.concat(
             F.lit(" "),
             F.regexp_replace(F.concat(F.col("word"), F.lit("_")), "(.)", "$1 "),
         ).alias("s"),
         "freq",
-    )
+    ).localCheckpoint()
     learned: list[tuple[int, str, str, int]] = []
     for i in range(1, _K + 1):
         arr = r.select(F.split(F.trim("s"), " ").alias("a"), "freq")

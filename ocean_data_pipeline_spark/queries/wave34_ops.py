@@ -117,73 +117,114 @@ def absorbing_chain_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("s_next").isNotNull() & (F.col("s") != _ABSORB_STATE))
         .groupBy("s", "s_next")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()  # consumed by q/outs/absorb + every round
+        .localCheckpoint()  # consumed by the vocab probe + the pivot
     )
-    outs = trans.groupBy("s").agg(F.sum("c").cast("bigint").alias("tot"))
-    q = (
-        trans.filter(F.col("s_next") != _ABSORB_STATE)
-        .join(outs, "s")
-        .select(
-            F.col("s").alias("i"),
-            F.col("s_next").alias("j"),
-            (F.col("c").cast("double") / F.col("tot")).alias("p"),
+    # Round-11 rewrite (guide §1.2 step 1 — the distributed algorithm):
+    # the 25 unrolled rounds used to run as ≤5-row join/aggregate
+    # rounds, checkpointed every 8 — ~3 materialize jobs plus dozens of
+    # AQE stages of pure scheduling overhead (8.9 s at sf0.1 for ≤5-row
+    # algebra). The state space is the bounded event-type vocabulary,
+    # so pivot the whole system into ONE ROW (a column per tot_i /
+    # c_ij / t_i) and unroll the 25 rounds as chained Projects: zero
+    # joins, zero shuffles after the transition census.
+    # Numerics are unchanged: each round's per-term round-into-DECIMAL
+    # and the DECIMAL sum are exactly associative, so a fixed-order
+    # column sum equals the aggregate sum bit-for-bit; missing (i, j)
+    # cells contribute an exact decimal 0 just as absent rows did.
+    # The vocabulary probe compiles the bounded state alphabet into the
+    # plan, the same device as the frozen IVF/PQ codebooks.
+    states = sorted(
+        r[0] for r in trans.select("s").distinct().collect()
+    )
+    if not states:
+        return spark.createDataFrame(
+            [],
+            "state string, n_transitions bigint, p_convert_next double, "
+            f"expected_steps_t{_CHAIN_ROUNDS} double",
         )
+    cell = lambda i, j: F.sum(  # noqa: E731
+        F.when((F.col("s") == i) & (F.col("s_next") == j), F.col("c"))
+    ).cast("bigint")
+    row = trans.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("s") == si, F.col("c")))
+            .cast("bigint")
+            .alias(f"tot_{k}")
+            for k, si in enumerate(states)
+        ],
+        *[
+            cell(si, sj).alias(f"c_{k}_{m}")
+            for k, si in enumerate(states)
+            for m, sj in enumerate(states)
+        ],
+        *[
+            cell(si, _ABSORB_STATE).alias(f"ca_{k}")
+            for k, si in enumerate(states)
+        ],
     )
-    absorb = (
-        trans.filter(F.col("s_next") == _ABSORB_STATE)
-        .join(outs, "s")
-        .select(
-            F.col("s").alias("i"),
-            (F.col("c").cast("double") / F.col("tot")).alias("p_abs"),
-        )
+    # t starts at exact decimal 0 for every state (round 0)
+    row = row.select(
+        "*", *[F.lit(0).cast("decimal(28,9)").alias(f"t_{k}") for k in range(len(states))]
     )
-    d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
-    t = outs.select(F.col("s").alias("i"), F.lit(0).cast("decimal(28,9)").alias("t"))
+    others = [c for c in row.columns if not c.startswith("t_")]
+    # Each round is ONE selectExpr call built from SQL strings: the
+    # Column-API form of the same expressions cost ~0.4 s of py4j
+    # round-trips PER ROUND (~300 JVM calls each — 9.5 s of the 10.2 s
+    # total was driver-side plan construction). The SQL strings parse
+    # to the identical analyzed trees (ROUND/CAST/COALESCE, double
+    # division, decimal addition), so values are bit-identical.
+    dec0 = "CAST(0 AS DECIMAL(28,9))"
     for r in range(_CHAIN_ROUNDS):
-        t = (
-            outs.select(F.col("s").alias("i"))
-            .join(q, "i", "left")
-            .join(
-                t.select(F.col("i").alias("j"), F.col("t").alias("tj")),
-                "j",
-                "left",
+        new_t = []
+        for k in range(len(states)):
+            # Σ_j round(p_kj · t_j, 9) as DECIMAL — identical values to
+            # the former sum aggregate (exact decimal addition; absent
+            # transitions coalesce to decimal 0, matching absent rows)
+            acc = dec0
+            for m in range(len(states)):
+                p = f"(CAST(c_{k}_{m} AS DOUBLE) / tot_{k})"
+                term = (
+                    f"CAST(ROUND(({p} * CAST(t_{m} AS DOUBLE)), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+                acc = f"({acc} + COALESCE({term}, {dec0}))"
+            new_t.append(
+                f"CAST(ROUND((1.0D + CAST({acc} AS DOUBLE)), 9)"
+                f" AS DECIMAL(28,9)) AS t_{k}"
             )
-            .groupBy("i")
-            .agg(
-                d9(
-                    1.0
-                    + F.coalesce(
-                        F.sum(
-                            d9(F.col("p") * F.col("tj").cast("double"))
-                        ).cast("double"),
+        row = row.selectExpr(*others, *new_t)
+        # Cut the Project chain every 5 rounds: WholeStageCodegen fuses
+        # ALL chained Projects into one generated method, and 25 rounds
+        # × |S|² decimal terms blows the 64 KB JVM method limit — janino
+        # then fails (~4 multi-second compile attempts) and the whole
+        # stage runs interpreted (measured). A 1-row localCheckpoint
+        # every 5 rounds bounds each codegen unit at 5·|S|² terms and
+        # costs one ~80 ms job; values are unchanged (checkpointing is
+        # value-transparent).
+        if (r + 1) % 5 == 0 and (r + 1) < _CHAIN_ROUNDS:
+            row = row.localCheckpoint()
+    per_state = F.array(
+        *[
+            F.struct(
+                F.lit(si).alias("state"),
+                F.col(f"tot_{k}").alias("n_transitions"),
+                F.round(
+                    F.coalesce(
+                        F.col(f"ca_{k}").cast("double") / F.col(f"tot_{k}"),
                         F.lit(0.0),
-                    )
-                ).alias("t")
+                    ),
+                    6,
+                ).alias("p_convert_next"),
+                F.round(F.col(f"t_{k}").cast("double"), 4).alias(
+                    f"expected_steps_t{_CHAIN_ROUNDS}"
+                ),
             )
-        )
-        # Bound Catalyst plan depth (VERDICT r08 item 5): without a cut
-        # the 25 unrolled rounds compound into a ~3,650-line plan with
-        # 312 joins whose ANALYSIS cost dwarfs the ≤5-row data cost.
-        # Checkpointing the tiny state vector every 8 rounds keeps the
-        # plan O(8 rounds) deep — same fixed point, same rounding.
-        if (r + 1) % 8 == 0 and (r + 1) < _CHAIN_ROUNDS:
-            t = t.localCheckpoint()
+            for k, si in enumerate(states)
+        ]
+    )
     return (
-        outs.select(F.col("s").alias("state"), F.col("tot").alias("n_transitions"))
-        .join(
-            absorb.select(F.col("i").alias("state"), "p_abs"), "state", "left"
-        )
-        .join(t.select(F.col("i").alias("state"), "t"), "state")
-        .select(
-            "state",
-            "n_transitions",
-            F.round(F.coalesce(F.col("p_abs"), F.lit(0.0)), 6).alias(
-                "p_convert_next"
-            ),
-            F.round(F.col("t").cast("double"), 4).alias(
-                f"expected_steps_t{_CHAIN_ROUNDS}"
-            ),
-        )
+        row.select(F.explode(per_state).alias("r"))
+        .select("r.*")
         .orderBy("state")
     )
 

@@ -41,8 +41,35 @@ def test_nonconvergence_guard_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
+    # local_edge_cap=0 forces the iterative path (the guard under test)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=2)
+        connected_components(edges, max_rounds=2, local_edge_cap=0)
+
+
+def test_local_and_iterative_paths_agree(spark):
+    # Round-11: the single-task union-find fast path must produce the
+    # exact labels of the iterative min-label fixpoint on every
+    # topology class — chain (worst case for propagation), two blobs,
+    # duplicate/self edges, and a seeded random graph.
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        [(i, i + 1) for i in range(12)],
+        [(2, 1), (2, 3), (10, 11), (11, 10), (5, 5)],
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "src long, dst long")
+        fast = _labels(connected_components(df))  # default cap: fast path
+        loop = _labels(connected_components(df, local_edge_cap=0))
+        assert fast == loop
+
+
+def test_empty_edges_both_paths(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert _labels(connected_components(df)) == {}
+    assert _labels(connected_components(df, local_edge_cap=-1)) == {}
 
 
 # --- large-star/small-star contraction fallback -----------------------

@@ -35,6 +35,8 @@ Scale postures (per query, also in each docstring):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -486,6 +488,11 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Jaccard threshold over 3-gram shingle sets.
 _SSJ_T = 0.5
+#: Confirm-side broadcast ceiling (docs in the checkpointed panel);
+#: above it the confirm joins stay shuffled (the 100-TB path).
+_SSJ_BROADCAST_DOCS = int(
+    os.environ.get("SPARK_GRAFT_SSJ_BROADCAST_DOCS", "500000")
+)
 
 _SSJ_ORACLE = f"""
 WITH d AS (
@@ -544,67 +551,92 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on rare shingles, shuffling only prefix postings. The
     LENGTH filter (J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|), Arasu et
     al.'s size bound) prunes candidates before the array confirm —
-    also semantics-free."""
+    also semantics-free.
+
+    Internal representation (round 11, guide §2.3/§1.2-2): per-doc
+    dedup is map-side `array_distinct` (the posting-scale DISTINCT
+    shuffle it replaces carried the same rows), and every shingle is
+    swapped for an injective BIGINT surrogate minted on the
+    checkpointed frequency relation — candidate join keys and the
+    per-pair `array_intersect` confirm run on packed ints instead of
+    ~20-char strings (measured 3× on the confirm stage, which
+    dominates this query). Any injective map leaves |A∩B|, the length
+    bound, and Jaccard unchanged, so the result is bit-identical; the
+    surrogate never reaches the output. The confirm side is
+    broadcast when the checkpointed doc panel is small enough
+    (`SPARK_GRAFT_SSJ_BROADCAST_DOCS`, default 500k docs — the probe→
+    route device of `_wedge_pair_census`); above it, the unchanged
+    shuffled join runs."""
     d = _docs_tokens(spark, sf_dir, spread=True).filter(F.size("arr") >= 3)
-    sh = d.select(
+    doc_sh = d.select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("arr") - 3),
                 lambda i: F.concat_ws(
                     " ", F.slice(F.col("arr"), i + 1, 3)
                 ),
             )
-        ).alias("shingle"),
-    ).distinct()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
-    # Per-doc shingle array in global (gdf asc, shingle asc) order; the
-    # struct sort key makes the order total and engine-independent.
+        ).alias("shs"),
+    ).localCheckpoint()  # scan+shingle once; feeds freq AND postings
+    sh = doc_sh.select("doc_id", F.explode("shs").alias("shingle"))
+    # Global df per shingle + the injective surrogate. The checkpoint
+    # pins the surrogate assignment (monotonically_increasing_id is
+    # injective per execution; re-derivation could re-deal it).
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    # Per-doc surrogate array in global (gdf asc, shingle asc) order;
+    # the struct sort key makes the order total and engine-independent.
     ordered = (
         sh.join(freq, "shingle")
         .groupBy("doc_id")
         .agg(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("gdf", "shingle"))
+                    F.collect_list(F.struct("gdf", "shingle", "sid"))
                 ),
-                lambda s: s["shingle"],
-            ).alias("shingles")
+                lambda s: s["sid"],
+            ).alias("sids")
         )
         .select(
             "doc_id",
-            "shingles",
-            F.size("shingles").alias("n"),
+            "sids",
+            F.size("sids").alias("n"),
             F.slice(
-                F.col("shingles"),
+                F.col("sids"),
                 1,
-                F.size("shingles")
-                - F.ceil(F.lit(_SSJ_T) * F.size("shingles")).cast("int")
+                F.size("sids")
+                - F.ceil(F.lit(_SSJ_T) * F.size("sids")).cast("int")
                 + 1,
             ).alias("prefix"),
         )
         .localCheckpoint()  # consumed by 3 subtrees (2 probe sides + confirm)
     )
-    pre = ordered.select(
-        "doc_id", F.explode("prefix").alias("shingle")
-    )
+    n_docs = ordered.count()
+    pre = ordered.select("doc_id", F.explode("prefix").alias("sid"))
     cand = (
-        pre.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(pre.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        pre.select(F.col("doc_id").alias("id_a"), "sid")
+        .join(pre.select(F.col("doc_id").alias("id_b"), "sid"), "sid")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
     sa = ordered.select(
         F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("sids").alias("sh_a"),
         F.col("n").alias("n_a"),
     )
     sb = ordered.select(
         F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("sids").alias("sh_b"),
         F.col("n").alias("n_b"),
     )
+    if n_docs <= _SSJ_BROADCAST_DOCS:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (

@@ -23,11 +23,22 @@ on keys and AQE handles residual skew.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
 from ocean_data_pipeline_spark.queries import register
+
+#: Probe→route broadcast ceilings (round 11, guide §3.1). Checkpointed
+#: relations carry no stats, so neither the tuned session nor the
+#: driver's vanilla session ever auto-broadcasts them — every broadcast
+#: below is an explicit hint gated on a MEASURED count from a node-scale
+#: probe, so the local plan gets map-side joins while a 100-TB graph
+#: (counts above the cap) falls back to the unchanged shuffled join.
+_BCAST_EDGES = int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_EDGES", "8000000"))
+_BCAST_NODES = int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_NODES", "4000000"))
 
 
 def _copurchase_edges(
@@ -84,9 +95,24 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
 
     a = wedge source (the triangle's min-(degree, id) corner), (b, c) =
     the closing canonical edge, b < c by id."""
+    # One node-scale probe job: max id (packed-key guard), node count and
+    # Σdeg = 2·|E| (broadcast routes). Checkpointed inputs carry no
+    # stats, so the broadcasts below are explicit probe-gated hints —
+    # local plans go map-side, above-cap graphs keep the shuffled joins.
+    st = deg.agg(
+        F.max("node").alias("max_id"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum("degree"), F.lit(0)).alias("two_m"),
+    ).first()
+    max_id = st["max_id"]
+    n_nodes, n_edges = int(st["n_nodes"]), int(st["two_m"]) // 2
+    dega = deg.select(F.col("node").alias("pa"), F.col("degree").alias("da"))
+    degb = deg.select(F.col("node").alias("pb"), F.col("degree").alias("db"))
+    if n_nodes <= _BCAST_NODES:
+        dega, degb = F.broadcast(dega), F.broadcast(degb)
     e = (
-        edges.join(deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa")
-        .join(deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb")
+        edges.join(dega, "pa")
+        .join(degb, "pb")
         .select(
             F.when(
                 (F.col("da") < F.col("db"))
@@ -101,7 +127,6 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
     adj = e.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("ds"))
     ids = F.col("ds")
     fanout = spark.sparkContext.defaultParallelism * 3
-    max_id = deg.agg(F.max("node")).first()[0]
     if max_id is not None and max_id < (1 << 32):
         packed = F.flatten(
             F.transform(
@@ -118,6 +143,12 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
         ek = edges.select(
             (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb").cast("long")).alias("k")
         )
+        if n_edges <= _BCAST_EDGES:
+            # Broadcasting the single-long edge keys keeps the wedge
+            # mass map-side: it streams from the adjacency explode
+            # straight into the closing hash join (and the consumer's
+            # partial agg) without a wedge-scale Exchange.
+            ek = F.broadcast(ek)
         # Decode with a LOGICAL shift: ids in [2^31, 2^32) pass the guard
         # but put the high half's top bit in the long's sign bit, so the
         # arithmetic shiftright would sign-extend and return b - 2^32.
@@ -149,6 +180,8 @@ def _oriented_triangles(spark: SparkSession, edges: DataFrame, deg: DataFrame) -
             F.col("pb").cast("bigint").alias("c"),
         ).alias("k")
     )
+    if n_edges <= _BCAST_EDGES:
+        ek = F.broadcast(ek)
     return wk.join(ek, "k").select(
         F.col("s").alias("a"), F.col("k.b").alias("b"), F.col("k.c").alias("c")
     )
@@ -217,15 +250,33 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     ).localCheckpoint()
+    # One node-scale probe over the checkpointed degree census yields
+    # THREE of the output scalars (n_nodes, n_edges = Σdeg/2, the wedge
+    # sum) plus the broadcast-route counts — replacing three separate
+    # agg jobs + crossJoins with literals, and leaving the triangle
+    # count as the only distributed action.
+    st = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum("degree"), F.lit(0)).alias("two_m"),
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - 1)), F.lit(0)
+        ).alias("deg_pairs2"),
+    ).first()
+    n_nodes, n_edges = int(st["n_nodes"]), int(st["two_m"]) // 2
+    deg_pairs2 = int(st["deg_pairs2"])
     # Orient each edge from lower (degree, id) to higher (degree, id).
     # Count-only consumer: the wedge self-join pipelines straight into
     # the closing join + count (partial aggs absorb map-side), so the
     # adjacency-list packed-explode of `_oriented_triangles` buys
     # nothing here — it pays off only when per-node incidences are
     # needed (see `clustering_coefficient_census`).
+    dega = deg.select(F.col("node").alias("pa"), F.col("degree").alias("da"))
+    degb = deg.select(F.col("node").alias("pb"), F.col("degree").alias("db"))
+    if n_nodes <= _BCAST_NODES:
+        dega, degb = F.broadcast(dega), F.broadcast(degb)
     e = (
-        edges.join(deg.select(F.col("node").alias("pa"), F.col("degree").alias("da")), "pa")
-        .join(deg.select(F.col("node").alias("pb"), F.col("degree").alias("db")), "pb")
+        edges.join(dega, "pa")
+        .join(degb, "pb")
         .select(
             F.when(
                 (F.col("da") < F.col("db"))
@@ -246,32 +297,25 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x") < F.col("y"))
         .select(F.col("x").alias("pa"), F.col("y").alias("pb"))
     )
-    tri = wedges.join(edges, ["pa", "pb"]).agg(
+    # Closing join: broadcasting the (probe-counted) edge list keeps the
+    # wedge mass map-side — it streams from the self-join straight into
+    # the closing hash join and the partial count, never crossing a
+    # wedge-scale Exchange. Above the cap: the unchanged shuffled join.
+    close = F.broadcast(edges) if n_edges <= _BCAST_EDGES else edges
+    tri = wedges.join(close, ["pa", "pb"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    wedge_sum = deg.agg(
-        F.coalesce(F.sum(F.col("degree") * (F.col("degree") - 1)), F.lit(0)).alias(
-            "deg_pairs2"
-        )
-    )
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(wedge_sum))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.expr("deg_pairs2 div 2").alias("n_wedges"),
-            "n_triangles",
-            F.when(
-                F.col("deg_pairs2") > 0,
-                F.round(
-                    3.0 * F.col("n_triangles") / F.expr("deg_pairs2 div 2"), 6
-                ),
-            ).alias("global_clustering"),
-        )
+    n_wedges = deg_pairs2 // 2
+    return tri.select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+        "n_triangles",
+        (
+            F.round(3.0 * F.col("n_triangles") / F.lit(n_wedges).cast("bigint"), 6)
+            if deg_pairs2 > 0
+            else F.lit(None).cast("double")
+        ).alias("global_clustering"),
     )
 
 
@@ -489,9 +533,22 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= _KCORE_K)
             .select("u")
         )
+        # Round 11 (guide §3.1): the survivor set is node-scale, but as
+        # a lazy subtree each semi-join would re-run its degree agg and
+        # shuffle the full edge list against it (2 edge-scale SMJ
+        # shuffles per round). Materialize it once per round and — when
+        # the measured edge count says the graph is broadcast-sized —
+        # hash-broadcast it into BOTH semi-joins, so the per-round work
+        # is one node-scale degree agg plus a map-side filter pass over
+        # the checkpointed edges. Above the cap: the unchanged shuffled
+        # semi-joins (the 100-TB path; survivors ≤ 2·edges rows).
+        survivors = survivors.localCheckpoint()
+        sa, sb = survivors, survivors.select(F.col("u").alias("v"))
+        if n_edges <= _BCAST_EDGES:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
         sym = (
-            sym.join(survivors, "u", "left_semi")
-            .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
+            sym.join(sa, "u", "left_semi")
+            .join(sb, "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )
@@ -688,42 +745,49 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     part = table(spark, sf_dir, "part")
-    n_parts = part.agg(F.count(F.lit(1)).alias("n_parts"))
+    # One parquet-metadata count: the node-domain size routes the
+    # per-hop broadcasts below AND supplies the output's n_parts /
+    # node_share scalars as literals (guide §3.1 probe→route — the
+    # frontier and visited sets are ≤ n_parts rows by construction, so
+    # one probe certifies every hop; above the cap the unchanged
+    # shuffled joins run).
+    n_parts = part.count()
+    bcast = n_parts <= _BCAST_NODES
     seeds = part.filter(F.col("p_partkey") % 97 == 0).select(
         F.col("p_partkey").alias("node")
     )
     visited = seeds.withColumn("dist", F.lit(0))
     frontier = seeds
     for hop in (1, 2, 3):
+        fr = frontier.withColumnRenamed("node", "src")
+        vis = visited.select("node")
+        if bcast:
+            fr, vis = F.broadcast(fr), F.broadcast(vis)
         frontier = (
-            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            sym.join(fr, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(vis, "node", "left_anti")
             .localCheckpoint()
         )
         visited = visited.unionAll(frontier.withColumn("dist", F.lit(hop)))
     reached = visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_hop"))
     n_reached = visited.agg(F.count(F.lit(1)).alias("n_reached"))
-    unreached = (
-        n_parts.crossJoin(n_reached)
-        .select(
-            F.lit(-1).alias("dist"),
-            (F.col("n_parts") - F.col("n_reached")).alias("n_hop"),
-        )
+    unreached = n_reached.select(
+        F.lit(-1).alias("dist"),
+        (F.lit(n_parts) - F.col("n_reached")).alias("n_hop"),
     )
     # static dist spine so an exhausted frontier still emits its 0 row
     # (the oracle's per-hop count(*) aggregates always produce a row)
     spine = spark.range(-1, 4).select(F.col("id").cast("int").alias("dist"))
     return (
         spine.join(reached.unionAll(unreached), "dist", "left")
-        .crossJoin(F.broadcast(n_parts))
         .select(
             "dist",
             F.coalesce("n_hop", F.lit(0)).cast("bigint").alias("n_nodes"),
             F.when(
-                F.col("n_parts") > 0,
-                F.coalesce("n_hop", F.lit(0)).cast("double") / F.col("n_parts"),
+                F.lit(n_parts) > 0,
+                F.coalesce("n_hop", F.lit(0)).cast("double") / F.lit(n_parts),
             ).alias("node_share"),
         )
         .orderBy("dist")

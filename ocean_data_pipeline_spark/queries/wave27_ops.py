@@ -482,16 +482,11 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-32-reducer layout probed 12.0x super-linear at 10x data
     # (see the helper's docstring).
     ids = F.transform(F.col("nbrs"), lambda s: s["x"])
-    census = _wedge_pair_census(spark, adj, ids, "cn")
-    top20 = (
-        census.join(
-            edges,
-            (census.a == edges.pa) & (census.c == edges.pb),
-            "left_anti",
-        )
-        .orderBy(F.desc("cn"), F.asc("a"), F.asc("c"))
-        .limit(20)
-    )
+    # the non-edge subtraction happens inside the helper's key space
+    # (broadcast-routed) so the pair-scale census output feeds the
+    # top-k directly — see _wedge_pair_census's minus_edges contract
+    census = _wedge_pair_census(spark, adj, ids, "cn", minus_edges=edges)
+    top20 = census.orderBy(F.desc("cn"), F.asc("a"), F.asc("c")).limit(20)
     # post-pass: scores for exactly 20 pairs from the adjacency lists
     na = adj.select(F.col("w").alias("a"), F.col("nbrs").alias("nbrs_a"))
     nc = adj.select(F.col("w").alias("c"), F.col("nbrs").alias("nbrs_c"))
@@ -529,10 +524,23 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wedge_pair_census(spark, adj, ids, count_alias: str):
+def _wedge_pair_census(spark, adj, ids, count_alias: str, minus_edges=None):
     """Ordered-pair census over per-node sorted neighbor-id lists: one
     output row per distinct wedge endpoint pair (a, c) with its
     common-neighbor count, columns (a, c, <count_alias>).
+
+    `minus_edges` (optional): a CANONICAL (pa < pb) edge relation —
+    ideally localCheckpointed — whose pairs are anti-joined away
+    INSIDE key space, before the decode (round 11, guide §3.1): the
+    edge keys pack/struct exactly like the census keys, and when the
+    measured edge count fits `SPARK_GRAFT_GRAPH_BCAST_EDGES` the anti
+    side is broadcast, so the pair-scale census output never crosses
+    the extra anti-join Exchange the callers used to pay. Above the
+    cap the anti-join stays shuffled (the 100-TB path). Wedge pairs
+    satisfy a < c (sorted-list suffix slices), edges satisfy pa < pb,
+    and both packs are injective below 2^32 (struct equality above),
+    so the subtraction is identical to the callers' former
+    (a = pa AND c = pb) left_anti.
 
     Hot path emits each pair as ONE packed BIGINT (a << 32 | c) so the
     wedge-mass aggregate is a bare count on a single long key. The
@@ -559,12 +567,15 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str):
     all spilling); map-side combine loses nothing because pair
     multiplicity is tiny, and AQE coalesces the width back down when
     the mass is small."""
+    from ocean_data_pipeline_spark.queries.graph_ops import _BCAST_EDGES
+
     sz = F.size(ids).cast("long")
     stats = adj.agg(
         F.max("w").alias("max_id"),
         F.sum(sz * (sz - 1) / 2).cast("long").alias("mass"),
     ).first()
     max_id, mass = stats["max_id"], int(stats["mass"] or 0)
+    n_minus = minus_edges.count() if minus_edges is not None else None
     fanout = max(
         spark.sparkContext.defaultParallelism * 3, -(-mass // 3_000_000)
     )
@@ -578,20 +589,30 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str):
                 ),
             )
         )
-        return (
+        census = (
             adj.repartition(fanout)
             .select(F.explode(packed).alias("k"))
             .repartition(fanout, "k")
             .groupBy("k")
             .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
-            .select(
-                F.shiftrightunsigned(F.col("k"), 32).cast("bigint").alias("a"),
-                F.col("k")
-                .bitwiseAND(F.lit((1 << 32) - 1))
-                .cast("bigint")
-                .alias("c"),
-                count_alias,
+        )
+        if minus_edges is not None:
+            ek = minus_edges.select(
+                (
+                    F.shiftleft(F.col("pa").cast("long"), 32)
+                    + F.col("pb").cast("long")
+                ).alias("k")
             )
+            if n_minus <= _BCAST_EDGES:
+                ek = F.broadcast(ek)
+            census = census.join(ek, "k", "left_anti")
+        return census.select(
+            F.shiftrightunsigned(F.col("k"), 32).cast("bigint").alias("a"),
+            F.col("k")
+            .bitwiseAND(F.lit((1 << 32) - 1))
+            .cast("bigint")
+            .alias("c"),
+            count_alias,
         )
     pairs = F.flatten(
         F.transform(
@@ -604,13 +625,25 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str):
             ),
         )
     )
-    return (
+    census = (
         adj.repartition(fanout)
         .select(F.explode(pairs).alias("k"))
         .repartition(fanout, "k")
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
-        .select(F.col("k.a").alias("a"), F.col("k.c").alias("c"), count_alias)
+    )
+    if minus_edges is not None:
+        ek = minus_edges.select(
+            F.struct(
+                F.col("pa").cast("bigint").alias("a"),
+                F.col("pb").cast("bigint").alias("c"),
+            ).alias("k")
+        )
+        if n_minus <= _BCAST_EDGES:
+            ek = F.broadcast(ek)
+        census = census.join(ek, "k", "left_anti")
+    return census.select(
+        F.col("k.a").alias("a"), F.col("k.c").alias("c"), count_alias
     )
 
 
@@ -739,16 +772,12 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped_ids = F.slice(
         F.transform(F.col("nbrs"), lambda s: s["x"]), 1, _LP_CAP
     )
-    census = _wedge_pair_census(spark, adj, capped_ids, "cn_capped")
-    survivors = (
-        census.join(
-            edges,
-            (census.a == edges.pa) & (census.c == edges.pb),
-            "left_anti",
-        )
-        .orderBy(F.desc("cn_capped"), F.asc("a"), F.asc("c"))
-        .limit(_LP_SURVIVORS)
+    census = _wedge_pair_census(
+        spark, adj, capped_ids, "cn_capped", minus_edges=edges
     )
+    survivors = census.orderBy(
+        F.desc("cn_capped"), F.asc("a"), F.asc("c")
+    ).limit(_LP_SURVIVORS)
     # exact confirm: full-list intersection per survivor pair
     na = adj.select(F.col("w").alias("a"), F.col("nbrs").alias("nbrs_a"))
     nc = adj.select(F.col("w").alias("c"), F.col("nbrs").alias("nbrs_c"))

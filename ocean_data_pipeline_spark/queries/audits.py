@@ -2160,51 +2160,65 @@ def poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     dec = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
-    coeffs = base.agg(
+    # Round-11 loop shape (guide §1.2 + the absorbing_chain_steps
+    # lesson): each round executes EAGERLY and feeds its two
+    # coefficients back as DoubleType literals. The lazy
+    # crossJoin(broadcast(coeffs)) chain re-built the whole prior-round
+    # subtree per round on the driver (~hundreds of py4j calls + a
+    # nested broadcast-exchange cascade); .first() returns the exact
+    # JVM doubles and F.lit re-embeds the same bits, so every per-row
+    # exp/z chain sees identical inputs and the engines stay in
+    # lockstep bit-for-bit. Job count is unchanged (one 5-cell
+    # aggregate per round); only driver-side plan construction shrinks.
+    seed = base.agg(
         F.log(F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    )
+        F.count(F.lit(1)).alias("n_customers"),
+    ).first()
+    if seed["b0"] is None:  # empty input: propagate NULLs like the lazy chain did
+        return base.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")).select(
+            "n_customers",
+            *[
+                F.lit(None).cast("double").alias(a)
+                for a in ("intercept", "slope_per_10k", "rate_ratio_per_10k", "deviance")
+            ],
+        )
+    b0, b1 = float(seed["b0"]), 0.0
+    n_customers = int(seed["n_customers"])
     for _ in range(_IRLS_ROUNDS):
-        eta = F.col("b0") + F.col("b1") * F.col("x")
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
         mu = F.exp(eta)
         z = eta + (F.col("y") - mu) / mu
-        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+        s = base.agg(
             F.sum(dec(mu)).cast("double").alias("sw"),
             F.sum(dec(mu * F.col("x"))).cast("double").alias("swx"),
             F.sum(dec(mu * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
             F.sum(dec(mu * z)).cast("double").alias("swz"),
             F.sum(dec(mu * F.col("x") * z)).cast("double").alias("swxz"),
         )
+        # the 2x2 solve stays a JVM expression chain on the summed
+        # doubles (identical IEEE order to the former lazy select)
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
-        coeffs = sums.select(
+        nxt = s.select(
             ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
                 "b0"
             ),
             ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
                 "b1"
             ),
-        )
-    n_row = base.agg(F.count(F.lit(1)).alias("n_customers"))
-    eta_f = F.col("b0") + F.col("b1") * F.col("x")
+        ).first()
+        b0, b1 = float(nxt["b0"]), float(nxt["b1"])
+    eta_f = F.lit(b0) + F.lit(b1) * F.col("x")
     mu_f = F.exp(eta_f)
     dev_term = (
         F.when(F.col("y") > 0, F.col("y") * F.log(F.col("y") / mu_f)).otherwise(0.0)
         - (F.col("y") - mu_f)
     )
-    dev = (
-        base.crossJoin(F.broadcast(coeffs))
-        .agg((2 * F.sum(dec(dev_term)).cast("double")).alias("dev"))
-    )
-    return (
-        coeffs.crossJoin(F.broadcast(n_row))
-        .crossJoin(F.broadcast(dev))
-        .select(
-            "n_customers",
-            F.round("b0", 6).alias("intercept"),
-            F.round("b1", 6).alias("slope_per_10k"),
-            F.round(F.exp(F.col("b1")), 6).alias("rate_ratio_per_10k"),
-            F.round("dev", 4).alias("deviance"),
-        )
+    return base.agg((2 * F.sum(dec(dev_term)).cast("double")).alias("dev")).select(
+        F.lit(n_customers).cast("bigint").alias("n_customers"),
+        F.round(F.lit(b0), 6).alias("intercept"),
+        F.round(F.lit(b1), 6).alias("slope_per_10k"),
+        F.round(F.exp(F.lit(b1)), 6).alias("rate_ratio_per_10k"),
+        F.round("dev", 4).alias("deviance"),
     )
 
 
@@ -2309,16 +2323,35 @@ def logistic_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     dec = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    # Eager-literal IRLS loop — see poisson_glm_irls for the device
+    # (exact-double round-trip per round, identical JVM expression
+    # chains, driver plan-construction cost removed).
     p_base = F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))
-    coeffs = base.agg(
-        F.log(p_base / (1 - p_base)).alias("b0"), F.lit(0.0).alias("b1")
-    )
+    seed = base.agg(
+        F.log(p_base / (1 - p_base)).alias("b0"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).first()
+    if seed["b0"] is None:  # empty input: propagate NULLs like the lazy chain did
+        return base.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")).select(
+            "n_orders",
+            *[
+                F.lit(None).cast("double").alias(a)
+                for a in (
+                    "intercept",
+                    "slope_per_100k",
+                    "odds_ratio_per_100k",
+                    "mean_log_loss",
+                )
+            ],
+        )
+    b0, b1 = float(seed["b0"]), 0.0
+    n_orders = int(seed["n_orders"])
     for _ in range(_IRLS_ROUNDS):
-        eta = F.col("b0") + F.col("b1") * F.col("x")
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
         mu = 1 / (1 + F.exp(-eta))
         w = mu * (1 - mu)
         z = eta + (F.col("y") - mu) / w
-        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+        s = base.agg(
             F.sum(dec(w)).cast("double").alias("sw"),
             F.sum(dec(w * F.col("x"))).cast("double").alias("swx"),
             F.sum(dec(w * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
@@ -2326,31 +2359,26 @@ def logistic_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(w * F.col("x") * z)).cast("double").alias("swxz"),
         )
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
-        coeffs = sums.select(
+        nxt = s.select(
             ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
                 "b0"
             ),
             ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
                 "b1"
             ),
-        )
-    n_row = base.agg(F.count(F.lit(1)).alias("n_orders"))
-    eta_f = F.col("b0") + F.col("b1") * F.col("x")
+        ).first()
+        b0, b1 = float(nxt["b0"]), float(nxt["b1"])
+    eta_f = F.lit(b0) + F.lit(b1) * F.col("x")
     mu_f = 1 / (1 + F.exp(-eta_f))
     ll_term = F.col("y") * F.log(mu_f) + (1 - F.col("y")) * F.log(1 - mu_f)
-    ll = base.crossJoin(F.broadcast(coeffs)).agg(
+    return base.agg(
         (-F.sum(dec(ll_term)).cast("double") / F.count(F.lit(1))).alias("mll")
-    )
-    return (
-        coeffs.crossJoin(F.broadcast(n_row))
-        .crossJoin(F.broadcast(ll))
-        .select(
-            "n_orders",
-            F.round("b0", 6).alias("intercept"),
-            F.round("b1", 6).alias("slope_per_100k"),
-            F.round(F.exp(F.col("b1")), 6).alias("odds_ratio_per_100k"),
-            F.round("mll", 6).alias("mean_log_loss"),
-        )
+    ).select(
+        F.lit(n_orders).cast("bigint").alias("n_orders"),
+        F.round(F.lit(b0), 6).alias("intercept"),
+        F.round(F.lit(b1), 6).alias("slope_per_100k"),
+        F.round(F.exp(F.lit(b1)), 6).alias("odds_ratio_per_100k"),
+        F.round("mll", 6).alias("mean_log_loss"),
     )
 
 

@@ -508,16 +508,27 @@ def huber_regression_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     dec6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
     dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
-    coeffs = base.agg(
+    # Eager-literal IRLS loop — see poisson_glm_irls for the device
+    # (exact-double round-trip per round, identical JVM expression
+    # chains, driver plan-construction cost removed).
+    seed = base.agg(
         (F.sum(dec6(F.col("y"))).cast("double") / F.count(F.lit(1))).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    )
+    ).first()
+    if seed["b0"] is None:  # empty input: propagate NULLs like the lazy chain did
+        return base.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+            "n_rows",
+            *[
+                F.lit(None).cast("double").alias(a)
+                for a in ("intercept", "slope", "mean_abs_resid")
+            ],
+        )
+    b0, b1 = float(seed["b0"]), 0.0
     for _ in range(_HUBER_ROUNDS):
-        r = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+        r = F.col("y") - F.lit(b0) - F.lit(b1) * F.col("x")
         w = F.least(
             F.lit(1.0), F.lit(_HUBER_K) / F.greatest(F.abs(r), F.lit(1e-12))
         )
-        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+        s = base.agg(
             F.sum(dec9(w)).cast("double").alias("sw"),
             F.sum(dec9(w * F.col("x"))).cast("double").alias("swx"),
             F.sum(dec9(w * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
@@ -525,27 +536,26 @@ def huber_regression_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec9(w * F.col("x") * F.col("y"))).cast("double").alias("swxy"),
         )
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
-        coeffs = sums.select(
+        nxt = s.select(
             ((F.col("swxx") * F.col("swy") - F.col("swx") * F.col("swxy")) / det)
             .alias("b0"),
             ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / det)
             .alias("b1"),
-        )
-    resid = base.crossJoin(F.broadcast(coeffs)).agg(
+        ).first()
+        b0, b1 = float(nxt["b0"]), float(nxt["b1"])
+    resid = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.max("b0").alias("_b0"),
-        F.max("b1").alias("_b1"),
         (
             F.sum(
-                dec6(F.abs(F.col("y") - F.col("b0") - F.col("b1") * F.col("x")))
+                dec6(F.abs(F.col("y") - F.lit(b0) - F.lit(b1) * F.col("x")))
             ).cast("double")
             / F.count(F.lit(1))
         ).alias("mar"),
     )
     return resid.select(
         "n_rows",
-        F.round("_b0", 4).alias("intercept"),
-        F.round("_b1", 4).alias("slope"),
+        F.round(F.lit(b0), 4).alias("intercept"),
+        F.round(F.lit(b1), 4).alias("slope"),
         F.round("mar", 4).alias("mean_abs_resid"),
     )
 

@@ -510,41 +510,54 @@ def bradley_terry_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_ij").cast("bigint").alias("w")
     )
     d12 = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
-    pi = wins.select("nation", F.lit(1.0).alias("pi"))
+    # Round-11 loop shape (guide §1.2 + the absorbing_chain_steps
+    # lesson): each MM round executes EAGERLY over the 56-row
+    # checkpointed duel table, and the 8-entry π vector feeds the next
+    # round back as a string→double MAP LITERAL instead of two joins
+    # against a lazy π relation (which re-embedded the whole
+    # prior-round subtree TWICE per round — the final plan was 8.6 k
+    # lines). w_i rides in-aggregate as Σ_j w_ij (the former `wins`
+    # join, integer-exact over the same row set), the normalizer is an
+    # unpartitioned window sum of the SAME once-rounded DECIMAL(28,12)
+    # terms the former tot-aggregate summed (decimal addition is
+    # exactly associative), and collected doubles re-embed bit-for-bit
+    # via F.lit — so every round's IEEE chain is unchanged.
+    pi_i, pi_j = F.lit(1.0), F.lit(1.0)
+    pi_rows = None
     for _ in range(_BT_ROUNDS):
         u = (
-            duels.join(
-                pi.select(F.col("nation").alias("i"), F.col("pi").alias("pi_i")),
-                "i",
-            )
-            .join(
-                pi.select(F.col("nation").alias("j"), F.col("pi").alias("pi_j")),
-                "j",
-            )
-            .join(wins.select(F.col("nation").alias("i"), "w"), "i")
-            .groupBy(F.col("i").alias("nation"), "w")
+            duels.groupBy(F.col("i").alias("nation"))
             .agg(
                 (
-                    F.col("w").cast("double")
-                    / F.sum(
-                        d12(F.col("n_ij") / (F.col("pi_i") + F.col("pi_j")))
-                    ).cast("double")
+                    F.sum("w_ij").cast("bigint").cast("double")
+                    / F.sum(d12(F.col("n_ij") / (pi_i + pi_j))).cast("double")
                 ).alias("pi_raw")
             )
-            .select("nation", "pi_raw")
+            .withColumn(
+                "t",
+                F.sum(d12(F.col("pi_raw")))
+                .over(Window.partitionBy())
+                .cast("double"),
+            )
+            .select(
+                "nation", (F.col("pi_raw") * _BT_TOP / F.col("t")).alias("pi")
+            )
         )
-        tot = u.agg(F.sum(d12(F.col("pi_raw"))).cast("double").alias("t"))
-        pi = u.crossJoin(F.broadcast(tot)).select(
-            "nation", (F.col("pi_raw") * _BT_TOP / F.col("t")).alias("pi")
+        pi_rows = u.collect()
+        m = F.create_map(
+            *[x for r in pi_rows for x in (F.lit(r["nation"]), F.lit(float(r["pi"])))]
         )
+        pi_i, pi_j = m[F.col("i")], m[F.col("j")]
+    pi_m = F.create_map(
+        *[x for r in pi_rows for x in (F.lit(r["nation"]), F.lit(float(r["pi"])))]
+    )
     return (
-        pi.join(wins, "nation")
-        .select(
+        wins.select(
             "nation",
             F.col("w").alias("wins"),
-            F.round("pi", 6).alias("bt_strength"),
+            F.round(pi_m[F.col("nation")], 6).alias("bt_strength"),
             F.row_number()
-            .over(Window.orderBy(F.desc("pi"), "nation"))
+            .over(Window.orderBy(F.desc(pi_m[F.col("nation")]), "nation"))
             .cast("bigint")
             .alias("bt_rank"),
         )

@@ -38,6 +38,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine` with the two norms PRECOMPUTED per side (round 11,
+    guide §4/§1.2-2): on a pairwise panel the plain form re-runs both
+    norm folds for every pair — 3 interpreted 64-element folds per
+    pair where 1 suffices. `na`/`nb` must be `norm(a)`/`norm(b)`
+    computed on the join inputs; the division and the na*nb product
+    keep the exact expression order of `cosine`, so values are
+    bit-identical."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -53,13 +64,19 @@ def cosine_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pv")
-    )
+    ).withColumn("pn", norm(F.col("pv")))
     scored = (
         c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -133,21 +150,32 @@ def ivf_topk_multiprobe(
     fans out, so the explode is O(|probes|·n_probe) — negligible next
     to the corpus. Join remains a broadcast of the exploded probes.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cell", argmax_dim(F.col("cv")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cell", argmax_dim(F.col("cv")))
+        .withColumn("cn", norm(F.col("cv")))
+    )
     p = (
         probes.select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).cast("array<double>").alias("pv"),
         )
         .withColumn("cell", F.explode(top2_cells(F.col("pv"))))
+        .withColumn("pn", norm(F.col("pv")))
     )
     scored = (
         c.join(F.broadcast(p), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -174,18 +202,32 @@ def ivf_topk(
     then exact cosine re-ranks within the cell. Fully SQL-expressible →
     DuckDB-oracle-checkable, unlike model-internal LSH buckets.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cell", argmax_dim(F.col("cv")))
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).cast("array<double>").alias("pv"),
-    ).withColumn("cell", argmax_dim(F.col("pv")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cell", argmax_dim(F.col("cv")))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("pv"),
+        )
+        .withColumn("cell", argmax_dim(F.col("pv")))
+        .withColumn("pn", norm(F.col("pv")))
+    )
     scored = (
         c.join(F.broadcast(p), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -246,7 +288,7 @@ def ivf_topk_kmeans(
     )
     c = model.transform(c_feat).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pv"),
@@ -258,11 +300,18 @@ def ivf_topk_kmeans(
         .withColumn("cell_rank", F.row_number().over(w_cells))
         .filter(F.col("cell_rank") <= n_probes)
         .select("probe_id", "pv", "cell")
+        .withColumn("pn", norm(F.col("pv")))
     )
     scored = (
         c.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -293,12 +342,12 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+    ).withColumn("pn", norm(F.col("pv")))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=bucket_length,
         numHashTables=num_tables, seed=42,
@@ -320,7 +369,12 @@ def lsh_topk(
         .select(
             F.col("datasetA.probe_id").alias("probe_id"),
             F.col("datasetB.neighbor_id").alias("neighbor_id"),
-            cosine(F.col("datasetA.pv"), F.col("datasetB.cv")).alias("cosine_sim"),
+            cosine_pre(
+                F.col("datasetA.pv"),
+                F.col("datasetB.cv"),
+                F.col("datasetA.pn"),
+                F.col("datasetB.cn"),
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -376,7 +430,7 @@ def ivf_topk_frozen(
     # occurrence of the minimum (1-based → -1)
     assigned = c.withColumn(
         "cell", (F.array_position(c_d2, F.array_min(c_d2)) - 1).cast("int")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pv"),
@@ -387,12 +441,16 @@ def ivf_topk_frozen(
     )
     probe_cells = p.withColumn(
         "cell", F.explode(F.slice(ranked_cells, 1, n_probes).getField("cell"))
-    )
+    ).withColumn("pn", norm(F.col("pv")))
     scored = (
         assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .select(
-            "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("cosine_sim")
+            "probe_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

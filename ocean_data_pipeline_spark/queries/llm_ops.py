@@ -2399,15 +2399,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 compiles to a rank window partitioned by anchor. Dot products
     are the sequential zip_with fold (operators.similarity.dot) that
     bit-matches DuckDB's list_dot_product."""
-    from ocean_data_pipeline_spark.operators.similarity import cosine
+    from ocean_data_pipeline_spark.operators.similarity import cosine_pre, norm
 
+    # norms precomputed per side (cosine_pre contract): one fold per
+    # corpus row / anchor instead of three folds per scored pair
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     anchors = emb.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     scored = (
         emb.join(
@@ -2418,7 +2421,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_label",
             F.col("vec_id").alias("negative_id"),
             F.col("label").alias("negative_label"),
-            cosine(F.col("va"), F.col("v")).alias("cosine_sim"),
+            cosine_pre(
+                F.col("va"), F.col("v"), F.col("na"), F.col("nv")
+            ).alias("cosine_sim"),
         )
     )
     from pyspark.sql import Window

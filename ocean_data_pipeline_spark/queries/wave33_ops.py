@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocean_data_pipeline_spark.catalog import table
-from ocean_data_pipeline_spark.operators.similarity import cosine, dot
+from ocean_data_pipeline_spark.operators.similarity import cosine_pre, dot, norm
 from ocean_data_pipeline_spark.queries import register
 
 _COS_SQL = (
@@ -102,20 +102,25 @@ def knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (partitioned BY probe — bounded by corpus per partition,
     parallel across probes) → probe- then label-sized censuses. At
     100 TB the probe panel is fixed, so cost is one scan."""
+    # norms precomputed per side (operators.similarity.cosine_pre):
+    # one fold per corpus row / probe instead of three folds per pair
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    )
+    ).withColumn("nv", norm(F.col("v")))
     probes = emb.filter(F.col("vec_id") < _KNN_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
         F.col("label").alias("own_label"),
+        F.col("nv").alias("npv"),
     )
     scored = (
         emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "own_label",
             F.col("label").alias("nbr_label"),
-            cosine(F.col("pv"), F.col("v")).alias("sim"),
+            cosine_pre(
+                F.col("pv"), F.col("v"), F.col("npv"), F.col("nv")
+            ).alias("sim"),
             "vec_id",
         )
         .withColumn(
@@ -214,11 +219,14 @@ def binary_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: broadcast probes × one corpus scan; the audit panel is
     fixed-size so cost is one scan at any corpus size."""
+    # norms precomputed per side — see knn_label_noise_audit above
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     probes = emb.filter(F.col("vec_id") < _BQ_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nv").alias("npv"),
     )
     ham = F.aggregate(
         F.zip_with(
@@ -232,7 +240,9 @@ def binary_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         emb.join(F.broadcast(probes), F.col("vec_id") > F.col("probe_id"))
         .select(
-            cosine(F.col("pv"), F.col("v")).alias("cos"),
+            cosine_pre(
+                F.col("pv"), F.col("v"), F.col("npv"), F.col("nv")
+            ).alias("cos"),
             ham.alias("ham"),
         )
         .select(

@@ -31,6 +31,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-session scan-relation cache (round 11, guide §1.2/§6). Building
+#: a parquet relation (`spark.read.parquet`) costs ~100-150 ms even
+#: warm — file listing, footer/schema read, py4j — and every query
+#: calls `table()` 2-4 times, so the bench paid it hundreds of times
+#: per run. The cache reuses the LAZY analyzed relation (plus the
+#: events-ts/NTZ normalization and the one-time `spread` partition
+#: probe) exactly as a metastore catalog would hold table metadata.
+#: This is NOT result caching: no rows are persisted, no `.cache()` is
+#: applied, and every action still scans the parquet inputs. Keyed on
+#: the Spark applicationId so a new session (new context) never sees a
+#: stale relation; conf changes that alter scan BEHAVIOR at plan time
+#: (e.g. nanosAsLong) must be set before the first `table()` call of a
+#: session, which `session.tune_for_oracle` guarantees.
+_SCAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Scan one logical table. Column pruning/filter pushdown apply.
@@ -48,6 +63,10 @@ def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name, spread)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # events.ts is parquet TIMESTAMP(NANOS) read as int64 (see
@@ -85,6 +104,7 @@ def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> 
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
+    _SCAN_CACHE[key] = df
     return df
 
 

@@ -2686,16 +2686,21 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    # Eager-literal IRLS loop — see poisson_glm_irls for the device
+    # (exact-double round-trip per round, identical JVM expression
+    # chains, driver plan-construction cost removed).
     p_base = F.sum(dec9(F.col("t"))).cast("double") / F.count(F.lit(1))
-    coeffs = base.agg(
-        F.log(p_base / (1 - p_base)).alias("b0"), F.lit(0.0).alias("b1")
-    )
-    for _ in range(_IRLS_ROUNDS):
-        eta = F.col("b0") + F.col("b1") * F.col("x")
+    seed = base.agg(F.log(p_base / (1 - p_base)).alias("b0")).first()
+    # empty input: every downstream relation is empty whatever the
+    # coefficients, so any finite seed reproduces the former output
+    b0, b1 = (0.0 if seed["b0"] is None else float(seed["b0"])), 0.0
+    rounds = 0 if seed["b0"] is None else _IRLS_ROUNDS
+    for _ in range(rounds):
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
         mu = 1 / (1 + F.exp(-eta))
         w = mu * (1 - mu)
         z = eta + (F.col("t") - mu) / w
-        sums = base.crossJoin(F.broadcast(coeffs)).agg(
+        s = base.agg(
             F.sum(dec9(w)).cast("double").alias("sw"),
             F.sum(dec9(w * F.col("x"))).cast("double").alias("swx"),
             F.sum(dec9(w * F.col("x") * F.col("x"))).cast("double").alias("swxx"),
@@ -2703,21 +2708,21 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec9(w * F.col("x") * z)).cast("double").alias("swxz"),
         )
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
-        coeffs = sums.select(
+        nxt = s.select(
             ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
                 "b0"
             ),
             ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
                 "b1"
             ),
-        )
+        ).first()
+        b0, b1 = float(nxt["b0"]), float(nxt["b1"])
     scored = (
-        base.crossJoin(F.broadcast(coeffs))
-        .select(
+        base.select(
             "c_custkey",
             "t",
             "y",
-            (1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))).alias(
+            (1 / (1 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))).alias(
                 "e"
             ),
         )

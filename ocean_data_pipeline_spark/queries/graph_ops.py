@@ -520,51 +520,64 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     more rounds than the oracle's unrolled bound (cannot silently
     diverge from the oracle)."""
     edges = _copurchase_edges(spark, sf_dir, checkpoint=True)
-    sym = (
-        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    # sym stays a lazy union PROJECTION of the checkpointed edge list —
+    # it is only ever scanned map-side below, so materializing it would
+    # just double the edge bytes held in the block manager.
+    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    n_edges = edges.count() * 2
+    # Round-11 loop shape (guide §1.2 step 1): incremental simultaneous
+    # peel. The former loop re-counted degrees from, and semi-filtered,
+    # the FULL surviving edge list every round (2 edge-scale shuffles +
+    # an edge-scale checkpoint per round). Degrees within the surviving
+    # subgraph satisfy deg_r(u) = deg_{r-1}(u) − |nbrs(u) ∩ removed_r|,
+    # all integers, so the loop instead keeps the NODE-scale degree
+    # relation as state: each round drops the under-k nodes and
+    # subtracts their incidence, measured by ONE map-side pass of the
+    # static edge projection against the (broadcast-routed) removed
+    # set. Same peel schedule, integer-exact degrees ⇒ identical
+    # fixpoint and identical output; the convergence probe shrinks from
+    # an edge count to the removed-set count. Above the broadcast cap
+    # the same algebra runs with shuffled joins (the 100-TB path).
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint()
     )
-    n_edges = sym.count()
     for _ in range(_KCORE_ROUNDS):
-        survivors = (
-            sym.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("u")
+        removed = (
+            deg.filter(F.col("deg") < _KCORE_K).select("u").localCheckpoint()
         )
-        # Round 11 (guide §3.1): the survivor set is node-scale, but as
-        # a lazy subtree each semi-join would re-run its degree agg and
-        # shuffle the full edge list against it (2 edge-scale SMJ
-        # shuffles per round). Materialize it once per round and — when
-        # the measured edge count says the graph is broadcast-sized —
-        # hash-broadcast it into BOTH semi-joins, so the per-round work
-        # is one node-scale degree agg plus a map-side filter pass over
-        # the checkpointed edges. Above the cap: the unchanged shuffled
-        # semi-joins (the 100-TB path; survivors ≤ 2·edges rows).
-        survivors = survivors.localCheckpoint()
-        sa, sb = survivors, survivors.select(F.col("u").alias("v"))
+        if removed.count() == 0:
+            break
+        ru, rv = removed, removed.select(F.col("u").alias("v"))
         if n_edges <= _BCAST_EDGES:
-            sa, sb = F.broadcast(sa), F.broadcast(sb)
-        sym = (
-            sym.join(sa, "u", "left_semi")
-            .join(sb, "v", "left_semi")
-            .select("u", "v")
+            ru, rv = F.broadcast(ru), F.broadcast(rv)
+        delta = (
+            sym.join(rv, "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = (
+            deg.join(ru, "u", "left_anti")
+            .join(delta, "u", "left")
+            .select(
+                "u",
+                (F.col("deg") - F.coalesce(F.col("d"), F.lit(0))).alias("deg"),
+            )
             .localCheckpoint()
         )
-        n_now = sym.count()
-        if n_now == n_edges:
-            break
-        n_edges = n_now
     else:
         raise RuntimeError(
             f"k-core peel did not converge within {_KCORE_ROUNDS} rounds; "
             "raise _KCORE_ROUNDS (and the oracle bound with it)"
         )
     return (
-        sym.groupBy(F.col("u").alias("partkey"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .orderBy("partkey")
+        deg.select(
+            F.col("u").alias("partkey"),
+            F.col("deg").cast("bigint").alias("core_degree"),
+        ).orderBy("partkey")
     )
 
 
@@ -850,7 +863,17 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: cosine = integer / sqrt(integer product) is a fixed
     IEEE chain from exact counts (emitted unrounded); ranking ties
     break on neighbor id."""
-    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # localCheckpoint: the distinct (order, part) projection feeds the
+    # marginals AND both self-join sides (association_rules' device);
+    # the item marginals really are broadcast now (node-scale — the
+    # lazy subtrees carried no stats, so the scoring joins ran as two
+    # pair-scale SortMergeJoins despite the docstring)
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
     c = op.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -867,8 +890,10 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         canon.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "c_ij")
     )
-    ci = c.select(F.col("item"), F.col("n_orders").alias("c_i"))
-    cj = c.select(F.col("item").alias("neighbor"), F.col("n_orders").alias("c_j"))
+    ci = F.broadcast(c.select(F.col("item"), F.col("n_orders").alias("c_i")))
+    cj = F.broadcast(
+        c.select(F.col("item").alias("neighbor"), F.col("n_orders").alias("c_j"))
+    )
     scored = (
         mirrored.join(ci, "item")
         .join(cj, "neighbor")
@@ -951,7 +976,18 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 relation (support-floored, small); the counting join touches
     only (candidate × occurrence) matches, never the full triple
     cross of items. All joins are equi-joins on part/order keys."""
-    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # Round 11: the distinct (order, part) projection feeds FOUR
+    # subtrees (items, both occ sides, the counting join) and the L2
+    # pair relation feeds three — checkpoint each once instead of
+    # re-deriving the scan+distinct / basket-join+agg per consumer;
+    # the Apriori candidate set is support-floored tiny, so it
+    # broadcasts into the occurrence-scale counting join.
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
     items = (
         op.groupBy(F.col("l_partkey").alias("item"))
         .agg(F.count(F.lit(1)).alias("supp"))
@@ -968,6 +1004,7 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= 2)
         .select("pa", "pb")
+        .localCheckpoint()
     )
     p1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     p2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
@@ -978,7 +1015,7 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p3, ["b", "c"], "left_semi")
     )
     counted = (
-        cand.join(
+        F.broadcast(cand).join(
             occ.select("k", F.col("pa").alias("a"), F.col("pb").alias("b")),
             ["a", "b"],
         )

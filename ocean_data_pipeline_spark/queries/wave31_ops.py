@@ -690,29 +690,37 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents", spread=True)
         .filter(F.length(F.trim(F.col("text"))) > 0)
     )
-    # NOT checkpointed: the exploded token relation is corpus-scale
-    # (row-per-token with strings); holding it in the block manager
-    # pressures every later query in a shared session. Re-deriving it
-    # per subtree is one cheap spread scan each.
+    # Round 11: totals, the panel, and the per-source frequencies are
+    # all marginals of ONE (source, token) count census — vocabulary ×
+    # sources scale, safe to checkpoint (unlike the corpus-scale token
+    # explode, which previously re-tokenized the corpus once per
+    # consumer). Integer count sums are exact, so every downstream
+    # number is unchanged: n_s = Σ_t c(s,t), panel counts = Σ_s c(s,t)
+    # with the same (count desc, token) order, freq c = c(s,t).
     toks = docs.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     )
-    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    census = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    totals = census.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
     panel = (
         # top-30 by (count desc, token) via TakeOrderedAndProject — a
         # row_number window here would drag the whole distinct-token
         # VOCABULARY census through one partition.
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
+        census.groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), "token")
         .limit(_DELTA_TOP)
         .select("token")
     )
     freq = (
-        toks.join(F.broadcast(panel), "token")
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
+        census.join(F.broadcast(panel), "token")
         .join(totals, "source")
         .select(
             "source", "token",

@@ -40,11 +40,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: probe) exactly as a metastore catalog would hold table metadata.
 #: This is NOT result caching: no rows are persisted, no `.cache()` is
 #: applied, and every action still scans the parquet inputs. Keyed on
-#: the Spark applicationId so a new session (new context) never sees a
-#: stale relation; conf changes that alter scan BEHAVIOR at plan time
-#: (e.g. nanosAsLong) must be set before the first `table()` call of a
-#: session, which `session.tune_for_oracle` guarantees.
+#: the SESSION UUID (not just the applicationId): a DataFrame binds to
+#: the SQLConf of the session that built it, so an isolated
+#: `newSession()` with its own plan-time confs (bloom_join_urgent_
+#: revenue) must never receive — or populate — another session's
+#: relation. A new session therefore always builds fresh; conf changes
+#: that alter scan behavior at plan time (e.g. nanosAsLong) must be
+#: set before that session's first `table()` call, which
+#: `session.tune_for_oracle` guarantees.
 _SCAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # Connect or API drift: fall back to no caching reuse
+        return f"id:{id(spark)}"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
@@ -63,7 +74,7 @@ def table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name, spread)
+    key = (_session_key(spark), os.path.abspath(sf_dir), name, spread)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached

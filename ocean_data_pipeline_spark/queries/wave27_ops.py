@@ -457,20 +457,16 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    deg = sym.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    # degree-annotated adjacency lists, sorted by neighbor id (struct
-    # sort is by first field): reused by the wedge explode AND the
-    # 20-pair post-pass, so materialize once.
+    # LEAN adjacency (round 11): sorted plain-long neighbor lists — no
+    # per-neighbor degree struct and no pre-groupBy broadcast-deg join
+    # (half the collect_list shuffle bytes; the wedge explode reads the
+    # long array directly). degree(w) == size(ids of w), so the 20-pair
+    # post-pass recovers Adamic-Adar degrees from a node-scale
+    # projection of the same checkpoint; decimal term sums are exactly
+    # associative, so the values are identical in any order.
     adj = (
-        sym.join(F.broadcast(deg), sym.dst == deg.node)
-        .groupBy(F.col("src").alias("w"))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("dst").alias("x"), "degree"))
-            ).alias("nbrs")
-        )
+        sym.groupBy(F.col("src").alias("w"))
+        .agg(F.array_sort(F.collect_list("dst")).alias("ids"))
         .localCheckpoint()
     )
     # _wedge_pair_census sizes BOTH census shuffles by the measured
@@ -481,44 +477,56 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitions the exploded pairs BY KEY to the same width — the
     # fixed-32-reducer layout probed 12.0x super-linear at 10x data
     # (see the helper's docstring).
-    ids = F.transform(F.col("nbrs"), lambda s: s["x"])
     # the non-edge subtraction happens inside the helper's key space
     # (broadcast-routed) so the pair-scale census output feeds the
     # top-k directly — see _wedge_pair_census's minus_edges contract
-    census = _wedge_pair_census(spark, adj, ids, "cn", minus_edges=edges)
+    census = _wedge_pair_census(
+        spark, adj, F.col("ids"), "cn", minus_edges=edges
+    )
     top20 = census.orderBy(F.desc("cn"), F.asc("a"), F.asc("c")).limit(20)
     # post-pass: scores for exactly 20 pairs from the adjacency lists
-    na = adj.select(F.col("w").alias("a"), F.col("nbrs").alias("nbrs_a"))
-    nc = adj.select(F.col("w").alias("c"), F.col("nbrs").alias("nbrs_c"))
-    ids_c = F.transform(F.col("nbrs_c"), lambda s: s["x"])
-    common = F.filter(
-        F.col("nbrs_a"), lambda s: F.array_contains(ids_c, s["x"])
-    )
-    aa = F.aggregate(
-        common,
-        F.lit(0).cast("decimal(28,9)"),
-        # re-cast each partial: decimal + widens to (29,9), but the
-        # higher-order aggregate requires the accumulator type exactly
-        lambda acc, s: (
-            acc
-            + F.round(1.0 / F.log(s["degree"].cast("double")), 9).cast(
-                "decimal(28,9)"
-            )
-        ).cast("decimal(28,9)"),
-    ).cast("double")
-    return (
+    na = adj.select(F.col("w").alias("a"), F.col("ids").alias("ids_a"))
+    nc = adj.select(F.col("w").alias("c"), F.col("ids").alias("ids_c"))
+    common = F.array_intersect("ids_a", "ids_c")
+    base = (
         F.broadcast(na.join(F.broadcast(top20), "a"))
         .join(nc, "c")
+        .select(
+            "a",
+            "c",
+            "cn",
+            F.size("ids_a").alias("da"),
+            F.size("ids_c").alias("dc"),
+            common.alias("common"),
+        )
+    )
+    degs = adj.select(F.col("w").alias("wid"), F.size("ids").alias("wdeg"))
+    aa_sum = F.coalesce(
+        F.sum(
+            F.round(1.0 / F.log(F.col("wdeg").cast("double")), 9).cast(
+                "decimal(28,9)"
+            )
+        ),
+        F.lit(0).cast("decimal(28,9)"),
+    ).cast("double")
+    return (
+        base.select(
+            "a", "c", "cn", "da", "dc",
+            F.explode_outer("common").alias("wid"),
+        )
+        .join(F.broadcast(degs), "wid", "left")
+        .groupBy("a", "c", "cn", "da", "dc")
+        .agg(aa_sum.alias("aa"))
         .select(
             F.col("a").alias("part_a"),
             F.col("c").alias("part_b"),
             F.col("cn").alias("common_neighbors"),
             F.round(
                 F.col("cn").cast("double")
-                / (F.size("nbrs_a") + F.size("nbrs_c") - F.col("cn")),
+                / (F.col("da") + F.col("dc") - F.col("cn")),
                 6,
             ).alias("jaccard"),
-            F.round(aa, 6).alias("adamic_adar"),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
         )
         .orderBy(F.desc("common_neighbors"), F.asc("part_a"), F.asc("part_b"))
     )
@@ -589,13 +597,8 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str, minus_edges=None):
                 ),
             )
         )
-        census = (
-            adj.repartition(fanout)
-            .select(F.explode(packed).alias("k"))
-            .repartition(fanout, "k")
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
-        )
+        exploded = adj.repartition(fanout).select(F.explode(packed).alias("k"))
+        post_anti = None
         if minus_edges is not None:
             ek = minus_edges.select(
                 (
@@ -604,8 +607,25 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str, minus_edges=None):
                 ).alias("k")
             )
             if n_minus <= _BCAST_EDGES:
-                ek = F.broadcast(ek)
-            census = census.join(ek, "k", "left_anti")
+                # MAP-SIDE subtraction, before the census shuffle: a
+                # wedge row whose endpoints form an edge (a triangle
+                # wedge — a large share of the mass on a clustered
+                # graph) never crosses the Exchange. Removing rows
+                # with k ∈ E before the group-by removes exactly the
+                # groups the post-agg anti-join removed: the group key
+                # IS k, so surviving groups and counts are identical.
+                exploded = exploded.join(F.broadcast(ek), "k", "left_anti")
+            else:
+                # shuffled fallback: anti-join the PAIR-scale census
+                # output, never the raw wedge mass (the 100-TB path)
+                post_anti = ek
+        census = (
+            exploded.repartition(fanout, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
+        )
+        if post_anti is not None:
+            census = census.join(post_anti, "k", "left_anti")
         return census.select(
             F.shiftrightunsigned(F.col("k"), 32).cast("bigint").alias("a"),
             F.col("k")
@@ -625,13 +645,8 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str, minus_edges=None):
             ),
         )
     )
-    census = (
-        adj.repartition(fanout)
-        .select(F.explode(pairs).alias("k"))
-        .repartition(fanout, "k")
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
-    )
+    exploded = adj.repartition(fanout).select(F.explode(pairs).alias("k"))
+    post_anti = None
     if minus_edges is not None:
         ek = minus_edges.select(
             F.struct(
@@ -640,8 +655,19 @@ def _wedge_pair_census(spark, adj, ids, count_alias: str, minus_edges=None):
             ).alias("k")
         )
         if n_minus <= _BCAST_EDGES:
-            ek = F.broadcast(ek)
-        census = census.join(ek, "k", "left_anti")
+            # map-side subtraction before the census shuffle — see the
+            # packed path above; group-key filtering commutes with the
+            # group-by, so the census is identical
+            exploded = exploded.join(F.broadcast(ek), "k", "left_anti")
+        else:
+            post_anti = ek
+    census = (
+        exploded.repartition(fanout, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(count_alias))
+    )
+    if post_anti is not None:
+        census = census.join(post_anti, "k", "left_anti")
     return census.select(
         F.col("k.a").alias("a"), F.col("k.c").alias("c"), count_alias
     )
@@ -755,61 +781,72 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    deg = sym.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
+    # Round 11: LEAN adjacency — sorted plain-long neighbor lists (no
+    # per-neighbor degree struct, no pre-groupBy broadcast-deg join):
+    # half the collect_list shuffle bytes, and the wedge explode slices
+    # the long array directly. degree(w) == size(ids of w), so the
+    # 20-pair post-pass recovers Adamic-Adar degrees from a node-scale
+    # projection of the same checkpoint (decimal term sums are exactly
+    # associative — identical values in any order).
     adj = (
-        sym.join(F.broadcast(deg), sym.dst == deg.node)
-        .groupBy(F.col("src").alias("w"))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("dst").alias("x"), "degree"))
-            ).alias("nbrs")
-        )
+        sym.groupBy(F.col("src").alias("w"))
+        .agg(F.array_sort(F.collect_list("dst")).alias("ids"))
         .localCheckpoint()
     )
     # capped prefix of the id-sorted list == the oracle's rank-by-id cap
-    capped_ids = F.slice(
-        F.transform(F.col("nbrs"), lambda s: s["x"]), 1, _LP_CAP
-    )
+    capped_ids = F.slice(F.col("ids"), 1, _LP_CAP)
     census = _wedge_pair_census(
         spark, adj, capped_ids, "cn_capped", minus_edges=edges
     )
     survivors = census.orderBy(
         F.desc("cn_capped"), F.asc("a"), F.asc("c")
     ).limit(_LP_SURVIVORS)
-    # exact confirm: full-list intersection per survivor pair
-    na = adj.select(F.col("w").alias("a"), F.col("nbrs").alias("nbrs_a"))
-    nc = adj.select(F.col("w").alias("c"), F.col("nbrs").alias("nbrs_c"))
-    ids_c = F.transform(F.col("nbrs_c"), lambda s: s["x"])
-    common = F.filter(
-        F.col("nbrs_a"), lambda s: F.array_contains(ids_c, s["x"])
-    )
-    cn = F.size(common).cast("bigint")
-    aa = F.aggregate(
-        common,
-        F.lit(0).cast("decimal(28,9)"),
-        lambda acc, s: (
-            acc
-            + F.round(1.0 / F.log(s["degree"].cast("double")), 9).cast(
-                "decimal(28,9)"
-            )
-        ).cast("decimal(28,9)"),
-    ).cast("double")
-    return (
+    # exact confirm: full-list intersection per survivor pair; the
+    # common-neighbor degrees ride a broadcast node-scale join on the
+    # exploded (≤ _LP_SURVIVORS × |common|) relation
+    na = adj.select(F.col("w").alias("a"), F.col("ids").alias("ids_a"))
+    nc = adj.select(F.col("w").alias("c"), F.col("ids").alias("ids_c"))
+    common = F.array_intersect("ids_a", "ids_c")
+    base = (
         F.broadcast(na.join(F.broadcast(survivors), "a"))
         .join(nc, "c")
+        .select(
+            "a",
+            "c",
+            "cn_capped",
+            F.size(common).cast("bigint").alias("cn"),
+            F.size("ids_a").alias("da"),
+            F.size("ids_c").alias("dc"),
+            common.alias("common"),
+        )
+    )
+    degs = adj.select(F.col("w").alias("wid"), F.size("ids").alias("wdeg"))
+    aa_sum = F.coalesce(
+        F.sum(
+            F.round(1.0 / F.log(F.col("wdeg").cast("double")), 9).cast(
+                "decimal(28,9)"
+            )
+        ),
+        F.lit(0).cast("decimal(28,9)"),
+    ).cast("double")
+    return (
+        base.select(
+            "a", "c", "cn_capped", "cn", "da", "dc",
+            F.explode_outer("common").alias("wid"),
+        )
+        .join(F.broadcast(degs), "wid", "left")
+        .groupBy("a", "c", "cn_capped", "cn", "da", "dc")
+        .agg(aa_sum.alias("aa"))
         .select(
             F.col("a").alias("part_a"),
             F.col("c").alias("part_b"),
             "cn_capped",
-            cn.alias("common_neighbors"),
+            F.col("cn").alias("common_neighbors"),
             F.round(
-                cn.cast("double")
-                / (F.size("nbrs_a") + F.size("nbrs_c") - cn),
+                F.col("cn").cast("double") / (F.col("da") + F.col("dc") - F.col("cn")),
                 6,
             ).alias("jaccard"),
-            F.round(aa, 6).alias("adamic_adar"),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
         )
         .orderBy(F.desc("common_neighbors"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)

@@ -2170,8 +2170,12 @@ def poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exp/z chain sees identical inputs and the engines stay in
     # lockstep bit-for-bit. Job count is unchanged (one 5-cell
     # aggregate per round); only driver-side plan construction shrinks.
+    mean_y = F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))
+    # log seed guarded: an all-zero outcome column would hit ANSI
+    # log(0); when() returns NULL and the degenerate branch below
+    # takes over
     seed = base.agg(
-        F.log(F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))).alias("b0"),
+        F.when(mean_y > 0, F.log(mean_y)).alias("b0"),
         F.count(F.lit(1)).alias("n_customers"),
     ).first()
     if seed["b0"] is None:  # empty input: propagate NULLs like the lazy chain did
@@ -2198,14 +2202,23 @@ def poisson_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 2x2 solve stays a JVM expression chain on the summed
         # doubles (identical IEEE order to the former lazy select)
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        # det==0 (collinear/degenerate input) guard: ANSI double
+        # division throws on /0; the when() skips the division and the
+        # loop stops at the current coefficients. Real inputs have
+        # det != 0 (the former lazy chain collected through the same
+        # division on every driver run), so values are unchanged.
         nxt = s.select(
-            ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
-                "b0"
-            ),
-            ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
-                "b1"
-            ),
+            F.when(
+                det != 0.0,
+                (F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det,
+            ).alias("b0"),
+            F.when(
+                det != 0.0,
+                (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det,
+            ).alias("b1"),
         ).first()
+        if nxt["b0"] is None or nxt["b1"] is None:
+            break
         b0, b1 = float(nxt["b0"]), float(nxt["b1"])
     eta_f = F.lit(b0) + F.lit(b1) * F.col("x")
     mu_f = F.exp(eta_f)
@@ -2327,8 +2340,14 @@ def logistic_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (exact-double round-trip per round, identical JVM expression
     # chains, driver plan-construction cost removed).
     p_base = F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))
+    # logit seed guarded: a degenerate base rate (p in {0, 1} — every
+    # row one class) hits ANSI /0 or log(0); when() returns NULL and
+    # the empty/degenerate branch below takes over (the former lazy
+    # chain deferred the same expressions under count()-only actions)
     seed = base.agg(
-        F.log(p_base / (1 - p_base)).alias("b0"),
+        F.when(
+            (p_base > 0) & (p_base < 1), F.log(p_base / (1 - p_base))
+        ).alias("b0"),
         F.count(F.lit(1)).alias("n_orders"),
     ).first()
     if seed["b0"] is None:  # empty input: propagate NULLs like the lazy chain did
@@ -2359,14 +2378,23 @@ def logistic_glm_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(w * F.col("x") * z)).cast("double").alias("swxz"),
         )
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        # det==0 (collinear/degenerate input) guard: ANSI double
+        # division throws on /0; the when() skips the division and the
+        # loop stops at the current coefficients. Real inputs have
+        # det != 0 (the former lazy chain collected through the same
+        # division on every driver run), so values are unchanged.
         nxt = s.select(
-            ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
-                "b0"
-            ),
-            ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
-                "b1"
-            ),
+            F.when(
+                det != 0.0,
+                (F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det,
+            ).alias("b0"),
+            F.when(
+                det != 0.0,
+                (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det,
+            ).alias("b1"),
         ).first()
+        if nxt["b0"] is None or nxt["b1"] is None:
+            break
         b0, b1 = float(nxt["b0"]), float(nxt["b1"])
     eta_f = F.lit(b0) + F.lit(b1) * F.col("x")
     mu_f = 1 / (1 + F.exp(-eta_f))
@@ -2690,7 +2718,13 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (exact-double round-trip per round, identical JVM expression
     # chains, driver plan-construction cost removed).
     p_base = F.sum(dec9(F.col("t"))).cast("double") / F.count(F.lit(1))
-    seed = base.agg(F.log(p_base / (1 - p_base)).alias("b0")).first()
+    # logit seed guarded against degenerate treatment shares — see
+    # logistic_glm_irls
+    seed = base.agg(
+        F.when(
+            (p_base > 0) & (p_base < 1), F.log(p_base / (1 - p_base))
+        ).alias("b0")
+    ).first()
     # empty input: every downstream relation is empty whatever the
     # coefficients, so any finite seed reproduces the former output
     b0, b1 = (0.0 if seed["b0"] is None else float(seed["b0"])), 0.0
@@ -2708,14 +2742,23 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec9(w * F.col("x") * z)).cast("double").alias("swxz"),
         )
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        # det==0 (collinear/degenerate input) guard: ANSI double
+        # division throws on /0; the when() skips the division and the
+        # loop stops at the current coefficients. Real inputs have
+        # det != 0 (the former lazy chain collected through the same
+        # division on every driver run), so values are unchanged.
         nxt = s.select(
-            ((F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det).alias(
-                "b0"
-            ),
-            ((F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det).alias(
-                "b1"
-            ),
+            F.when(
+                det != 0.0,
+                (F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det,
+            ).alias("b0"),
+            F.when(
+                det != 0.0,
+                (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det,
+            ).alias("b1"),
         ).first()
+        if nxt["b0"] is None or nxt["b1"] is None:
+            break
         b0, b1 = float(nxt["b0"]), float(nxt["b1"])
     scored = (
         base.select(

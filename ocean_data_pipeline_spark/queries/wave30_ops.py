@@ -536,12 +536,22 @@ def huber_regression_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec9(w * F.col("x") * F.col("y"))).cast("double").alias("swxy"),
         )
         det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        # det==0 (collinear/degenerate input) guard — see
+        # poisson_glm_irls: when() skips the ANSI-throwing division and
+        # the loop stops at the current coefficients; real inputs have
+        # det != 0, so values are unchanged.
         nxt = s.select(
-            ((F.col("swxx") * F.col("swy") - F.col("swx") * F.col("swxy")) / det)
-            .alias("b0"),
-            ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / det)
-            .alias("b1"),
+            F.when(
+                det != 0.0,
+                (F.col("swxx") * F.col("swy") - F.col("swx") * F.col("swxy")) / det,
+            ).alias("b0"),
+            F.when(
+                det != 0.0,
+                (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / det,
+            ).alias("b1"),
         ).first()
+        if nxt["b0"] is None or nxt["b1"] is None:
+            break
         b0, b1 = float(nxt["b0"]), float(nxt["b1"])
     resid = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

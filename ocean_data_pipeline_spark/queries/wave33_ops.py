@@ -532,6 +532,17 @@ def bradley_terry_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # terms the former tot-aggregate summed (decimal addition is
     # exactly associative), and collected doubles re-embed bit-for-bit
     # via F.lit — so every round's IEEE chain is unchanged.
+    def _pi_map(rows):
+        # zero-arg create_map() is untyped (map<void,void>) and fails
+        # analysis under a string key; with no duels every relation
+        # below is empty, so a typed NULL reproduces the former output
+        if not rows:
+            return lambda c: F.lit(None).cast("double")
+        m = F.create_map(
+            *[x for r in rows for x in (F.lit(r["nation"]), F.lit(float(r["pi"])))]
+        )
+        return lambda c: m[c]
+
     pi_i, pi_j = F.lit(1.0), F.lit(1.0)
     pi_rows = None
     for _ in range(_BT_ROUNDS):
@@ -554,20 +565,16 @@ def bradley_terry_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         pi_rows = u.collect()
-        m = F.create_map(
-            *[x for r in pi_rows for x in (F.lit(r["nation"]), F.lit(float(r["pi"])))]
-        )
-        pi_i, pi_j = m[F.col("i")], m[F.col("j")]
-    pi_m = F.create_map(
-        *[x for r in pi_rows for x in (F.lit(r["nation"]), F.lit(float(r["pi"])))]
-    )
+        lookup = _pi_map(pi_rows)
+        pi_i, pi_j = lookup(F.col("i")), lookup(F.col("j"))
+    pi_m = _pi_map(pi_rows)
     return (
         wins.select(
             "nation",
             F.col("w").alias("wins"),
-            F.round(pi_m[F.col("nation")], 6).alias("bt_strength"),
+            F.round(pi_m(F.col("nation")), 6).alias("bt_strength"),
             F.row_number()
-            .over(Window.orderBy(F.desc(pi_m[F.col("nation")]), "nation"))
+            .over(Window.orderBy(F.desc(pi_m(F.col("nation"))), "nation"))
             .cast("bigint")
             .alias("bt_rank"),
         )

@@ -385,11 +385,37 @@ def lsh_topk(
     )
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: `repr` is the shortest round-trip
+    representation and Spark's parser lands `<digits>D` in
+    Double.parseDouble, which is correctly rounded — so the parsed
+    Literal carries the identical IEEE-754 bits `F.lit` would."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite value {x!r} has no SQL double literal")
+    return repr(x) + "D"
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> codebook literal built as ONE parsed SQL
+    expression instead of ~n_rows x n_dims `F.lit` calls (round 11,
+    guide §1.2-2): the Column-API construction of a 16x64 codebook
+    costs ~1 s of driver-side py4j round-trips PER CALL SITE (~1.5 ms
+    x ~1100 JVM calls) — pure plan-construction overhead, invisible in
+    explain output. The parsed tree is the same array-of-array-of-
+    double-Literal expression, so analyzed plans and values are
+    bit-identical."""
+    body = ",".join(
+        "array(" + ",".join(_sql_double(x) for x in r) + ")" for r in rows
+    )
+    return F.expr("array(" + body + ")")
+
+
 def _frozen_cell_distances(v: Column, centroids: list[list[float]]) -> Column:
     """array<double> of squared L2 distances from `v` to each frozen
     centroid — a literal-folded map expression, NO shuffle and NO
     centroid table: the codebook compiles into the plan."""
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = lit_double_matrix(centroids)
     return F.transform(cents, lambda c: l2_sq(v, c))
 
 
@@ -470,7 +496,7 @@ def pq_encode(v: Column, codebooks: list[list[list[float]]]) -> Column:
     subdim = len(codebooks[0][0])
     codes = []
     for m, book in enumerate(codebooks):
-        lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        lits = lit_double_matrix(book)
         sub = F.slice(v, m * subdim + 1, subdim)
         d2s = F.transform(lits, lambda c: l2_sq(sub, c))  # noqa: B023
         codes.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
@@ -482,7 +508,7 @@ def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     sub-centroids (the `x̂` of asymmetric distance computation)."""
     parts = []
     for m, book in enumerate(codebooks):
-        lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        lits = lit_double_matrix(book)
         parts.append(F.element_at(lits, F.element_at(codes, m + 1) + F.lit(1)))
     return F.flatten(F.array(*parts))
 

@@ -213,12 +213,16 @@ def matryoshka_prefix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = lambda c, w: F.slice(c, 1, w)  # noqa: E731
 
     energy = (
-        emb.crossJoin(F.broadcast(widths))
+        # Round 11 (guide §1.2-2): the full-norm denominator is one
+        # fold per ROW, not one per (row, width) — same expression,
+        # evaluated before the 3-width fanout, so values are identical.
+        emb.withColumn("den", dot(F.col("v"), F.col("v")))
+        .crossJoin(F.broadcast(widths))
         .select(
             "width",
             F.round(
                 dot(pref(F.col("v"), F.col("width")), pref(F.col("v"), F.col("width")))
-                / dot(F.col("v"), F.col("v")),
+                / F.col("den"),
                 12,
             )
             .cast("decimal(28,12)")
@@ -232,14 +236,42 @@ def matryoshka_prefix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    probes = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    # Round 11 (guide §1.2-2, the cosine_pre device): full and 8/16/32-
+    # prefix norms are folded ONCE PER SIDE before the pair fanout —
+    # the inline cos() re-ran both norm folds for every (probe,
+    # neighbor, width). Each precomputed column is the identical
+    # sqrt-of-fold expression, and the division keeps cos's exact
+    # na*nb order, so every similarity is bit-identical.
+    def _pnorm(col: str, w: int | None):
+        sl = F.col(col) if w is None else F.slice(F.col(col), 1, w)
+        return F.sqrt(dot(sl, sl))
+
+    probes = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"))
+        .withColumn("pn", _pnorm("pv", None))
+        .withColumn("pn8", _pnorm("pv", 8))
+        .withColumn("pn16", _pnorm("pv", 16))
+        .withColumn("pn32", _pnorm("pv", 32))
+    )
+    corp = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        .withColumn("cn", _pnorm("cv", None))
+        .withColumn("cn8", _pnorm("cv", 8))
+        .withColumn("cn16", _pnorm("cv", 16))
+        .withColumn("cn32", _pnorm("cv", 32))
     )
     scored = F.broadcast(probes).join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
-        F.col("neighbor_id") != F.col("probe_id"),
+        corp, F.col("neighbor_id") != F.col("probe_id")
     )
-    cos = lambda a, b: dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))  # noqa: E731
+
+    def _pick(prefix: str):
+        return (
+            F.when(F.col("width") == 8, F.col(f"{prefix}8"))
+            .when(F.col("width") == 16, F.col(f"{prefix}16"))
+            .otherwise(F.col(f"{prefix}32"))
+        )
+
     w_full = Window.partitionBy("probe_id").orderBy(
         F.col("full_sim").desc(), F.col("neighbor_id")
     )
@@ -247,7 +279,9 @@ def matryoshka_prefix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "probe_id",
             "neighbor_id",
-            cos(F.col("pv"), F.col("cv")).alias("full_sim"),
+            (dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn"))).alias(
+                "full_sim"
+            ),
         )
         .withColumn("rnk", F.row_number().over(w_full))
         .filter(F.col("rnk") == 1)
@@ -262,8 +296,9 @@ def matryoshka_prefix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width",
             "probe_id",
             "neighbor_id",
-            cos(
-                pref(F.col("pv"), F.col("width")), pref(F.col("cv"), F.col("width"))
+            (
+                dot(pref(F.col("pv"), F.col("width")), pref(F.col("cv"), F.col("width")))
+                / (_pick("pn") * _pick("cn"))
             ).alias("pref_sim"),
         )
         .withColumn("rnk", F.row_number().over(w_pref))

@@ -369,11 +369,6 @@ def bigram_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size("arr") >= 2)
         .select("doc_id", "source", F.explode(pairs).alias("p"))
         .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        # Round 11 (guide §2.4): the bigram census and the scoring
-        # stream both consume this explode — checkpoint so the corpus
-        # is scanned+tokenized once for them (uni keeps its own pass:
-        # unigrams include doc-final tokens that bigrams drop).
-        .localCheckpoint()
     )
     uni = (
         d.select(F.explode("arr").alias("w"))
@@ -854,17 +849,12 @@ def ngram_novelty_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     cousin of `repeated_ngrams` (which counts cross-doc repetition
     without direction).
 
-    Plan shape (round 11, guide §1.2-1/§2.3): per-row gram arrays
-    (slice + array_join, no quadratic work), ONE distinct-explode into
-    the gram-keyed census shuffle (min doc_id = first introduction).
-    The census then rolls up BY ITS OWN first_doc to a doc-scale
-    novel-count relation — each doc's novelty is |{grams whose census
-    min is this doc}| — and per-doc gram totals come map-side from the
-    array size, so the former corpus-gram-scale equi-join (two more
-    gram-keyed ~50-char-string exchanges) collapses to one DOC-scale
-    join. Same integers, strictly fewer/narrower shuffles at any
-    scale; neither doc-scale side is unconditionally broadcast (AQE
-    may at runtime when small)."""
+    Plan shape: per-row gram arrays (slice + array_join, no quadratic
+    work), ONE distinct-explode, a gram-keyed census shuffle
+    (min doc_id = first introduction), an equi-join back on gram, and
+    a doc rollup — all keys are gram or doc_id, so the whole thing is
+    two linear shuffles at corpus scale; the census join must NOT be
+    broadcast (gram cardinality grows with the corpus)."""
     docs = table(spark, sf_dir, "documents", spread=True).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -877,28 +867,22 @@ def ngram_novelty_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice("arr", i, 8), " "),
         )
     )
-    base = d.select("doc_id", "source", gram_arr.alias("grams"))
-    grams = base.select("doc_id", F.explode("grams").alias("gram"))
+    grams = d.select("doc_id", "source", F.explode(gram_arr).alias("gram"))
     census = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    # grams are distinct per doc, so each census row is one (gram, doc)
-    # novelty event: counting rows per first_doc equals the former
-    # per-doc sum of first_doc == doc_id indicators exactly.
-    novel = census.groupBy(F.col("first_doc").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("novel_cnt")
-    )
     per_doc = (
-        base.select("doc_id", "source", F.size("grams").alias("n_grams"))
-        .join(novel, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.coalesce(F.col("novel_cnt"), F.lit(0))
+        grams.join(census, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_novel"),
             F.round(
-                F.coalesce(F.col("novel_cnt"), F.lit(0)).cast("double")
-                / F.col("n_grams"),
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
                 6,
             ).alias("novel_frac"),
         )
@@ -1603,25 +1587,13 @@ def nb_lang_signal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = d.select("doc_id", "lang", F.explode("arr").alias("token"))
-    # Round 11 (guide §1.2/§2.4, the burrows_delta device): every model
-    # relation below is a marginal of ONE (doc, lang, token) tf census;
-    # the former shape re-scanned and re-tokenized the corpus for each
-    # of tf/classes/n_docs/vocab/tc/class_tokens/labels (~6 passes).
-    # Integer count sums over the census are exactly the direct counts,
-    # and every doc here has >= 1 token (split of non-empty trimmed
-    # text), so countDistinct(doc_id) equals the former doc counts.
-    tf3 = (
-        toks.groupBy("doc_id", "lang", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    tf = tf3.select("doc_id", "token", "tf")
-    classes = tf3.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_c"))
-    n_docs = tf3.agg(F.countDistinct("doc_id").alias("n"))
-    vocab = tf3.select("token").distinct()
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    classes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    vocab = toks.select("token").distinct()
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
-    tc = tf3.groupBy("lang", "token").agg(F.sum("tf").alias("cnt"))
-    class_tokens = tf3.groupBy("lang").agg(F.sum("tf").alias("tok_c"))
+    tc = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    class_tokens = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tok_c"))
     model = (
         classes.crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(v_size))
@@ -1658,8 +1630,7 @@ def nb_lang_signal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("lang").alias("predicted"))
     )
     return (
-        tf3.select("doc_id", "lang")
-        .distinct()
+        d.select("doc_id", "lang")
         .join(pred, "doc_id")
         .groupBy("lang")
         .agg(
@@ -1849,10 +1820,6 @@ def kneser_ney_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size("arr") >= 2)
         .select("doc_id", "source", F.explode(pairs).alias("p"))
         .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        # Round 11 (guide §2.4): the census build AND the scoring stream
-        # both consume this explode; un-checkpointed, each re-scanned and
-        # re-tokenized the corpus. One materialized pass, token-scale.
-        .localCheckpoint()
     )
     big = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint()
     # history mass sum_w2 c(w1,w2), NOT the unigram count (they differ

@@ -428,32 +428,20 @@ def hits_bipartite_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-20 is TakeOrderedAndProject. At 100 TB the BIGINT iterates
     would widen to DECIMAL(38,0) after ~4 more unrolled rounds —
     documented, not needed at 2 half-steps."""
-    import os
-
     pl = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
         .localCheckpoint()
     )
-    # Round 11 (guide §3.1, the probe->route device): the per-mode
-    # score relations are NODE-scale aggregates of the checkpointed
-    # incidence; broadcast them into the half-iteration joins when the
-    # measured mode size fits so the EDGE-scale incidence never
-    # shuffles (before: 2 SortMergeJoin exchanges of pl per pass).
-    # Above the cap the former shuffled joins run — the 100 TB path.
-    bn = int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_NODES", "4000000"))
-    modes = pl.agg(
-        F.countDistinct("p").alias("n_p"), F.countDistinct("o").alias("n_o")
-    ).first()
     a1 = pl.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     h1 = (
-        pl.join(F.broadcast(a1) if modes["n_p"] <= bn else a1, "p")
+        pl.join(a1, "p")
         .groupBy("o")
         .agg(F.sum("a").cast("bigint").alias("h"))
     )
     a2 = (
-        pl.join(F.broadcast(h1) if modes["n_o"] <= bn else h1, "o")
+        pl.join(h1, "o")
         .groupBy("p")
         .agg(F.sum("h").cast("bigint").alias("a"))
     )

@@ -522,7 +522,7 @@ def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> top-10 filter -> two small aggregates. At 100 TB the eval panel
     is fixed, so cost is one corpus scan regardless of corpus size —
     the eval you run after every index rebuild."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     label_cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
@@ -901,7 +901,7 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim, -ib) struct, partial-aggregated map-side) instead of a rank
     window — no n²-row sort ever happens. Then one self-join on the
     two top-1 relations and two broadcast label joins."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),

@@ -786,7 +786,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 500)
     out = cosine_near_dup_pairs(emb, threshold=0.35)
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
@@ -961,7 +961,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.ivf_topk_kmeans."""
     from ocean_data_pipeline_spark.operators.similarity import ivf_topk_frozen
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 3)
     out = ivf_topk_frozen(emb, probes, k=3, n_probes=2)
     return out.select(
@@ -1087,7 +1087,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocean_data_pipeline_spark.operators.components import connected_components
     from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 500)
     pairs = cosine_near_dup_pairs(emb, threshold=0.35)
     labels = connected_components(pairs, src="id_a", dst="id_b")
     out = (
@@ -1119,7 +1119,7 @@ def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 500)
     pairs = cosine_near_dup_pairs(emb, threshold=0.35)
     labels = connected_components_star(pairs, src="id_a", dst="id_b")
     out = (
@@ -1535,7 +1535,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Recall/compression gates: tests/test_pq.py."""
     from ocean_data_pipeline_spark.operators.similarity import pq_topk_frozen
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 3)
     return pq_topk_frozen(emb, probes, k=5).select(
         "probe_id", "neighbor_id", "approx_d2", "rank"
@@ -2403,7 +2403,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # norms precomputed per side (cosine_pre contract): one fold per
     # corpus row / anchor instead of three folds per scored pair
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", norm(F.col("v")))
     anchors = emb.filter(F.col("vec_id") < 200).select(

@@ -369,7 +369,7 @@ def gaussian_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan evaluates all 32 kernels per row (grid broadcast,
     map-side-combined into 32 cells). At 100 TB: a single pass, 32-row
     shuffle — KDE as partial aggregation, never a row-pair join."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", spread=True)
     x19 = F.col("o_totalprice").cast("decimal(19,2)")
     mom = o.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1257,7 +1257,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocean_data_pipeline_spark.operators.ivf_codebook import FROZEN_CENTROIDS
     from ocean_data_pipeline_spark.operators.similarity import _frozen_cell_distances
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     d2 = _frozen_cell_distances(F.col("v"), FROZEN_CENTROIDS)

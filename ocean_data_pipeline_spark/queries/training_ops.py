@@ -616,7 +616,7 @@ def leakage_safe_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocean_data_pipeline_spark.operators.components import connected_components
     from ocean_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = table(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 500)
     pairs = cosine_near_dup_pairs(emb, threshold=0.35)
     labels = connected_components(pairs, src="id_a", dst="id_b")
     comp = (

@@ -879,7 +879,7 @@ def pca_axis_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: ONE map-side-combining aggregate over the fact scan,
     then a 1-row expression chain. The cheapest query in the wave."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     ys = F.col("l_extendedprice").cast("double") / 10000
     dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
     s = li.agg(

@@ -523,7 +523,7 @@ WHERE abs(rxz) < 1 AND abs(ryz) < 1
 
 
 def _mom3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     ys = F.col("l_extendedprice").cast("double") / 10000
     d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
     dec2 = lambda c: F.col(c).cast("decimal(19,2)")  # noqa: E731

@@ -104,7 +104,7 @@ def knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the probe panel is fixed, so cost is one scan."""
     # norms precomputed per side (operators.similarity.cosine_pre):
     # one fold per corpus row / probe instead of three folds per pair
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     ).withColumn("nv", norm(F.col("v")))
     probes = emb.filter(F.col("vec_id") < _KNN_PROBES).select(
@@ -220,7 +220,7 @@ def binary_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: broadcast probes × one corpus scan; the audit panel is
     fixed-size so cost is one scan at any corpus size."""
     # norms precomputed per side — see knn_label_noise_audit above
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", norm(F.col("v")))
     probes = emb.filter(F.col("vec_id") < _BQ_PROBES).select(

@@ -592,6 +592,11 @@ def main() -> None:
         "end_total": round(sum(canary_end.values()), 3),
     }
 
+    # actual core count this run: defaultParallelism reflects the real
+    # local[N] master (or cluster topology); the env var is what was asked
+    cpus_used = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    default_parallelism = spark.sparkContext.defaultParallelism
+
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()}
     # headline value = scalable ops only; SPREAD_ONLY medians live in
@@ -637,9 +642,22 @@ def main() -> None:
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
+            # `queries` is the slowest-N REPORTING WINDOW, not the run
+            # set: every one of n_queries_total ran and is in the
+            # full_timings spread file; entries here are dropped
+            # cheapest-first only to fit the 2000-char tail capture.
+            # A query missing from this dict was BENCHED, not dropped.
             "queries": q,
             "repeats": repeats,
             "sf": sf_num,
+            # contract self-description (VERDICT r11 item 2): the bench
+            # honors $SPARK_GRAFT_CPUS via session.get_spark local[cpus];
+            # echo what this run actually used so flat low/high-core
+            # ratios on driver-bound queries aren't misread as the env
+            # var being ignored.
+            "cpus": cpus_used,
+            "defaultParallelism": default_parallelism,
+            "n_queries_total": len(timings),
             # host-load yardstick: normalize cross-round totals by the
             # mean of these two fixed-block timings (full per-query
             # canary detail lives in the spread file)

@@ -207,6 +207,31 @@ _DRIVER_VERIFIED = frozenset({
     "variant_props_profile", "weighted_median_price",
     "weighted_sample_deterministic", "winsorized_trimmed_mean",
     "woe_iv_price_bins", "zipf_slope_fit",
+    # green in round 11 (CORRECTNESS_r11.json, 50/50 pass — the SQL
+    # parser-surface family, the streaming twins, the window-frame pair,
+    # the time-series statistics tail, the sketch/estimation family, and
+    # the segmentation/retrieval/training remainder).
+    "sql_top_spenders_window", "sql_grouping_sets_revenue",
+    "sql_exists_customers", "sql_pivot_priority_by_year",
+    "sql_lateral_explode_tokens", "sql_named_window_rollup",
+    "sql_udtf_chunk_documents", "sql_filter_clause_agg",
+    "sql_pipe_priority_revenue", "sql_parameterized_revenue",
+    "sql_lateral_topn_per_region", "stream_join_funnel_outer",
+    "stream_static_enrich", "watermark_design_census", "stream_dedup_keys",
+    "stream_file_session_cache", "stream_countmin_user_events",
+    "stream_hll_registers", "order_frame_values", "order_percentile_ranks",
+    "ewma_monthly_revenue", "daily_zscore_anomalies", "cusum_changepoint",
+    "mann_kendall_trend", "seasonal_indices_monthly",
+    "leadlag_crosscorr_events", "yule_walker_ar2_forecast",
+    "rolling_ols_trend", "theil_sen_monthly_trend", "holt_linear_smoothing",
+    "periodogram_monthly", "pacf_durbin_levinson", "forecast_backtest_mape",
+    "runs_test_monthly", "kmv_set_operations", "hll_portable_distinct",
+    "cms_join_size_estimate", "poisson_bootstrap_ci", "token_pmi_pairs",
+    "prefix_filter_jaccard_join", "mmr_diversified_topk",
+    "gini_customer_spend", "abc_pareto_classes", "psi_drift_price",
+    "cohort_ltv_curves", "quantile_normalize_doclen",
+    "length_bucketing_efficiency", "epoch_shuffle_balance",
+    "session_concurrency_profile", "pareto_skyline_orders",
 })
 
 # Queries added after the round's front block was already full (the
@@ -217,48 +242,17 @@ _DRIVER_VERIFIED = frozenset({
 # deferred query now rides in the front block.
 _DEFER_TO_BACK: frozenset[str] = frozenset()
 
-# Names lifted to the very head of the front block this round. VERDICT r10
-# item 1: r11's front-50 carries 50 of the 59 remaining never-driver-checked
-# names — the full `sql_*` parser-surface family, the `stream_*` twins,
-# `order_frame_values`/`order_percentile_ranks`, and the time-series
-# statistics tail — draining the backlog to 9. The 9 deferred to r12
-# (leakage_safe_group_split, time_weighted_avg, ship_latency_percentiles,
-# rfm_segmentation, kmv_distinct_estimate, training_example_pipeline,
-# variant_row_shred, theil_index_decomposition, ipf_survey_raking) are
-# exactly the names with the strongest independent credit: all were in
-# VERDICT r10's own 12-name exact-value sample or its 5-name sf0.1
-# FP-fix sample.
+# Names lifted to the very head of the front block this round. VERDICT r11
+# item 7: the last 9 never-driver-checked names ride r12's front block,
+# draining the correctness backlog to zero. (r11's front-50 — the sql_*
+# parser family, stream_* twins, window-frame pair, time-series tail,
+# sketches, and segmentation remainder — went 50/50 green in
+# CORRECTNESS_r11.json and rotated into _DRIVER_VERIFIED above.)
 _FRONT_PRIORITY: tuple[str, ...] = (
-    # SQL parser surface
-    "sql_top_spenders_window", "sql_grouping_sets_revenue",
-    "sql_exists_customers", "sql_pivot_priority_by_year",
-    "sql_lateral_explode_tokens", "sql_named_window_rollup",
-    "sql_udtf_chunk_documents", "sql_filter_clause_agg",
-    "sql_pipe_priority_revenue", "sql_parameterized_revenue",
-    "sql_lateral_topn_per_region",
-    # streaming twins
-    "stream_join_funnel_outer", "stream_static_enrich",
-    "watermark_design_census", "stream_dedup_keys",
-    "stream_file_session_cache", "stream_countmin_user_events",
-    "stream_hll_registers",
-    # window-frame pair VERDICT named explicitly
-    "order_frame_values", "order_percentile_ranks",
-    # time-series statistics tail
-    "ewma_monthly_revenue", "daily_zscore_anomalies", "cusum_changepoint",
-    "mann_kendall_trend", "seasonal_indices_monthly",
-    "leadlag_crosscorr_events", "yule_walker_ar2_forecast",
-    "rolling_ols_trend", "theil_sen_monthly_trend", "holt_linear_smoothing",
-    "periodogram_monthly", "pacf_durbin_levinson", "forecast_backtest_mape",
-    "runs_test_monthly",
-    # sketch / estimation family
-    "kmv_set_operations", "hll_portable_distinct", "cms_join_size_estimate",
-    "poisson_bootstrap_ci",
-    # segmentation / retrieval / training remainder
-    "token_pmi_pairs", "prefix_filter_jaccard_join", "mmr_diversified_topk",
-    "gini_customer_spend", "abc_pareto_classes", "psi_drift_price",
-    "cohort_ltv_curves", "quantile_normalize_doclen",
-    "length_bucketing_efficiency", "epoch_shuffle_balance",
-    "session_concurrency_profile", "pareto_skyline_orders",
+    "leakage_safe_group_split", "time_weighted_avg",
+    "ship_latency_percentiles", "rfm_segmentation", "kmv_distinct_estimate",
+    "training_example_pipeline", "variant_row_shred",
+    "theil_index_decomposition", "ipf_survey_raking",
 )
 
 

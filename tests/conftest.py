@@ -13,6 +13,28 @@ from ocean_data_pipeline_spark.session import get_spark  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+# Driver-budget default run (VERDICT r11 item 1): the full suite grew to
+# ~2,600 tests / ~47 min, which overruns the verification driver's pytest
+# window (VERIFY_r11 tests_ok=false was a TIMEOUT at ~77 %, zero failures).
+# Tests marked `slow` — the second-scale parity sweep, the empty-input
+# totality sweep, and the two full-registry smoke loops, ~28 min between
+# them — are redundant with the driver's own entry/oracle checks and run
+# on the builder cadence (SPARK_GRAFT_FULL_TESTS=1) plus at every round
+# close. The default run keeps the sf0.01 oracle-parity gate, the plan/
+# window-bound gates, and every unit suite: ~1,800 tests in ~15-19 min.
+_FULL = os.environ.get("SPARK_GRAFT_FULL_TESTS", "").lower() in ("1", "true", "yes")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _FULL:
+        return
+    skip = pytest.mark.skip(
+        reason="slow cadence suite; SPARK_GRAFT_FULL_TESTS=1 runs it"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import importlib
 
+import pytest
+
 
 def _entry_module():
     return importlib.import_module("__spark_entry__")
@@ -25,6 +27,7 @@ def test_queries_and_oracles_aligned(spark):
     assert not unknown, f"oracle_sql keys missing from queries(): {unknown}"
 
 
+@pytest.mark.slow
 def test_every_query_runs_at_smoke_scale(spark):
     mod = _entry_module()
     for name, fn in mod.queries().items():

@@ -52,6 +52,7 @@ def duck_smoke():
     con.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity_smoke_scale(spark, duck_smoke, name):
     rq = REGISTRY[name]

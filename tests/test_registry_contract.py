@@ -101,6 +101,7 @@ def test_rows_only_queries_are_the_documented_exceptions(registry):
     )
 
 
+@pytest.mark.slow
 def test_oracle_backed_queries_return_flat_columns(registry, spark):
     """Harness-compat gate (VERDICT r06 item 3): the driver canonicalizes
     results through pandas ``sort_values``, which cannot factorize ndarray

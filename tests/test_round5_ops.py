@@ -8,6 +8,8 @@ smoke scale where exact recomputation is cheap.
 from __future__ import annotations
 
 import math
+
+import pytest
 from datetime import date
 
 from pyspark.sql import functions as F
@@ -427,6 +429,7 @@ def test_conversion_latency_matches_python_quantiles(spark):
         assert math.isclose(row["max_s"], round(max(lats), 3), abs_tol=0.002)
 
 
+@pytest.mark.slow
 def test_stream_ewma_equals_batch_twin(spark):
     """The stateful streaming smoother must emit exactly the batch
     closed-form EWMA relation — streaming == batch for the whole

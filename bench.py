@@ -465,6 +465,27 @@ def main() -> None:
         except Exception:
             pass
 
+    def _unpersist_all() -> None:
+        # Per-QUERY hygiene (round 12, VERDICT r11 item 3a): the
+        # synchronous-unpersist half of _hygiene only. The r11 per-pass
+        # cadence let checkpoint/storage state accumulate over the
+        # ~268-query pass and grow across repeats — the driver's r27
+        # spread shows medians far above clean minima
+        # (link_prediction_capped [9.57, 21.33] median 15.0 vs 9.6
+        # clean; huber [2.97, 7.65]). A per-query FULL _hygiene was
+        # measured too (BENCH_SPREAD_r30): the big aged queries
+        # recovered (lp_capped 15.0 -> 11.0) but the per-query
+        # System.gc consistently taxed multi-small-job queries ~0.5-1 s
+        # (association_rules 2.5 -> 3.5, frequent_triples 3.4 -> 4.4,
+        # dtw 2.8 -> 3.6), so the full-GC half stays per pass.
+        try:
+            jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+            it = jmap.iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(True)
+        except Exception:
+            pass  # _hygiene's per-pass warning covers the drift signal
+
     # Host-normalization canary (VERDICT r09 item 3): the same code
     # measured 402 -> 481 s across four same-day runs under shared-host
     # CPU pressure, so raw round-over-round totals are +/-10 % noise.
@@ -508,17 +529,32 @@ def main() -> None:
                 t0 = time.perf_counter()
                 registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
-            _hygiene()
+                # FULL hygiene per query here, unlike the headline loop:
+                # the tail is 3 memory-heavy queries (288 M-wedge census,
+                # recursive CTEs) where a clean heap before each sample
+                # measured strictly better and tighter (BENCH_SPREAD_r30
+                # scores 15.4 [15.3,15.5] vs _unpersist_all-only r31
+                # 25.9 [18.2,31.4]); the multi-small-job tax of per-query
+                # GC does not apply to this list.
+                _hygiene()
         print(json.dumps({"tail_samples": {n: samples[n] for n in tail_names}}))
         return
 
     canary_start = _run_canary()
 
+    # Hygiene cadence (round 12, VERDICT r11 item 3a): synchronous
+    # unpersist PER QUERY, full GC per pass. Cleaning OUTSIDE the timed
+    # window makes every sample measure the query's own computation
+    # from the parquet inputs — the isolated-warm condition a real
+    # per-job deployment sees — instead of the previous queries'
+    # leftover checkpoint blocks. Timed window itself is unchanged;
+    # see _unpersist_all for the cadence A/B evidence.
     for _ in range(repeats):
         for name in headline_names:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            _unpersist_all()
         _hygiene()
 
     # Third canary point at the headline/SPREAD_ONLY boundary (VERDICT
@@ -548,6 +584,13 @@ def main() -> None:
             # in the same aged JVM as canary_start/mid for the
             # host-drift ratio to stay like-for-like across rounds.
             env = dict(os.environ, SPARK_GRAFT_TAIL_PHASE="1")
+            # Shrink the idle parent before the child starts: a full
+            # _hygiene (unpersist + double GC) lets the parent's heap
+            # uncommit so the child's memory-heavy queries aren't
+            # squeezed by a bloated neighbor (round 12 — the r31 run
+            # without this showed the child's wedge census at 25.9 s
+            # vs 15.4 s with an aggressively-GC'd parent).
+            _hygiene()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, stdout=subprocess.PIPE, text=True,
@@ -578,7 +621,7 @@ def main() -> None:
                     t0 = time.perf_counter()
                     registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     samples[name].append(time.perf_counter() - t0)
-                _hygiene()
+                    _hygiene()  # per query — see the tail-phase loop
         else:
             samples.update(tail_samples)
     canary_end = _run_canary()

@@ -1258,6 +1258,88 @@ def main() -> None:
 
         return build
 
+    # round 12 probes (VERDICT r11 item 8) — see the ops-dict comments
+    def cc_route_probe(li):
+        def build():
+            from ocean_data_pipeline_spark.operators.components import (
+                connected_components,
+            )
+
+            edges = li.select(
+                F.col("l_orderkey").cast("long").alias("src"),
+                (F.col("l_partkey").cast("long") + F.lit(5_000_000_000)).alias(
+                    "dst"
+                ),
+            )
+            return connected_components(edges, "src", "dst").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("component")).alias("s"),
+            )
+
+        return build
+
+    def recursive_prefix_probe(o):
+        def build():
+            import uuid as _uuid
+
+            from ocean_data_pipeline_spark.queries.recursive_sql import (
+                _loop_confs,
+            )
+
+            spark.conf.set("spark.sql.cteRecursionRowLimit", 50_000_000)
+            view = f"probe_rp_{_uuid.uuid4().hex[:8]}"
+            o.createOrReplaceTempView(view)
+            seq = spark.sql(f"""
+                SELECT o_custkey,
+                       CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00 AS delta,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey, o_totalprice) AS rn
+                FROM {view}""").localCheckpoint()
+            sview = f"probe_rpm_{_uuid.uuid4().hex[:8]}"
+            seq.createOrReplaceTempView(sview)
+            with _loop_confs(spark, level_rows=seq.count()):
+                out = spark.sql(f"""
+                    WITH RECURSIVE bal AS (
+                      SELECT o_custkey, rn,
+                             greatest(CAST(0.00 AS DECIMAL(20,2)),
+                                      CAST(delta AS DECIMAL(20,2))) AS balance
+                      FROM {sview} WHERE rn = 1
+                      UNION ALL
+                      SELECT s.o_custkey, s.rn,
+                             greatest(CAST(0.00 AS DECIMAL(20,2)),
+                                      CAST(b.balance + s.delta AS DECIMAL(20,2))) AS balance
+                      FROM bal b
+                      JOIN {sview} s
+                        ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
+                    )
+                    SELECT o_custkey, count(*) AS n
+                    FROM bal GROUP BY o_custkey
+                """).localCheckpoint()
+            return out
+
+        return build
+
+    def spread_gate_probe(li):
+        def build():
+            # catalog.table's guard, inlined on an arbitrary input
+            target = spark.sparkContext.defaultParallelism
+            d = li
+            if d.rdd.getNumPartitions() < target:
+                d = d.repartition(target)
+            x = F.col("l_quantity").cast("double")
+            y = F.col("l_extendedprice").cast("double")
+            return d.agg(
+                F.sum(F.round(x * y, 9).cast("decimal(38,9)")).alias("sxy"),
+                F.sum(F.round(x * x, 9).cast("decimal(38,9)")).alias("sxx"),
+                F.sum(F.round(y * y, 9).cast("decimal(38,9)")).alias("syy"),
+            )
+
+        return build
+
+    # raw (unspread) scan: the degenerate one-row-group input the gate
+    # exists for — li1 above is already spread, so read it directly
+    li_raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
     ops = {
         "exact_dedup(documents)": (dedup(docs1), dedup(docs10)),
         "token_census(documents)": (token_census(docs1), token_census(docs10)),
@@ -1408,6 +1490,36 @@ def main() -> None:
         "month_census_device(orders)": (
             month_device_probe(ord1),
             month_device_probe(ord10),
+        ),
+        # round 12 (VERDICT r11 item 8): the three r11 devices.
+        # cc_dsu_route: the probe-routed connected-components — 1x
+        # (~600 K bipartite order-part edges) routes to the single-task
+        # union-find fast path, 10x (~6 M edges, disjoint copies)
+        # crosses SPARK_GRAFT_CC_LOCAL_EDGES=1M and routes to the
+        # iterative min-label loop; the ratio prices the HANDOFF, i.e.
+        # what the threshold protects the local path from.
+        "cc_dsu_route(lineitem)": (
+            cc_route_probe(li1),
+            cc_route_probe(li10g),
+        ),
+        # capped_recursion_prefix: the r11/r12 Spark-side shape of
+        # sql_recursive_capped_balance — prefix materialized once under
+        # AQE sizing, recursion under _loop_confs with the shuffle
+        # width DERIVED from the measured prefix (8 partitions at 10x,
+        # 1 at 1x — the r12 parameterization exercised at both widths).
+        "capped_recursion_prefix(orders)": (
+            recursive_prefix_probe(ord1),
+            recursive_prefix_probe(ord10),
+        ),
+        # spread_gate_kernel: catalog.table's guarded spread — 1x runs
+        # the gate on the degenerate single-row-group scan (fires: one
+        # round-robin exchange, kernel uses all cores), 10x runs it on
+        # a >= defaultParallelism-partition input (no-op by the guard,
+        # kernel scales with the data). Sub-10x ratio = the gate's
+        # no-op branch does not tax properly-partitioned input.
+        "spread_gate_kernel(lineitem)": (
+            spread_gate_probe(li_raw),
+            spread_gate_probe(li10),
         ),
     }
 
